@@ -1,0 +1,174 @@
+"""Feature store: metadata-driven aggregate compilation.
+
+This is the reference's one true query interface (SURVEY.md §2.4 A1/A2):
+a CSV of ``(feature_name, base_sql)`` rows, where each ``base_sql`` is a
+single SQL *aggregate expression* over the grouped fact rows (e.g.
+``SUM(m.goals)``, ``SUM(goals)*90/SUM(minutesTagged)``,
+``SUM(CASE WHEN type = 'Pass' THEN 1 ELSE 0 END)``). The reference
+splices these fragments into one generated ``GROUP BY`` statement
+(ADAPTERS/SILVER-adapter-wyscout.py:413-431; the event-level analog is
+``stats_catalogue.csv`` in
+STAGING/SILVER-adapter-statsbomb-notebook.ipynb:171).
+
+Here the same metadata compiles to ``F.expr(...).alias(...)`` columns
+fed to ``DataFrame.groupBy(...).agg(...)`` — Catalyst plans a
+partial+final hash aggregation (map-side combine) so the shuffle moves
+pre-aggregated state, which is what keeps this correct *and* cheap at
+100 TB.
+
+Safety: the reference splices untrusted SQL text into a query
+(SURVEY.md §7.3 flags the injection surface). ``validate`` parses each
+fragment with Spark's own expression parser and rejects anything that
+is not a single expression (statement separators, multiple columns).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import re
+from dataclasses import dataclass
+from typing import Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FORBIDDEN = re.compile(r";|--|/\*", re.S)
+
+
+class FeatureDefinitionError(ValueError):
+    """A feature fragment failed validation."""
+
+
+@dataclass(frozen=True)
+class Feature:
+    """One aggregate feature: output alias + SQL aggregate fragment."""
+
+    name: str
+    base_sql: str
+
+    def column(self) -> Column:
+        return F.expr(self.base_sql).alias(self.name)
+
+
+class FeatureStore:
+    """An ordered collection of aggregate features.
+
+    Mirrors ``feature_store_{provider}.csv`` (FIXTURES.md F5): rows with
+    a null/empty ``base_sql`` are skipped with a warning, matching the
+    reference's error path (ADAPTERS/SILVER-adapter-wyscout.py:421-424).
+    """
+
+    def __init__(self, features: Sequence[Feature]):
+        self.features: list[Feature] = list(features)
+        names = [f.name for f in self.features]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise FeatureDefinitionError(f"duplicate feature names: {sorted(dupes)}")
+        self.skipped: list[str] = []
+
+    # -- constructors ---------------------------------------------------
+    @classmethod
+    def from_rows(
+        cls,
+        rows: Iterable[Mapping[str, object]],
+        name_col: str = "feature_name",
+        sql_col: str = "base_sql",
+    ) -> "FeatureStore":
+        feats: list[Feature] = []
+        skipped: list[str] = []
+        for row in rows:
+            name = row.get(name_col)
+            sql = row.get(sql_col)
+            if not name:
+                continue
+            if sql is None or (isinstance(sql, float) and sql != sql) or not str(sql).strip():
+                skipped.append(str(name))
+                continue
+            feats.append(Feature(str(name).strip(), str(sql).strip()))
+        fs = cls(feats)
+        fs.skipped = skipped
+        return fs
+
+    @classmethod
+    def from_csv(
+        cls,
+        path_or_text: str,
+        name_col: str = "feature_name",
+        sql_col: str = "base_sql",
+    ) -> "FeatureStore":
+        """Load from a CSV file path or literal CSV text."""
+        if "\n" in path_or_text or "," in path_or_text and "\n" in path_or_text:
+            text = path_or_text
+        else:
+            with open(path_or_text, newline="") as fh:
+                text = fh.read()
+        reader = csv.DictReader(io.StringIO(text))
+        return cls.from_rows(reader, name_col=name_col, sql_col=sql_col)
+
+    # -- validation -----------------------------------------------------
+    def validate(self, spark: SparkSession) -> None:
+        """Reject fragments that are not a single aggregate expression.
+
+        Uses Spark's SQL parser (parseExpression) so anything with
+        statement separators, comments, or trailing garbage fails here
+        rather than inside a 1000-executor job.
+        """
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        for f in self.features:
+            if _FORBIDDEN.search(f.base_sql):
+                raise FeatureDefinitionError(
+                    f"feature {f.name!r}: forbidden token in {f.base_sql!r}"
+                )
+            try:
+                parser.parseExpression(f.base_sql)
+            except Exception as exc:  # Py4J wraps ParseException
+                raise FeatureDefinitionError(
+                    f"feature {f.name!r}: not a valid expression: {f.base_sql!r}"
+                ) from exc
+
+    # -- compilation ----------------------------------------------------
+    def columns(self, where: str | None = None) -> list[Column]:
+        """Compile to aggregate Columns, optionally gated by a SQL
+        ``FILTER (WHERE ...)`` predicate — the single-pass alternative
+        to re-aggregating per-subset (SURVEY.md §4 "single-pass rewrite").
+        """
+        if where is None:
+            return [f.column() for f in self.features]
+        return [
+            F.expr(f"{f.base_sql} FILTER (WHERE {where})").alias(f.name)
+            for f in self.features
+        ]
+
+    def aggregate(
+        self,
+        df: DataFrame,
+        group_keys: Sequence[str],
+        extra: Sequence[Column] = (),
+    ) -> DataFrame:
+        """``SELECT keys, extra..., features... FROM df GROUP BY keys``."""
+        cols = list(extra) + self.columns()
+        return df.groupBy(*group_keys).agg(*cols)
+
+    def generated_sql(
+        self,
+        table: str,
+        group_keys: Sequence[str],
+        extra_sql: Sequence[str] = (),
+    ) -> str:
+        """The reference-style generated SQL text (for oracles/debug)."""
+        select = list(group_keys) + list(extra_sql) + [
+            f"{f.base_sql} AS {f.name}" for f in self.features
+        ]
+        return (
+            "SELECT "
+            + ", ".join(select)
+            + f" FROM {table} GROUP BY "
+            + ", ".join(group_keys)
+        )
+
+    def __len__(self) -> int:
+        return len(self.features)
+
+    def names(self) -> list[str]:
+        return [f.name for f in self.features]

@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond the reference's keyed dedup (W3), a 100 TB training-data
+pipeline needs content dedup. All operators here are pure Spark
+expressions (no Python UDFs): shingling via ``transform(sequence(...))``,
+MinHash via arithmetic over a portable 60-bit md5-derived hash, LSH
+banding via ``groupBy(band_key)``. Everything shuffles on
+bucket/band keys — never on document content — so candidate generation
+scales linearly and the quadratic verify step only touches
+same-bucket candidates.
+
+Hashes are cross-engine reproducible (see
+``functions.scalars.portable_hash64``) so DuckDB oracles can recompute
+exact signatures.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from traits_data_spark.functions.scalars import portable_hash64
+
+# Mersenne prime 2^31 - 1: universal-hash modulus. The shingle hash is
+# reduced to 28 bits (7 hex chars of md5) so a*h+b with 31-bit
+# coefficients stays < 2^60 — inside signed-64 arithmetic on every
+# engine (Spark 4 runs ANSI mode: a silent-overflow formulation would
+# hard-fail the job). h < p is also required for the (a*h+b) mod p
+# family to actually permute.
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_HEX_CHARS = 7  # 28-bit shingle hash
+
+
+def normalized_text(col: Column | str, lowercase: bool = True) -> Column:
+    """Canonical text for hashing: collapse whitespace, optional lower."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    return F.lower(c) if lowercase else c
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """Exact-content dedup: group by content hash, keep one canonical id
+    and the duplicate count. One shuffle on the 60-bit content hash.
+    """
+    agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.withColumn("content_hash", portable_hash64(normalized_text(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            agg_id.alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def char_shingles(col: Column | str, k: int = 5, distinct: bool = True) -> Column:
+    """Array of k-character shingles of the normalized text — built with
+    ``transform(sequence(...))``, no UDF, no explode until needed."""
+    c = normalized_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    arr = F.transform(idx, lambda i: c.substr(i, F.lit(k)))
+    return F.array_distinct(arr) if distinct else arr
+
+
+def minhash_signature(
+    shingles: Column,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> list[Column]:
+    """MinHash: for each of ``num_hashes`` universal hash functions
+    ``(a*h + b) mod p``, the min over the shingle set.
+
+    Coefficients are derived deterministically from ``seed`` via a
+    small LCG so the signature is reproducible anywhere (including a
+    SQL oracle).
+    """
+    coeffs = _hash_coeffs(num_hashes, seed)
+    h = F.transform(shingles, lambda s: _portable_hash_expr(s, MINHASH_HEX_CHARS))
+    sigs = []
+    for i, (a, b) in enumerate(coeffs):
+        perm = F.transform(
+            h, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+        )
+        sigs.append(F.array_min(perm).alias(f"mh_{i}"))
+    return sigs
+
+
+def _portable_hash_expr(s: Column, nhex: int = 15) -> Column:
+    return F.conv(F.substring(F.md5(s), 1, nhex), 16, 10).cast("long")
+
+
+def _hash_coeffs(n: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs from a 32-bit LCG (documented so the
+    oracle can regenerate them). a in [1, p-1], b in [0, p-1]."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = (state % (MINHASH_PRIME - 1)) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
+    band key = md5 of the band slice → self-join per band bucket →
+    distinct (id_a < id_b) pairs. The only shuffles are the band-key
+    groupBys; no all-pairs comparison ever materializes.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(text_col, k=shingle_k).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sig = shingled.select("id", *minhash_signature(F.col("__sh"), num_hashes, seed))
+
+    # band key: one md5 over the concatenated slice per band
+    band_cols = []
+    for b in range(bands):
+        slice_cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws(",", *[c.cast("string") for c in slice_cols])).alias(
+                f"band_{b}"
+            )
+        )
+    banded = sig.select("id", *band_cols)
+
+    pairs = None
+    for b in range(bands):
+        left = banded.select(F.col("id").alias("id_a"), F.col(f"band_{b}").alias("bk"))
+        right = banded.select(F.col("id").alias("id_b"), F.col(f"band_{b}").alias("bk"))
+        cand = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return pairs.distinct()
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (the cheap,
+    bounded verify step after LSH)."""
+    sh = df.select(
+        F.col(id_col).alias("__jid"),
+        char_shingles(text_col, k=shingle_k).alias("__jsh"),
+    )
+    a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
+    b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, computed with bit-vote
+    aggregation: explode tokens → per-bit ±1 votes → sign → recombine.
+    One shuffle (groupBy id). Token hash is the portable md5 hash.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = _portable_hash_expr(F.col("tok"))
+    toks = toks.withColumn("__h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)  # portable hash is 60 bits
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return agg.select("id", sim.alias(out_col))
+
+
+def hamming_dist(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

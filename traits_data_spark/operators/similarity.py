@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the standard scale playbook:
+
+- ``cosine_topk_bruteforce`` — exact: query set × corpus with a
+  broadcast of the (small) query side; dot products via
+  ``zip_with``/``aggregate`` (JVM-side, codegen). Cost |Q|·|C|; right
+  whenever |Q| is bounded (online lookups, evaluation batches).
+- ``lsh_bucketed_topk`` — approximate: random-hyperplane signatures
+  (sign bits of projections onto seeded deterministic planes) bucket
+  the corpus; only same-bucket (or Hamming-adjacent probe) pairs are
+  scored. Shuffle is on the bucket key; this is the 100 TB path.
+
+No Python UDFs: the dot product compiles to a single
+``aggregate(zip_with(a, b, (x,y)->x*y), 0D, (acc,x)->acc+x)`` codegen
+expression.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """For each query vector, the top-k most-cosine-similar corpus rows
+    (self-matches excluded). Query side is broadcast; ties broken by
+    neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature: bucket = Σ 2^i·[v·p_i > 0]."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket: Column = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for i, p in enumerate(planes):
+        proj = dot(v, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket pairs. Recall rises
+    with fewer planes / multiple probe tables; this single-table variant
+    is the building block.
+    """
+    cb = with_lsh_bucket(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ),
+        "__cv",
+        dim,
+        n_planes,
+        seed,
+    )
+    qb = with_lsh_bucket(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        ),
+        "__qv",
+        dim,
+        n_planes,
+        seed,
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

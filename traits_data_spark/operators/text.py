@@ -1,0 +1,155 @@
+"""Text analysis operators for training-data pipelines: quality
+scoring, language identification, token counting, fingerprinting.
+
+All pure column expressions — the whole module is a projection, so it
+runs inside whole-stage codegen at scan speed and never shuffles.
+Heuristics are deliberately simple, deterministic, and SQL-expressible
+so correctness oracles can recompute them exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from traits_data_spark.functions.scalars import portable_hash64
+from traits_data_spark.operators.dedup import normalized_text
+
+# Common function words per language, used as count-based markers.
+# Spaces around each marker make them word-anchored.
+LANG_MARKERS: Mapping[str, Sequence[str]] = {
+    "en": (" the ", " and ", " of ", " to ", " is "),
+    "fr": (" le ", " la ", " les ", " et ", " est "),
+    "de": (" der ", " die ", " und ", " ist ", " das "),
+    "es": (" el ", " los ", " las ", " es ", " una "),
+}
+
+_STOPWORDS_EN = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal substring —
+    ``(len(t) - len(replace(t, s, ''))) / len(s)``, portable to any SQL
+    engine."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def word_array(text_col: Column | str) -> Column:
+    c = normalized_text(text_col, lowercase=False)
+    return F.filter(F.split(c, " "), lambda w: F.length(w) > 0)
+
+
+# Character classes shared with SQL oracles (RE2/Java-compatible).
+PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+DIGIT_CLASS = "[0-9]"
+NONSPACE = "\\S+"
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Append length/word/punctuation/stopword quality signals.
+
+    Every signal is a regexp-count or list-filter expression so a SQL
+    oracle (DuckDB/Trino) can recompute it verbatim.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = _count_matches(t, NONSPACE)
+    n_nonspace_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS_EN])
+    norm_words = F.split(normalized_text(t), " ")
+    n_stop = F.size(F.filter(norm_words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = _count_matches(t, PUNCT_CLASS)
+    n_digit = _count_matches(t, DIGIT_CLASS)
+    safe_words = F.when(n_words > 0, n_words.cast("double"))
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars.cast("long"),
+            "n_words": n_words.cast("long"),
+            "avg_word_len": F.round(n_nonspace_chars / safe_words, round_to),
+            "punct_ratio": F.round(n_punct / safe_chars, round_to),
+            "digit_ratio": F.round(n_digit / safe_chars, round_to),
+            "stopword_ratio": F.round(n_stop / safe_words, round_to),
+        }
+    )
+
+
+def language_scores(
+    text_col: Column | str, markers: Mapping[str, Sequence[str]] = LANG_MARKERS
+) -> dict[str, Column]:
+    """Marker-count score per language over the lowercased, padded text."""
+    t = F.concat(F.lit(" "), normalized_text(text_col), F.lit(" "))
+    return {
+        lang: sum_cols([occurrences(t, m) for m in ms])
+        for lang, ms in markers.items()
+    }
+
+
+def sum_cols(cols: Sequence[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def identify_language(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    markers: Mapping[str, Sequence[str]] = LANG_MARKERS,
+) -> DataFrame:
+    """Argmax over language marker scores; 'und' when all scores are 0.
+    Ties break alphabetically (deterministic, oracle-friendly)."""
+    scores = language_scores(text_col, markers)
+    out = df.withColumns({f"score_{k}": v for k, v in scores.items()})
+    best = F.greatest(*[F.col(f"score_{k}") for k in scores])
+    pred = F.lit("und")
+    # reverse-alphabetical chain so the FIRST when() that wins is the
+    # alphabetically smallest language on ties
+    expr = None
+    for lang in sorted(scores, reverse=False):
+        cond = (F.col(f"score_{lang}") == best) & (best > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    # when() chains evaluate in order, so alphabetical order + first-win
+    # gives deterministic tie-breaks; fall through to 'und'.
+    return out.withColumn(out_col, expr.otherwise(pred))
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", token_regex: str = TOKEN_REGEX
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return df.withColumns(
+        {
+            "ws_tokens": F.size(word_array(text_col)).cast("long"),
+            "re_tokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(token_regex), F.lit(0))
+            ).cast("long"),
+        }
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Content fingerprint: portable 60-bit hash of the alphanumeric
+    skeleton (robust to whitespace/punctuation-only edits)."""
+    skeleton = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", ""))
+    return df.withColumn(out_col, portable_hash64(skeleton))

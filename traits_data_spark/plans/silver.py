@@ -1,0 +1,154 @@
+"""The silver profile pipeline — the reference's flagship query shape
+(SURVEY.md §3 E1, steps 6-15), provider-agnostic.
+
+Input: a long fact table (one row per entity per event/match).
+Output: one row per (profile × aggregationPeriod) with feature-store
+aggregates, where profile = entity keys × coarse-group and periods are
+{season, last_four, last_eight} (last-N by rank over a descending order
+column, with ``rank()`` tie semantics preserved —
+ADAPTERS/SILVER-adapter-wyscout.py:439-448).
+
+Two physical strategies:
+
+- ``multi_pass`` (reference-shaped): persist the fact frame, run the
+  generated aggregation 3× (full / rank<=4 / rank<=8), unionByName.
+  3 shuffles over the same input.
+- ``explode`` (Spark-first, default): compute the rank once, attach an
+  array of the periods each row belongs to, ``explode`` it, and run ONE
+  aggregation grouped by (profile, period). One window shuffle + one
+  agg shuffle regardless of how many periods are defined — at 100 TB
+  this replaces P full-input aggregations with one 3×-row aggregation
+  whose map-side combine collapses it back to |profiles|×P rows before
+  the exchange. Results are row-identical to multi_pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from traits_data_spark.functions.feature_store import FeatureStore
+from traits_data_spark.functions.scalars import surrogate_key
+from traits_data_spark.operators.any_union import union_with_coarse_group
+from traits_data_spark.operators.windows import dedup_keep_best
+
+
+@dataclass
+class ProfileSpec:
+    """Configuration of the profile build.
+
+    ``entity_cols``: id columns concatenated into the profile key
+    (reference: playerId, teamId, seasonId, competitionId).
+    ``group_col``: the coarse-group column duplicated as ``any_label``
+    (reference: positionGroup).
+    ``order_col``: descending recency order for last-N windows
+    (reference: matchId).
+    ``playtime_col``/``playtime_threshold``: eligibility predicate
+    ``playtime > threshold OR group == any_label``
+    (ADAPTERS/SILVER-adapter-wyscout.py:301-303).
+    ``periods``: name → N (None = all rows / "season").
+    """
+
+    entity_cols: Sequence[str]
+    group_col: str
+    order_col: str
+    playtime_col: str | None = None
+    playtime_threshold: float = 33.0
+    any_label: str = "ANY"
+    profile_col: str = "profileId"
+    period_col: str = "aggregationPeriod"
+    periods: Mapping[str, int | None] = field(
+        default_factory=lambda: {"season": None, "last_four": 4, "last_eight": 8}
+    )
+    use_rank: bool = True  # rank() tie semantics, not row_number()
+
+
+def _prepare(df: DataFrame, spec: ProfileSpec) -> DataFrame:
+    """ANY-union, playtime filter, profile key synthesis."""
+    out = union_with_coarse_group(df, {spec.group_col: spec.any_label})
+    if spec.playtime_col is not None:
+        out = out.filter(
+            (F.col(spec.playtime_col) > F.lit(spec.playtime_threshold))
+            | (F.col(spec.group_col) == F.lit(spec.any_label))
+        )
+    return out.withColumn(
+        spec.profile_col, surrogate_key(*spec.entity_cols, spec.group_col)
+    )
+
+
+def _ranked(df: DataFrame, spec: ProfileSpec) -> DataFrame:
+    w = Window.partitionBy(spec.profile_col).orderBy(F.col(spec.order_col).desc())
+    fn = F.rank() if spec.use_rank else F.row_number()
+    return df.withColumn("__rnk", fn.over(w))
+
+
+def build_profiles(
+    df: DataFrame,
+    features: FeatureStore,
+    spec: ProfileSpec,
+    extra_aggs: Sequence[Column] = (),
+    strategy: str = "explode",
+) -> DataFrame:
+    """Fact rows → (profileId, aggregationPeriod, features...)."""
+    prepared = _prepare(df, spec)
+
+    if strategy == "multi_pass":
+        ranked = _ranked(prepared, spec).persist()
+        parts: list[DataFrame] = []
+        for period, n in spec.periods.items():
+            subset = ranked if n is None else ranked.filter(F.col("__rnk") <= n)
+            agg = features.aggregate(
+                subset.drop("__rnk"), [spec.profile_col], extra=list(extra_aggs)
+            )
+            parts.append(agg.withColumn(spec.period_col, F.lit(period)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    if strategy != "explode":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    ranked = _ranked(prepared, spec)
+    # period membership array: always the full-window periods, plus each
+    # last-N period whose rank bound admits this row.
+    full = [F.lit(name) for name, n in spec.periods.items() if n is None]
+    membership = F.array(*full) if full else F.array().cast("array<string>")
+    for name, n in spec.periods.items():
+        if n is not None:
+            membership = F.when(
+                F.col("__rnk") <= n, F.array_union(membership, F.array(F.lit(name)))
+            ).otherwise(membership)
+    exploded = ranked.withColumn(
+        spec.period_col, F.explode(membership)
+    ).drop("__rnk")
+    return features.aggregate(
+        exploded, [spec.profile_col, spec.period_col], extra=list(extra_aggs)
+    )
+
+
+def attach_meta(
+    profiles: DataFrame,
+    facts_with_profile: DataFrame,
+    spec: ProfileSpec,
+    meta_cols: Sequence[str],
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """Re-join descriptive columns onto the aggregated profiles (J4).
+
+    The reference uses ``dropDuplicates(['profileId'])`` which picks an
+    arbitrary row; we require a deterministic order (default: descending
+    ``order_col`` = most recent match wins).
+    """
+    order = list(order_by) if order_by is not None else [F.col(spec.order_col).desc()]
+    meta = dedup_keep_best(
+        facts_with_profile.select(spec.profile_col, *meta_cols, spec.order_col),
+        [spec.profile_col],
+        order,
+    ).drop(spec.order_col) if order_by is None else dedup_keep_best(
+        facts_with_profile.select(spec.profile_col, *meta_cols), [spec.profile_col], order
+    )
+    return profiles.join(meta, spec.profile_col, "left")

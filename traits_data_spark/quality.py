@@ -1,0 +1,85 @@
+"""Pipeline invariant checks (SURVEY.md §5).
+
+The reference enforces correctness with inline runtime assertions
+(uniqueness of profileId — GOLD-data-loader.py:423-424; dtype asserts —
+:549-563; distribution sanity — statsbomb-gold-temp-v2.py:442-449;
+row-multiplicity — SILVER-adapter-wyscout.py:274-287). Each becomes a
+reusable check that computes its violation count in ONE aggregation
+(no collect of data rows; only scalar counts come to the driver).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class QualityError(AssertionError):
+    pass
+
+
+def assert_unique_key(df: DataFrame, keys: Sequence[str], name: str = "") -> None:
+    """PK uniqueness: no key group with >1 row."""
+    dupes = (
+        df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dupes:
+        raise QualityError(f"{name or keys}: duplicate keys found")
+
+
+def assert_max_multiplicity(
+    df: DataFrame, keys: Sequence[str], max_rows: int, name: str = ""
+) -> None:
+    """Row-multiplicity bound (≤2 rows per player-match after the ANY
+    union, etc.)."""
+    over = (
+        df.groupBy(*keys).count().filter(F.col("count") > max_rows).limit(1).count()
+    )
+    if over:
+        raise QualityError(f"{name or keys}: multiplicity > {max_rows}")
+
+
+def assert_not_null(df: DataFrame, cols: Sequence[str], name: str = "") -> None:
+    conds = [F.sum(F.col(c).isNull().cast("int")).alias(c) for c in cols]
+    row = df.agg(*conds).first()
+    bad = {c: row[c] for c in cols if row[c]}
+    if bad:
+        raise QualityError(f"{name}: nulls present: {bad}")
+
+
+def assert_distribution(
+    df: DataFrame, col: str, sigma_band: float = 4.0, name: str = ""
+) -> None:
+    """Std > 0 and min/max within ±sigma_band standard deviations
+    (DEPRECATED/statsbomb-gold-temp-v2.py:442-449)."""
+    row = df.agg(
+        F.avg(col).alias("mu"),
+        F.stddev_samp(col).alias("sd"),
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+    ).first()
+    if row["sd"] is None or row["sd"] <= 0:
+        raise QualityError(f"{name or col}: zero/undefined variance")
+    lo_band = row["mu"] - sigma_band * row["sd"]
+    hi_band = row["mu"] + sigma_band * row["sd"]
+    if row["lo"] < lo_band or row["hi"] > hi_band:
+        raise QualityError(
+            f"{name or col}: values outside ±{sigma_band}σ "
+            f"([{row['lo']}, {row['hi']}] vs [{lo_band}, {hi_band}])"
+        )
+
+
+def null_zero_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """%NA and %zero per column (A11) as one aggregation."""
+    n = F.count(F.lit(1))
+    aggs = []
+    for c in cols:
+        aggs.append(
+            (F.sum(F.col(c).isNull().cast("int")) / n * 100).alias(f"pct_null_{c}")
+        )
+        aggs.append(
+            (F.sum((F.col(c) == 0).cast("int")) / n * 100).alias(f"pct_zero_{c}")
+        )
+    return df.agg(*aggs)

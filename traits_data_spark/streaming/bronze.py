@@ -1,0 +1,87 @@
+"""Structured Streaming ingestion (SURVEY.md §2.9).
+
+The reference has no streaming — its incremental semantics are
+file-presence anti-joins + keyed upserts (J13/S10). The streaming-native
+equivalent: a file-source stream over the bronze landing prefix feeding
+``foreachBatch`` MERGE into silver, plus watermarked windowed
+aggregates for event-stream rollups. File sources track processed files
+in the checkpoint, which subsumes the reference's hand-rolled
+"skip already-fetched matchIds" bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from traits_data_spark.sinks.upsert import upsert_parquet_partition
+
+
+def stream_json_landing(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int = 1000,
+) -> DataFrame:
+    """readStream over a bronze landing directory. Schema is mandatory —
+    streaming sources cannot infer, and at scale you want the contract
+    anyway."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def upsert_each_batch(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """foreachBatch keyed MERGE into partitioned Parquet — incremental
+    silver maintenance. ``trigger once`` makes it a catch-up batch job
+    (the Auto-Loader pattern); drop it for continuous micro-batches."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_parquet_partition(batch, target_path, keys, partition_by)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming form of the
+    batch ``date_trunc`` rollup (see __spark_entry__ q_event_windows).
+    Late rows beyond the watermark are dropped and state is bounded."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
