@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import csv
 import io
+import os
 import re
 from dataclasses import dataclass
 from typing import Iterable, Mapping, Sequence
@@ -34,6 +35,33 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _FORBIDDEN = re.compile(r";|--|/\*", re.S)
+
+_CALL_HEAD = re.compile(r"^\s*\w+\s*\(")
+
+
+def _is_single_call(fragment: str) -> bool:
+    """True iff the fragment is exactly one function call — i.e. the
+    paren opened by the leading ``name(`` closes at the very end (string
+    literals respected). ``SUM(a)`` yes; ``SUM(a)*90/SUM(b)`` no."""
+    m = _CALL_HEAD.match(fragment)
+    if not m:
+        return False
+    depth = 0
+    in_str: str | None = None
+    for i, ch in enumerate(fragment):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return not fragment[i + 1 :].strip()
+    return False
 
 
 class FeatureDefinitionError(ValueError):
@@ -98,7 +126,9 @@ class FeatureStore:
         sql_col: str = "base_sql",
     ) -> "FeatureStore":
         """Load from a CSV file path or literal CSV text."""
-        if "\n" in path_or_text or "," in path_or_text and "\n" in path_or_text:
+        if "\n" in path_or_text or (
+            "," in path_or_text and not os.path.exists(path_or_text)
+        ):
             text = path_or_text
         else:
             with open(path_or_text, newline="") as fh:
@@ -132,13 +162,25 @@ class FeatureStore:
         """Compile to aggregate Columns, optionally gated by a SQL
         ``FILTER (WHERE ...)`` predicate — the single-pass alternative
         to re-aggregating per-subset (SURVEY.md §4 "single-pass rewrite").
+
+        ``FILTER`` binds to a single aggregate call, so a compound
+        fragment like ``SUM(a)*90/SUM(b)`` would get the predicate on
+        the *last* aggregate only — silently wrong numbers. Compound
+        fragments are therefore rejected when ``where`` is given; gate
+        the inputs instead (``SUM(CASE WHEN <where> THEN a END)``).
         """
         if where is None:
             return [f.column() for f in self.features]
-        return [
-            F.expr(f"{f.base_sql} FILTER (WHERE {where})").alias(f.name)
-            for f in self.features
-        ]
+        out = []
+        for f in self.features:
+            if not _is_single_call(f.base_sql):
+                raise FeatureDefinitionError(
+                    f"feature {f.name!r}: FILTER (WHERE ...) is only valid on a "
+                    f"single aggregate call, got compound fragment "
+                    f"{f.base_sql!r}; gate inputs with CASE WHEN instead"
+                )
+            out.append(F.expr(f"{f.base_sql} FILTER (WHERE {where})").alias(f.name))
+        return out
 
     def aggregate(
         self,

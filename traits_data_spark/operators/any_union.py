@@ -45,17 +45,19 @@ def rollup_grouping_sets(
     with the coarse key replaced by ``any_label`` on the coarse set.
 
     Produces the same rows as ``union_with_coarse_group`` + groupBy but
-    scans the input once.
+    scans the input once. Uses the public ``DataFrame.groupingSets``
+    API (Spark 3.4+) — no temp views, no py4j internals, safe under
+    concurrency and Spark Connect.
     """
-    df.createOrReplaceTempView("__gs_in")
-    select_keys = ", ".join(fine_keys)
-    exprs = ", ".join(str(e._jc.toString()) if hasattr(e, "_jc") else str(e) for e in agg_exprs)
-    sql = f"""
-        SELECT {select_keys},
-               CASE WHEN grouping({coarse_key}) = 1 THEN '{any_label}'
-                    ELSE {coarse_key} END AS {coarse_key},
-               {exprs}
-        FROM __gs_in
-        GROUP BY GROUPING SETS (({select_keys}, {coarse_key}), ({select_keys}))
-    """
-    return df.sparkSession.sql(sql)
+    fine = list(fine_keys)
+    grouped = df.groupingSets(
+        [[*fine, coarse_key], fine], *fine, coarse_key
+    )
+    out = grouped.agg(F.grouping(coarse_key).alias("__is_coarse"), *agg_exprs)
+    keep = [c for c in out.columns if c not in ("__is_coarse", coarse_key)]
+    coarse_col = (
+        F.when(F.col("__is_coarse") == 1, F.lit(any_label))
+        .otherwise(F.col(coarse_key))
+        .alias(coarse_key)
+    )
+    return out.select(*fine, coarse_col, *[c for c in keep if c not in fine])

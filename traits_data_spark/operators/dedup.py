@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from traits_data_spark.functions.scalars import portable_hash64
@@ -119,13 +119,21 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
-    signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
-    band key = md5 of the band slice → self-join per band bucket →
-    distinct (id_a < id_b) pairs. The only shuffles are the band-key
-    groupBys; no all-pairs comparison ever materializes.
+    signature → melt to one ``(id, band_idx, band_key)`` row per band
+    (narrow explode, no shuffle) → ONE self-join on the composite band
+    key → distinct (id_a < id_b) pairs. Exactly two shuffles regardless
+    of the band count: the join exchange and the final distinct —
+    versus one join per band in the naive formulation.
+
+    ``max_bucket_size`` drops degenerate buckets (empty/boilerplate
+    docs all hash to one band key and would go quadratic — a bucket of
+    1M identical docs is 10^12 pairs). Dropped buckets are near-certain
+    exact duplicates anyway; catch them with ``exact_dedup``, which is
+    linear. Pass None to disable (small/trusted corpora only).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -136,26 +144,34 @@ def minhash_lsh_candidates(
     ).filter(F.size("__sh") > 0)
     sig = shingled.select("id", *minhash_signature(F.col("__sh"), num_hashes, seed))
 
-    # band key: one md5 over the concatenated slice per band
-    band_cols = []
+    # melt: one struct per band, exploded to rows — narrow, no shuffle
+    band_structs = []
     for b in range(bands):
         slice_cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.md5(F.concat_ws(",", *[c.cast("string") for c in slice_cols])).alias(
-                f"band_{b}"
-            )
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in slice_cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
         )
-    banded = sig.select("id", *band_cols)
+    melted = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("id", F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_key").alias("band_key"))
 
-    pairs = None
-    for b in range(bands):
-        left = banded.select(F.col("id").alias("id_a"), F.col(f"band_{b}").alias("bk"))
-        right = banded.select(F.col("id").alias("id_b"), F.col(f"band_{b}").alias("bk"))
-        cand = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        melted = (
+            melted.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
         )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    return pairs.distinct()
+
+    left = melted.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    right = melted.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def jaccard_verify(

@@ -77,6 +77,34 @@ def flatten_struct_columns(
     return df.select(*out)
 
 
+def enforce_cast_contract(
+    df: DataFrame,
+    int_cols: Sequence[str] = (),
+    string_cols: Sequence[str] = (),
+    exclude: Sequence[str] = (),
+) -> DataFrame:
+    """The silver output cast contract (F11): named columns cast to
+    int / string, every other column cast to double — the reference's
+    blanket "all unspecified columns will be floats" loop
+    (ADAPTERS/SILVER-adapter-wyscout.py:475-484).
+
+    ``exclude`` passes columns through untouched (dates/timestamps or
+    partition columns the blanket-double rule must not mangle).
+    """
+    ints, strings, skip = set(int_cols), set(string_cols), set(exclude)
+    casts = {}
+    for name in df.columns:
+        if name in skip:
+            continue
+        if name in ints:
+            casts[name] = F.col(name).cast("int")
+        elif name in strings:
+            casts[name] = F.col(name).cast("string")
+        else:
+            casts[name] = F.col(name).cast("double")
+    return df.withColumns(casts)
+
+
 def explode_array_of_structs(
     df: DataFrame, array_col: str, keep: Sequence[str] = ()
 ) -> DataFrame:

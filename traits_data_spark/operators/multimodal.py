@@ -52,16 +52,20 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def decode_image_stub(payload: bytes) -> dict:
+def decode_image_stub(payload: bytes | None) -> dict:
     """Deterministic fake decode. Replace with a real codec:
 
         from PIL import Image; img = Image.open(io.BytesIO(payload))
 
     The fake 'feature' is the mean byte value — stable, testable, and
     exercises the same data movement as a real decoder.
+
+    Null payloads return a null-feature sentinel rather than raising:
+    at 100 TB one bad row must not kill the job inside ``mapInPandas``
+    — callers filter on ``sha256 IS NULL`` if they need to quarantine.
     """
     if payload is None:
-        raise NotImplementedError("real decoder required for null-payload recovery")
+        return {"byte_len": None, "sha256": None, "feat_mean": None}
     return {
         "byte_len": len(payload),
         "sha256": hashlib.sha256(payload).hexdigest(),

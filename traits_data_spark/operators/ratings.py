@@ -93,10 +93,13 @@ class WeightsHierarchy:
         return list(OrderedDict.fromkeys(r.trait_name for r in self.rows))
 
     # ------------------------------------------------------------------
-    def _per_pos_metric(self, pos: str, metric: str, zprefix: str) -> Column | None:
+    def _per_pos_metric(self, pos: str, metric: str, zprefix: str) -> Column:
+        # Reference parity (GOLD-data-loader.py:487-503): a position with
+        # no weight rows for this metric computes sum([]) = 0, so the
+        # metric is the bare base constant — not NULL. NULL is reserved
+        # for positions absent from the weights entirely (the CASE
+        # ladder's fall-through in _case_over_pos).
         terms = [r for r in self.rows if r.pos == pos and r.metric_name == metric]
-        if not terms:
-            return None
         expr: Column = F.lit(float(self.metric_base))
         for r in terms:
             expr = expr + F.col(zprefix + r.stat_name) * F.lit(r.stat_wgt)
@@ -136,14 +139,14 @@ class WeightsHierarchy:
 
         trait_cols: dict[str, Column] = {}
         for trait in self.trait_names():
-            def per_pos_trait(pos: str, t: str = trait) -> Column | None:
-                # one weight per (pos, metric, trait): dedup pairs
+            def per_pos_trait(pos: str, t: str = trait) -> Column:
+                # one weight per (pos, metric, trait): dedup pairs.
+                # No terms → sum([]) = 0.0 (reference parity, see
+                # _per_pos_metric).
                 seen: dict[str, float] = {}
                 for r in self.rows:
                     if r.pos == pos and r.trait_name == t:
                         seen[r.metric_name] = r.metric_wgt
-                if not seen:
-                    return None
                 expr: Column = F.lit(0.0)
                 for m, w in seen.items():
                     expr = expr + F.col(m) * F.lit(w)
@@ -152,13 +155,11 @@ class WeightsHierarchy:
             trait_cols[trait] = self._case_over_pos(per_pos_trait, pos_col)
         out = out.withColumns(trait_cols)
 
-        def per_pos_rating(pos: str) -> Column | None:
+        def per_pos_rating(pos: str) -> Column:
             seen: dict[str, float] = {}
             for r in self.rows:
                 if r.pos == pos:
                     seen[r.trait_name] = r.trait_wgt
-            if not seen:
-                return None
             expr: Column = F.lit(0.0)
             for t, w in seen.items():
                 expr = expr + F.col(t) * F.lit(w)

@@ -121,10 +121,8 @@ def identify_language(
     out = df.withColumns({f"score_{k}": v for k, v in scores.items()})
     best = F.greatest(*[F.col(f"score_{k}") for k in scores])
     pred = F.lit("und")
-    # reverse-alphabetical chain so the FIRST when() that wins is the
-    # alphabetically smallest language on ties
     expr = None
-    for lang in sorted(scores, reverse=False):
+    for lang in sorted(scores):
         cond = (F.col(f"score_{lang}") == best) & (best > 0)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     # when() chains evaluate in order, so alphabetical order + first-win

@@ -78,6 +78,25 @@ def dedup_keep_best(
     )
 
 
+def filter_small_groups(
+    df: DataFrame,
+    keys: Sequence[str],
+    min_rows: int,
+) -> DataFrame:
+    """P9: drop every group with fewer than ``min_rows`` rows — the
+    reference's small-season skip guard
+    (LOADERS/GOLD-data-loader.py:437-443), expressed as a window count
+    so no driver-side count()/collect() is needed: the guard runs
+    inside the plan, per group, in one shuffle.
+    """
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__grp_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__grp_n") >= min_rows)
+        .drop("__grp_n")
+    )
+
+
 def cumcount(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -130,6 +130,38 @@ def build_profiles(
     )
 
 
+def attach_any_season_totals(
+    profiles_with_keys: DataFrame,
+    spec: ProfileSpec,
+    totals: Mapping[str, str],
+    season_period: str = "season",
+) -> DataFrame:
+    """J5: attach season-total columns from the (ANY, season) slice.
+
+    The reference self-joins the ANY-position season aggregate back on
+    the entity keys so every profile row carries
+    ``totalMinutesForSeason``/``appearancesForSeason``
+    (ADAPTERS/SILVER-adapter-wyscout.py:466-473).
+
+    ``totals`` maps output name → source column on the ANY/season rows,
+    e.g. ``{"totalMinutesForSeason": "totalMinutesInSample"}``.
+    ``profiles_with_keys`` must still carry the entity columns (attach
+    them via ``attach_meta`` first). The join key is the entity columns
+    minus the coarse group, so it is a many-to-one join — no fan-out.
+    """
+    keys = [c for c in spec.entity_cols]
+    slice_cond = F.col(spec.group_col) == F.lit(spec.any_label)
+    if spec.period_col in profiles_with_keys.columns:
+        slice_cond = slice_cond & (
+            F.col(spec.period_col) == F.lit(season_period)
+        )
+    totals_df = (
+        profiles_with_keys.filter(slice_cond)
+        .select(*keys, *[F.col(src).alias(out) for out, src in totals.items()])
+    )
+    return profiles_with_keys.join(totals_df, keys, "left")
+
+
 def attach_meta(
     profiles: DataFrame,
     facts_with_profile: DataFrame,
@@ -143,12 +175,24 @@ def attach_meta(
     arbitrary row; we require a deterministic order (default: descending
     ``order_col`` = most recent match wins).
     """
-    order = list(order_by) if order_by is not None else [F.col(spec.order_col).desc()]
-    meta = dedup_keep_best(
-        facts_with_profile.select(spec.profile_col, *meta_cols, spec.order_col),
-        [spec.profile_col],
-        order,
-    ).drop(spec.order_col) if order_by is None else dedup_keep_best(
-        facts_with_profile.select(spec.profile_col, *meta_cols), [spec.profile_col], order
-    )
+    if order_by is None:
+        # Order by recency; include order_col in the projection exactly
+        # once even when it is also a requested meta column.
+        select_cols = list(
+            dict.fromkeys([spec.profile_col, *meta_cols, spec.order_col])
+        )
+        meta = dedup_keep_best(
+            facts_with_profile.select(*select_cols),
+            [spec.profile_col],
+            [F.col(spec.order_col).desc()],
+        )
+        if spec.order_col not in meta_cols:
+            meta = meta.drop(spec.order_col)
+    else:
+        select_cols = list(dict.fromkeys([spec.profile_col, *meta_cols]))
+        meta = dedup_keep_best(
+            facts_with_profile.select(*select_cols),
+            [spec.profile_col],
+            list(order_by),
+        )
     return profiles.join(meta, spec.profile_col, "left")

@@ -1,0 +1,145 @@
+"""RDBMS serving sinks (SURVEY.md §2.1 S11/S12/S13).
+
+The reference upserts gold rows into MySQL Aurora with generated
+``INSERT ... ON DUPLICATE KEY UPDATE`` statements in 100-row chunks
+(LOADERS/GOLD-data-loader.py:278-303,654-676), bootstraps the schema
+with a DataFrame→DDL generator (:593-632), and derives dimension
+tables with ``INSERT IGNORE ... SELECT DISTINCT`` per dimension
+(LOADERS/GOLD-rds-updater.py:81-114).
+
+Spark-first shape: the SQL *generators* are pure, testable functions;
+execution is staging-table-then-MERGE — ``df.write.jdbc`` lands the
+data in parallel from executors (no driver-side row chunking), then
+ONE set-based statement on the database applies the upsert. At scale
+this beats per-chunk round trips by orders of magnitude and keeps the
+upsert transactional on the DB side.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Spark type → portable SQL column type (MySQL-compatible spelling,
+# matching the reference's dtype map at GOLD-data-loader.py:173-185).
+_SQL_TYPES: Mapping[type, str] = {
+    T.IntegerType: "INT",
+    T.LongType: "BIGINT",
+    T.ShortType: "SMALLINT",
+    T.DoubleType: "DOUBLE",
+    T.FloatType: "FLOAT",
+    T.BooleanType: "BOOLEAN",
+    T.DateType: "DATE",
+    T.TimestampType: "TIMESTAMP",
+}
+
+
+def ddl_from_schema(
+    schema: T.StructType,
+    table: str,
+    primary_key: str | None = None,
+    varchar_len: int = 255,
+) -> str:
+    """S12: CREATE TABLE from a DataFrame schema — the reference's
+    DDL bootstrap (GOLD-data-loader.py:593-632) minus the
+    MySQL-specific FULLTEXT/charset clauses (serving-engine concerns,
+    not engine core)."""
+    cols = []
+    for f in schema.fields:
+        sql_t = _SQL_TYPES.get(type(f.dataType), f"VARCHAR({varchar_len})")
+        null = "" if f.nullable else " NOT NULL"
+        cols.append(f"  `{f.name}` {sql_t}{null}")
+    if primary_key:
+        cols.append(f"  PRIMARY KEY (`{primary_key}`)")
+    body = ",\n".join(cols)
+    return f"CREATE TABLE IF NOT EXISTS {table} (\n{body}\n)"
+
+
+def upsert_from_staging_sql(
+    table: str,
+    staging_table: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    dialect: str = "mysql",
+) -> str:
+    """S11: the set-based upsert statement applied after the staging
+    load. MySQL dialect mirrors the reference's ON DUPLICATE KEY UPDATE
+    (GOLD-data-loader.py:278-303); 'merge' emits ANSI MERGE for
+    engines that support it."""
+    col_list = ", ".join(f"`{c}`" for c in columns)
+    if dialect == "mysql":
+        updates = ", ".join(
+            f"`{c}` = VALUES(`{c}`)" for c in columns if c not in keys
+        )
+        return (
+            f"INSERT INTO {table} ({col_list}) "
+            f"SELECT {col_list} FROM {staging_table} "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    if dialect == "merge":
+        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in columns if c not in keys)
+        src_cols = ", ".join(f"s.`{c}`" for c in columns)
+        return (
+            f"MERGE INTO {table} t USING {staging_table} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({src_cols})"
+        )
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    properties: Mapping[str, str] | None = None,
+    staging_suffix: str = "_staging",
+    dialect: str = "mysql",
+    batchsize: int = 10_000,
+) -> None:
+    """S11 executor: land ``df`` in a staging table via parallel JDBC
+    writes, then apply one set-based upsert statement.
+
+    Requires a JDBC driver on the classpath and a reachable database —
+    unit tests cover the generated SQL; integration is deploy-time.
+    """
+    staging = table + staging_suffix
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batchsize))
+    df.write.jdbc(url, staging, mode="overwrite", properties=props)
+    sql = upsert_from_staging_sql(table, staging, df.columns, keys, dialect)
+    _execute_on_db(df.sparkSession, url, props, sql)
+
+
+def _execute_on_db(spark, url: str, props: Mapping[str, str], sql: str) -> None:
+    """Run one statement over the JVM's DriverManager (same connection
+    machinery df.write.jdbc uses)."""
+    jvm = spark._jvm
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        stmt = conn.createStatement()
+        stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def distinct_dims(
+    df: DataFrame, dims: Mapping[str, Sequence[str]]
+) -> dict[str, DataFrame]:
+    """S13/A9: dimension-table derivation — one SELECT DISTINCT
+    projection per dimension (GOLD-rds-updater.py:81-114 does this with
+    INSERT IGNORE ... SELECT DISTINCT per table).
+
+    ``dims`` maps dimension name → columns, e.g.
+    ``{"team": ["teamId", "teamName"]}``. Each result is written (or
+    upserted) by the caller; the INSERT IGNORE semantics are the
+    anti-join of ``incremental_new_keys`` against the existing rows.
+    """
+    return {name: df.select(*cols).distinct() for name, cols in dims.items()}

@@ -60,6 +60,36 @@ def with_filename_column(
     )
 
 
+def newest_file(
+    paths: Sequence[str],
+    date_pattern: str = r"(\d{8})",
+    date_format: str = "%d%m%Y",
+) -> str | None:
+    """O3: pick the newest file by a date embedded in the filename
+    (DEPRECATED/statsbomb-silver.py:114-119 sorts S3 keys by
+    ``%d%m%Y`` and takes the last).
+
+    File listings are driver-side metadata (thousands of entries, not
+    data), so plain Python is the right tool — no Spark job needed.
+    Files without a parseable date are ignored.
+    """
+    import re
+    from datetime import datetime
+
+    best: tuple[datetime, str] | None = None
+    for p in paths:
+        m = re.search(date_pattern, p)
+        if not m:
+            continue
+        try:
+            d = datetime.strptime(m.group(1), date_format)
+        except ValueError:
+            continue
+        if best is None or d > best[0]:
+            best = (d, p)
+    return best[1] if best else None
+
+
 def read_parquet_table(
     spark: SparkSession,
     root: str,

@@ -67,21 +67,21 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window_len: str = "1 hour",
     watermark: str = "2 hours",
+    aggs: Sequence | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts — the streaming form of the
-    batch ``date_trunc`` rollup (see __spark_entry__ q_event_windows).
-    Late rows beyond the watermark are dropped and state is bounded."""
+    """Watermarked tumbling-window aggregates — the streaming form of
+    the batch ``date_trunc`` rollup (see __spark_entry__ q_event_windows).
+    Late rows beyond the watermark are dropped and state is bounded.
+
+    ``aggs``: aliased aggregate Columns; default is a plain row count.
+    """
+    agg_cols = list(aggs) if aggs is not None else [
+        F.count(F.lit(1)).alias("n_events")
+    ]
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            key_col,
-            "n_events",
-            "sum_value",
-        )
+        .agg(*agg_cols)
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
     )
