@@ -1,0 +1,84 @@
+"""Dedup operators: exact, MinHash+LSH, Jaccard verify, SimHash."""
+
+from pyspark.sql import functions as F
+
+from traits_data_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    simhash64,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, "THE  quick   brown fox jumps over the lazy dog"),  # ws/case dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[1] == 3  # docs 1, 2, 5 collapse
+    assert by_keep[3] == 1
+    assert by_keep[4] == 1
+
+
+def test_lsh_finds_near_duplicates(spark):
+    cand = minhash_lsh_candidates(
+        _docs(spark), "text", "doc_id", num_hashes=16, bands=8
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs  # exact dups always collide
+    assert (1, 3) in pairs  # near dup with 8 bands of 2
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    df = _docs(spark)
+    full = minhash_lsh_candidates(df, "text", "doc_id", 16, 8).count()
+    capped = minhash_lsh_candidates(
+        df, "text", "doc_id", 16, 8, max_bucket_size=1
+    ).count()
+    assert capped == 0 < full
+
+
+def test_lsh_plan_has_single_join(spark):
+    """The melted formulation joins once regardless of band count."""
+    cand = minhash_lsh_candidates(
+        _docs(spark), "text", "doc_id", 16, 8, max_bucket_size=None
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
+
+
+def test_jaccard_verify_scores(spark):
+    df = _docs(spark)
+    cand = minhash_lsh_candidates(df, "text", "doc_id", 16, 8)
+    ver = jaccard_verify(cand, df, "text", "doc_id", threshold=0.0)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ver.collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j[(1, 3)] < 1.0
+    strict = jaccard_verify(cand, df, "text", "doc_id", threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in strict.collect()}
+    assert (1, 3) not in pairs
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    from traits_data_spark.operators.dedup import hamming_dist
+
+    out = simhash64(_docs(spark), "text", "doc_id")
+    sims = {r["id"]: r["simhash"] for r in out.collect()}
+    assert sims[1] == sims[2] == sims[5]  # identical after normalization
+    df = spark.createDataFrame(
+        [(sims[1], sims[3]), (sims[1], sims[4])], ["a", "b"]
+    )
+    d = df.select(hamming_dist(F.col("a"), F.col("b")).alias("d")).collect()
+    near, far = d[0]["d"], d[1]["d"]
+    assert near < far

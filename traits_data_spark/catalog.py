@@ -1,0 +1,1143 @@
+"""The driver-facing query catalog: every operator from SURVEY.md §2
+wired as a ``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB
+oracle SQL string computing the same result on the same parquet
+tables.
+
+Design rules that make the oracles hash-exact (not merely "close"):
+
+- integer arithmetic wherever a SUM crosses engines (sums of doubles
+  are order-dependent; sums of integer-valued columns are exact) —
+  money becomes ``*100 → ROUND → BIGINT`` cents;
+- single-operation float math is IEEE-deterministic, so MIN/MAX,
+  one division, or a sequential fold (``aggregate``/``list_dot_product``
+  — verified bit-exact between Spark and DuckDB) pass through raw;
+- engine-variance-prone floats (stddev) are rounded on BOTH sides;
+- every aggregate/computed column is aliased identically in the Spark
+  plan and the SQL; DuckDB's SUM(BIGINT)→HUGEINT is cast back.
+
+Shared metadata (minhash coefficients, LSH hyperplanes, the weights
+hierarchy) is generated once here and baked into both the Spark plan
+and the SQL text, so the oracle recomputes the exact same sketches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from traits_data_spark.functions.feature_store import Feature, FeatureStore
+from traits_data_spark.functions.scalars import (
+    age_at,
+    map_lookup,
+    portable_hash64,
+    surrogate_key,
+)
+from traits_data_spark.operators.any_union import (
+    rollup_grouping_sets,
+    union_with_coarse_group,
+)
+from traits_data_spark.operators.dedup import (
+    MINHASH_PRIME,
+    _hash_coeffs,
+    char_shingles,
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    minhash_signature,
+    normalized_text,
+    simhash64,
+)
+from traits_data_spark.operators.flatten import enforce_cast_contract
+from traits_data_spark.operators.joins import dim_join, mismatch_join
+from traits_data_spark.operators.multimodal import (
+    extract_image_features,
+    synthetic_media_table,
+)
+from traits_data_spark.operators.ratings import WeightsHierarchy
+from traits_data_spark.operators.similarity import (
+    _hyperplanes,
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+from traits_data_spark.operators.text import (
+    document_fingerprint,
+    identify_language,
+    quality_features,
+    token_counts,
+    LANG_MARKERS,
+)
+from traits_data_spark.operators.windows import (
+    cumcount,
+    dedup_keep_best,
+    filter_small_groups,
+    last_n_filter,
+    with_group_rank,
+)
+from traits_data_spark.operators.zscore import group_zscores
+from traits_data_spark.plans.gold import GoldSpec, build_ratings
+from traits_data_spark.plans.silver import (
+    ProfileSpec,
+    _prepare,
+    attach_any_season_totals,
+    attach_meta,
+    build_profiles,
+)
+from traits_data_spark.quality import null_zero_profile
+from traits_data_spark.sinks.jdbc import distinct_dims
+from traits_data_spark.sinks.upsert import incremental_new_keys, merge_upsert
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# E1 silver: the flagship profile build over lineitem
+# (fact mapping: supplier=player, returnflag=positionGroup,
+#  orderkey=matchId recency, quantity=minutes-on-field)
+# ---------------------------------------------------------------------------
+
+PLAYTIME_THRESHOLD = 25.0
+
+# (name, spark_fragment, duckdb_fragment) — duck wraps SUM in a BIGINT
+# cast because DuckDB promotes SUM(BIGINT) to HUGEINT.
+FEATURES: list[tuple[str, str, str]] = [
+    (
+        "sum_qty",
+        "SUM(CAST(l_quantity AS BIGINT))",
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)",
+    ),
+    ("n_lines", "COUNT(1)", "COUNT(1)"),
+    ("distinct_parts", "COUNT(DISTINCT l_partkey)", "COUNT(DISTINCT l_partkey)"),
+    ("max_price", "MAX(l_extendedprice)", "MAX(l_extendedprice)"),
+    (
+        "revenue_cents",
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))",
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)",
+    ),
+    (
+        "high_disc_lines",
+        "SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)",
+        "CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)",
+    ),
+    (
+        "avg_qty",
+        "SUM(CAST(l_quantity AS BIGINT)) / COUNT(1)",
+        "SUM(CAST(l_quantity AS BIGINT)) / COUNT(1)",
+    ),
+]
+
+FEATURE_STORE = FeatureStore([Feature(n, s) for n, s, _ in FEATURES])
+
+PROFILE_SPEC = ProfileSpec(
+    entity_cols=["l_suppkey"],
+    group_col="l_returnflag",
+    order_col="l_orderkey",
+    playtime_col="l_quantity",
+    playtime_threshold=PLAYTIME_THRESHOLD,
+)
+
+_BASE_COLS = (
+    "l_suppkey, l_returnflag, l_orderkey, l_partkey, l_quantity, "
+    "l_extendedprice, l_discount, l_linestatus"
+)
+
+
+def _profile_sql(extra_group_cols: str = "") -> str:
+    """Oracle for build_profiles (multi_pass formulation ≡ explode)."""
+    aggs = ", ".join(f"{d} AS {n}" for n, _, d in FEATURES)
+    gcols = ("profileId" + (", " + extra_group_cols if extra_group_cols else ""))
+    sel = gcols
+    return f"""
+WITH base AS (SELECT {_BASE_COLS} FROM lineitem),
+anyu AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT l_suppkey, 'ANY' AS l_returnflag, l_orderkey, l_partkey, l_quantity,
+         l_extendedprice, l_discount, l_linestatus FROM base
+),
+filt AS (
+  SELECT *, CAST(l_suppkey AS VARCHAR) || l_returnflag AS profileId
+  FROM anyu
+  WHERE l_quantity > {PLAYTIME_THRESHOLD} OR l_returnflag = 'ANY'
+),
+ranked AS (
+  SELECT *, rank() OVER (PARTITION BY profileId ORDER BY l_orderkey DESC) AS rnk
+  FROM filt
+)
+SELECT {sel}, 'season' AS aggregationPeriod, {aggs} FROM ranked GROUP BY {gcols}
+UNION ALL
+SELECT {sel}, 'last_four' AS aggregationPeriod, {aggs} FROM ranked WHERE rnk <= 4 GROUP BY {gcols}
+UNION ALL
+SELECT {sel}, 'last_eight' AS aggregationPeriod, {aggs} FROM ranked WHERE rnk <= 8 GROUP BY {gcols}
+"""
+
+
+def q_profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return build_profiles(li, FEATURE_STORE, PROFILE_SPEC, strategy="explode")
+
+
+def q_profile_build_multi_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return build_profiles(li, FEATURE_STORE, PROFILE_SPEC, strategy="multi_pass")
+
+
+def q_silver_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full E1: profiles → meta re-join (J4) → ANY/season totals (J5)
+    → blanket cast contract (F11). Reference:
+    ADAPTERS/SILVER-adapter-wyscout.py:430-503."""
+    li = _t(spark, sf_dir, "lineitem")
+    profiles = build_profiles(li, FEATURE_STORE, PROFILE_SPEC, strategy="explode")
+    facts = _prepare(li, PROFILE_SPEC)
+    meta = attach_meta(
+        profiles, facts, PROFILE_SPEC, meta_cols=["l_suppkey", "l_returnflag"]
+    )
+    with_totals = attach_any_season_totals(
+        meta,
+        PROFILE_SPEC,
+        {"qty_for_season": "sum_qty", "lines_for_season": "n_lines"},
+    )
+    return enforce_cast_contract(
+        with_totals,
+        int_cols=["l_suppkey"],
+        string_cols=["profileId", "aggregationPeriod", "l_returnflag"],
+    )
+
+
+def _silver_e1_sql() -> str:
+    feat_double = ", ".join(f"CAST({n} AS DOUBLE) AS {n}" for n, _, _ in FEATURES)
+    return f"""
+WITH prof AS ({_profile_sql(extra_group_cols="l_suppkey, l_returnflag")}),
+tot AS (
+  SELECT l_suppkey, CAST(sum_qty AS DOUBLE) AS qty_for_season,
+         CAST(n_lines AS DOUBLE) AS lines_for_season
+  FROM prof WHERE l_returnflag = 'ANY' AND aggregationPeriod = 'season'
+)
+SELECT p.profileId, p.aggregationPeriod,
+       CAST(p.l_suppkey AS INTEGER) AS l_suppkey,
+       p.l_returnflag,
+       {feat_double.replace('CAST(', 'CAST(p.')},
+       t.qty_for_season, t.lines_for_season
+FROM prof p LEFT JOIN tot t USING (l_suppkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E2 gold: z-scores + weights hierarchy over the silver output
+# ---------------------------------------------------------------------------
+
+WEIGHTS_CSV = """POS,statName,statWgt,metricName,metricWgt,traitName,traitWgt,inverse
+A,revenue_cents,0.4,volume,0.6,value,0.5,0
+A,sum_qty,0.6,volume,0.6,value,0.5,0
+A,high_disc_lines,1.0,discounting,0.4,value,0.5,1
+N,revenue_cents,1.0,volume,1.0,value,1.0,0
+R,sum_qty,0.5,volume,0.5,value,0.6,0
+R,distinct_parts,0.5,variety,0.5,value,0.6,0
+ANY,revenue_cents,0.7,volume,1.0,value,1.0,0
+ANY,sum_qty,0.3,volume,1.0,value,1.0,0
+"""
+
+WEIGHTS = WeightsHierarchy.from_csv(WEIGHTS_CSV)
+
+GOLD_SPEC = GoldSpec(
+    norm_group_cols=["positionGroup"],
+    sample_size_col="n_lines",
+    minutes_col="sum_qty",
+    min_sample_size=2,
+    min_minutes=50,
+)
+
+_GOLD_OUT = ["volume", "discounting", "variety", "value", "Rating"]
+
+
+def q_gold_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    profiles = build_profiles(li, FEATURE_STORE, PROFILE_SPEC, strategy="explode")
+    facts = _prepare(li, PROFILE_SPEC)
+    meta = attach_meta(profiles, facts, PROFILE_SPEC, meta_cols=["l_returnflag"])
+    gold_in = meta.withColumnRenamed("l_returnflag", "positionGroup")
+    rated = build_ratings(gold_in, WEIGHTS, GOLD_SPEC)
+    # `+ 0.0` collapses IEEE negative zero (round(-0.001, 2) → -0.0)
+    # to +0.0 so the value hash agrees with the oracle, which does the
+    # same; every other bit of the value is untouched.
+    return rated.select(
+        "profileId",
+        "positionGroup",
+        "aggregationPeriod",
+        *[(F.col(c) + F.lit(0.0)).alias(c) for c in _GOLD_OUT],
+    )
+
+
+def _gold_sql() -> str:
+    stats = sorted({r.stat_name for r in WEIGHTS.rows})
+    inverse = set(WEIGHTS.inverse_stats())
+    elig = "positionGroup != 'ANY' AND aggregationPeriod = 'season'"
+    win = "OVER (PARTITION BY positionGroup)"
+    mu_sd = ", ".join(
+        f"avg(CASE WHEN {elig} THEN {s} END) {win} AS mu_{s}, "
+        f"stddev_samp(CASE WHEN {elig} THEN {s} END) {win} AS sd_{s}"
+        for s in stats
+    )
+    zs = ", ".join(
+        f"(CASE WHEN {s} IS NULL THEN 0.0 "
+        f"WHEN sd_{s} IS NULL OR sd_{s} = 0 OR isnan(sd_{s}) THEN 0.0 "
+        f"ELSE ({s} - mu_{s}) / sd_{s} END)"
+        + (" * -1.0" if s in inverse else "")
+        + f" AS zs_{s}"
+        for s in stats
+    )
+
+    def _case(builder) -> str:
+        arms = []
+        for pos in WEIGHTS.positions():
+            arms.append(f"WHEN positionGroup = '{pos}' THEN {builder(pos)}")
+        return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+    def metric_expr(pos: str, metric: str) -> str:
+        terms = [
+            f"zs_{r.stat_name} * {r.stat_wgt}"
+            for r in WEIGHTS.rows
+            if r.pos == pos and r.metric_name == metric
+        ]
+        return " + ".join([str(WEIGHTS.metric_base)] + terms)
+
+    metrics = ", ".join(
+        _case(lambda p, m=m: metric_expr(p, m)) + f" AS {m}"
+        for m in WEIGHTS.metric_names()
+    )
+
+    def trait_expr(pos: str, trait: str) -> str:
+        seen: dict[str, float] = {}
+        for r in WEIGHTS.rows:
+            if r.pos == pos and r.trait_name == trait:
+                seen[r.metric_name] = r.metric_wgt
+        return " + ".join(["0.0"] + [f"{m} * {w}" for m, w in seen.items()])
+
+    traits = ", ".join(
+        _case(lambda p, t=t: trait_expr(p, t)) + f" AS {t}"
+        for t in WEIGHTS.trait_names()
+    )
+
+    def rating_expr(pos: str) -> str:
+        seen: dict[str, float] = {}
+        for r in WEIGHTS.rows:
+            if r.pos == pos:
+                seen[r.trait_name] = r.trait_wgt
+        return " + ".join(["0.0"] + [f"{t} * {w}" for t, w in seen.items()])
+
+    rating = _case(rating_expr) + " AS Rating"
+    rounded = ", ".join(f'round({c}, 2) + 0.0 AS "{c}"' for c in _GOLD_OUT)
+    return f"""
+WITH prof AS ({_profile_sql(extra_group_cols="l_returnflag")}),
+gold_in AS (
+  SELECT profileId, l_returnflag AS positionGroup, aggregationPeriod,
+         {', '.join(stats)}
+  FROM prof
+  WHERE n_lines >= {GOLD_SPEC.min_sample_size} AND sum_qty >= {GOLD_SPEC.min_minutes}
+),
+stats_w AS (SELECT *, {mu_sd} FROM gold_in),
+zsc AS (SELECT *, {zs} FROM stats_w),
+m AS (SELECT *, {metrics} FROM zsc),
+t AS (SELECT *, {traits} FROM m),
+r AS (SELECT *, {rating} FROM t)
+SELECT profileId, positionGroup, aggregationPeriod, {rounded} FROM r
+"""
+
+
+def q_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/D5 standalone: windowed z-score with the eligibility-gated
+    population, over raw lineitem rows."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_i", F.col("l_quantity").cast("bigint")
+    )
+    z = group_zscores(
+        li,
+        group_cols=["l_returnflag", "l_linestatus"],
+        stat_cols=["qty_i"],
+        eligible=F.col("l_quantity") > 10,
+    )
+    return z.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        (F.round("zs_qty_i", 6) + F.lit(0.0)).alias("zs_qty"),
+    )
+
+
+_GROUP_ZSCORES_SQL = """
+WITH li AS (SELECT *, CAST(l_quantity AS BIGINT) AS qty_i FROM lineitem),
+w AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, qty_i,
+    avg(CASE WHEN l_quantity > 10 THEN qty_i END)
+      OVER (PARTITION BY l_returnflag, l_linestatus) AS mu,
+    stddev_samp(CASE WHEN l_quantity > 10 THEN qty_i END)
+      OVER (PARTITION BY l_returnflag, l_linestatus) AS sd
+  FROM li
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+  round(CASE WHEN qty_i IS NULL THEN 0.0
+             WHEN sd IS NULL OR sd = 0 OR isnan(sd) THEN 0.0
+             ELSE (qty_i - mu) / sd END, 6) + 0.0 AS zs_qty
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows / dedup / sequence (W1-W3, A7-A8, O1, P9)
+# ---------------------------------------------------------------------------
+
+_LI_KEYS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
+
+
+def q_last_n_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(*_LI_KEYS)
+    return last_n_filter(li, ["l_suppkey"], "l_orderkey", 4, use_rank=True)
+
+
+_LAST_N_SQL = f"""
+SELECT {', '.join(_LI_KEYS)} FROM (
+  SELECT *, rank() OVER (PARTITION BY l_suppkey ORDER BY l_orderkey DESC) AS rnk
+  FROM lineitem
+) WHERE rnk <= 4
+"""
+
+
+def q_with_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(*_LI_KEYS)
+    ranked = with_group_rank(
+        li, ["l_suppkey"], [F.col("l_orderkey").desc()], rank_col="rnk"
+    )
+    return ranked.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+_GROUP_RANK_SQL = f"""
+SELECT {', '.join(_LI_KEYS)},
+       rank() OVER (PARTITION BY l_suppkey ORDER BY l_orderkey DESC) AS rnk
+FROM lineitem
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(*_LI_KEYS, "l_extendedprice")
+    # (l_orderkey, l_linenumber) alone is NOT unique in the synthetic
+    # data — include the remaining projected columns so the order is
+    # total and row_number() is engine-independent.
+    ranked = with_group_rank(
+        li,
+        ["l_suppkey"],
+        [
+            F.col("l_extendedprice").desc(),
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_quantity",
+        ],
+        rank_col="rnk",
+        use_rank=False,
+    )
+    return ranked.filter(F.col("rnk") <= 3).withColumn(
+        "rnk", F.col("rnk").cast("long")
+    )
+
+
+_TOPK_SQL = f"""
+SELECT * FROM (
+  SELECT {', '.join(_LI_KEYS)}, l_extendedprice,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                                     l_partkey, l_quantity) AS rnk
+  FROM lineitem
+) WHERE rnk <= 3
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(*_LI_KEYS, "l_extendedprice")
+    return dedup_keep_best(
+        li,
+        ["l_partkey"],
+        [
+            F.col("l_extendedprice").desc(),
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_quantity",
+        ],
+    )
+
+
+_DEDUP_BEST_SQL = f"""
+SELECT {', '.join(_LI_KEYS)}, l_extendedprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                      l_suppkey, l_quantity) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(*_LI_KEYS)
+    out = cumcount(
+        li,
+        ["l_suppkey"],
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"],
+        out_col="seq",
+    )
+    return out.withColumn("seq", F.col("seq").cast("long"))
+
+
+_CUMCOUNT_SQL = f"""
+SELECT {', '.join(_LI_KEYS)},
+       row_number() OVER (PARTITION BY l_suppkey
+                          ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity) - 1 AS seq
+FROM lineitem
+"""
+
+
+def q_filter_small_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return filter_small_groups(li, ["l_partkey"], 4)
+
+
+_SMALL_GROUPS_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+QUALIFY count(*) OVER (PARTITION BY l_partkey) >= 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANY union / grouping sets (U2)
+# ---------------------------------------------------------------------------
+
+_ANY_AGG_SQL = """
+WITH anyu AS (
+  SELECT l_suppkey, l_returnflag, l_quantity FROM lineitem
+  UNION ALL
+  SELECT l_suppkey, 'ANY' AS l_returnflag, l_quantity FROM lineitem
+)
+SELECT l_suppkey, l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(1) AS n_rows
+FROM anyu GROUP BY l_suppkey, l_returnflag
+"""
+
+
+def q_any_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    u = union_with_coarse_group(li, {"l_returnflag": "ANY"})
+    return u.groupBy("l_suppkey", "l_returnflag").agg(
+        F.expr("SUM(CAST(l_quantity AS BIGINT))").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return rollup_grouping_sets(
+        li,
+        ["l_suppkey"],
+        "l_returnflag",
+        [
+            F.expr("SUM(CAST(l_quantity AS BIGINT))").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite over documents (exact, minhash, LSH, jaccard, simhash)
+# ---------------------------------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length(nt) - 4, 1) + 1), i -> substr(nt, i::INT, 5)))"
+)
+_H28 = "CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)"
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+NUM_HASHES = 16
+BANDS = 4
+
+
+def _minhash_sql_parts(num_hashes: int) -> tuple[str, str]:
+    """(shingle CTEs, mh expression list) for the oracle."""
+    coeffs = _hash_coeffs(num_hashes, 42)
+    ctes = f"""
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s_arr
+  FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+),
+hs AS (
+  SELECT id, list_transform(s_arr, s -> {_H28}) AS hl
+  FROM sh WHERE len(s_arr) > 0
+)"""
+    mh = ", ".join(
+        f"list_min(list_transform(hl, h -> (h * {a} + {b}) % {MINHASH_PRIME})) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return ctes, mh
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id", keep="min")
+
+
+_EXACT_DEDUP_SQL = f"""
+SELECT {_H60.format(x='nt')} AS content_hash,
+       MIN(doc_id) AS keep_id, COUNT(1) AS dup_count
+FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+GROUP BY 1
+"""
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select(
+        F.col("doc_id").alias("id"), char_shingles("text", k=5).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    return shingled.select("id", *minhash_signature(F.col("__sh"), 4, 42))
+
+
+def _minhash_sigs_sql() -> str:
+    ctes, mh = _minhash_sql_parts(4)
+    return f"WITH {ctes} SELECT id, {mh} FROM hs"
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket_size=None,
+    )
+
+
+def _lsh_candidates_sql() -> str:
+    ctes, mh = _minhash_sql_parts(NUM_HASHES)
+    rows_per_band = NUM_HASHES // BANDS
+    band_selects = []
+    for b in range(BANDS):
+        cols = ", ".join(
+            f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {ctes},
+sig AS (SELECT id, {mh} FROM hs),
+bands AS ({bands_sql})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b USING (band_idx, band_key)
+WHERE a.id < b.id
+"""
+
+
+def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket_size=None,
+    )
+    return jaccard_verify(cand, docs, "text", "doc_id", threshold=0.5)
+
+
+def _jaccard_sql() -> str:
+    cand = _lsh_candidates_sql()
+    return f"""
+WITH cand AS ({cand}),
+shj AS (
+  SELECT doc_id AS jid, {_SHINGLES} AS js
+  FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(a.js, b.js))::DOUBLE
+        / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS jaccard
+FROM cand JOIN shj a ON cand.id_a = a.jid JOIN shj b ON cand.id_b = b.jid
+WHERE len(list_intersect(a.js, b.js))::DOUBLE
+      / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs, "text", "doc_id")
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(nt, ' '), t -> length(t) > 0)) AS tok
+  FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+),
+h AS (SELECT id, {_H60.format(x='tok')} AS hh FROM toks),
+votes AS (SELECT id, {votes} FROM h GROUP BY id)
+SELECT id, {bits} AS simhash FROM votes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+N_PLANES = 6
+TOPK = 5
+_QUERY_PRED = "vec_id < 10"
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(
+        emb, emb.filter(F.expr(_QUERY_PRED)), id_col="vec_id", k=TOPK
+    )
+    return out.withColumn("rk", F.col("rk").cast("long")).withColumn(
+        "cosine", F.col("cosine") + F.lit(0.0)  # -0.0 → +0.0
+    )
+
+
+_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE {_QUERY_PRED}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+           AS cosine
+  FROM c, q WHERE neighbor_id != query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, neighbor_id, cosine + 0.0 AS cosine, rk FROM r WHERE rk <= {TOPK}
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(
+        emb,
+        emb.filter(F.expr(_QUERY_PRED)),
+        dim=EMB_DIM,
+        id_col="vec_id",
+        k=TOPK,
+        n_planes=N_PLANES,
+    )
+    return out.withColumn("rk", F.col("rk").cast("long")).withColumn(
+        "cosine", F.col("cosine") + F.lit(0.0)  # -0.0 → +0.0
+    )
+
+
+def _lsh_topk_sql() -> str:
+    planes = _hyperplanes(EMB_DIM, N_PLANES, 42)
+    def bucket(v: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            arr = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+            terms.append(
+                f"CASE WHEN list_dot_product({v}, {arr}) > 0 "
+                f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                  {bucket('embedding::DOUBLE[]')} AS bucket
+           FROM embeddings WHERE {_QUERY_PRED}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {bucket('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+           AS cosine
+  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, neighbor_id, cosine + 0.0 AS cosine, rk FROM r WHERE rk <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).drop("text")
+
+
+_QUALITY_SQL = f"""
+WITH d AS (SELECT doc_id, text, {_NORM} AS nt FROM documents)
+SELECT doc_id,
+  length(text) AS n_chars_q,
+  len(regexp_extract_all(text, '\\S+')) AS n_words,
+  round(length(regexp_replace(text, '\\s+', '', 'g'))
+        / (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                THEN len(regexp_extract_all(text, '\\S+'))::DOUBLE END), 4) AS avg_word_len,
+  round(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+        / (CASE WHEN length(text) > 0 THEN length(text)::DOUBLE END), 4) AS punct_ratio,
+  round(len(regexp_extract_all(text, '[0-9]'))
+        / (CASE WHEN length(text) > 0 THEN length(text)::DOUBLE END), 4) AS digit_ratio,
+  round(len(list_filter(string_split(nt, ' '),
+            w -> list_contains(['the','and','of','to','a','in','is','it','that','for',
+                                'on','with','as','was','at','by','an','be','this','are'], w)))
+        / (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                THEN len(regexp_extract_all(text, '\\S+'))::DOUBLE END), 4) AS stopword_ratio
+FROM d
+"""
+
+
+def q_identify_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return identify_language(docs).drop("text")
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"((length(pt) - length(replace(pt, '{m}', ''))) / {len(m)})::INT"
+            for m in markers
+        )
+        score_exprs.append(f"({terms}) AS score_{lang}")
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    arms = " ".join(
+        f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH d AS (SELECT doc_id, ' ' || {_NORM} || ' ' AS pt FROM documents),
+s AS (SELECT doc_id, {', '.join(score_exprs)} FROM d)
+SELECT doc_id, {', '.join('score_' + l for l in langs)},
+       CASE {arms} ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_counts(docs).drop("text")
+
+
+_TOKEN_SQL = r"""
+SELECT doc_id,
+  len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                  w -> length(w) > 0)) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+FROM documents
+"""
+
+
+def q_document_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return document_fingerprint(docs).drop("text")
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  {_H60.format(x="lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))")} AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: batch tumbling windows + JSON props flatten
+# ---------------------------------------------------------------------------
+
+
+# events.ts is parquet TIMESTAMP(NANOS), which Spark's schema
+# converter rejects; reading with an explicit ts:long schema gives raw
+# epoch nanoseconds — and keeps the driver's session config untouched.
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup (batch form of the streaming windowed
+    aggregate). The hour bucket is pure integer arithmetic on epoch
+    nanos — timezone-independent, so the oracle matches under any
+    session timezone."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "window_start",
+            F.expr("ts DIV 3600000000000 * 3600").cast("long"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT))").alias("value_cents"),
+        )
+    )
+
+
+_EVENT_WINDOWS_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type, COUNT(1) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("prop_k"),
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Upserts / incremental / dims / joins / scalars
+# ---------------------------------------------------------------------------
+
+_ORD_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        *_ORD_COLS, F.lit("old").alias("src")
+    )
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        *_ORD_COLS, F.lit("new").alias("src")
+    )
+    return merge_upsert(existing, updates, ["o_orderkey"])
+
+
+_MERGE_SQL = f"""
+WITH e AS (SELECT {', '.join(_ORD_COLS)}, 'old' AS src FROM orders WHERE o_orderkey % 3 != 0),
+u AS (SELECT {', '.join(_ORD_COLS)}, 'new' AS src FROM orders WHERE o_orderkey % 2 = 0)
+SELECT * FROM u
+UNION ALL
+SELECT e.* FROM e WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+"""
+
+
+def q_incremental_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    incoming = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    existing = o.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    return incremental_new_keys(incoming, existing, ["o_orderkey"])
+
+
+_INCREMENTAL_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+"""
+
+
+def q_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    joined = dim_join(cust, nat, ["c_nationkey"])
+    return distinct_dims(joined, {"nation": ["c_nationkey", "n_name"]})["nation"]
+
+
+_DISTINCT_DIMS_SQL = """
+SELECT DISTINCT c_nationkey, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_mismatch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), "s_nationkey"
+    )
+    return mismatch_join(cust, supp, ["k"], "c_nationkey", "s_nationkey")
+
+
+_MISMATCH_SQL = """
+SELECT c_custkey AS k, c_nationkey, s_nationkey
+FROM customer JOIN supplier ON c_custkey = s_suppkey
+WHERE c_nationkey != s_nationkey
+"""
+
+
+def q_feature_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass FILTER(WHERE) aggregation — the safe path after the
+    compound-fragment guard."""
+    li = _t(spark, sf_dir, "lineitem")
+    fs = FeatureStore([Feature("qty_f", "SUM(CAST(l_quantity AS BIGINT))")])
+    return li.groupBy("l_returnflag").agg(
+        *fs.columns(where="l_linestatus = 'F'")
+    )
+
+
+_FEATURE_FILTER_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pri = {
+        "1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3,
+        "4-NOT SPECIFIED": 4, "5-LOW": 5,
+    }
+    return o.select(
+        "o_orderkey",
+        surrogate_key("o_custkey", "o_orderstatus").alias("surr_key"),
+        age_at(
+            F.col("o_orderdate").cast("date"), F.lit("2026-06-15").cast("date")
+        ).cast("long").alias("age_years"),
+        map_lookup("o_orderpriority", pri, default=F.lit(0)).alias("pri_code"),
+    )
+
+
+_SCALAR_SQL = """
+SELECT o_orderkey,
+  CAST(o_custkey AS VARCHAR) || o_orderstatus AS surr_key,
+  CAST(2026 - year(o_orderdate)
+       - CASE WHEN (month(o_orderdate), day(o_orderdate)) > (6, 15) THEN 1 ELSE 0 END
+       AS BIGINT) AS age_years,
+  CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+       WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+       WHEN '5-LOW' THEN 5 ELSE 0 END AS pri_code
+FROM orders
+"""
+
+
+def q_null_zero_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return null_zero_profile(li, ["l_discount", "l_tax"])
+
+
+_NULL_ZERO_SQL = """
+SELECT
+  SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) / COUNT(1) * 100 AS pct_null_l_discount,
+  SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) / COUNT(1) * 100 AS pct_zero_l_discount,
+  SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) / COUNT(1) * 100 AS pct_null_l_tax,
+  SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) / COUNT(1) * 100 AS pct_zero_l_tax
+FROM lineitem
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas over binary media columns (stub
+    decode). Rows-only check — binary payloads have no SQL oracle."""
+    media = synthetic_media_table(spark, n=256)
+    return extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: Mapping[str, QueryFn] = {
+    "profile_build": q_profile_build,
+    "profile_build_multi_pass": q_profile_build_multi_pass,
+    "silver_e1": q_silver_e1,
+    "gold_ratings": q_gold_ratings,
+    "group_zscores": q_group_zscores,
+    "last_n_filter": q_last_n_filter,
+    "with_group_rank": q_with_group_rank,
+    "topk_per_group": q_topk_per_group,
+    "dedup_keep_best": q_dedup_keep_best,
+    "cumcount": q_cumcount,
+    "filter_small_groups": q_filter_small_groups,
+    "any_union_agg": q_any_union_agg,
+    "rollup_grouping_sets": q_rollup_grouping_sets,
+    "exact_dedup": q_exact_dedup,
+    "minhash_sigs": q_minhash_sigs,
+    "lsh_candidates": q_lsh_candidates,
+    "jaccard_verify": q_jaccard_verify,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "lsh_topk": q_lsh_topk,
+    "quality_features": q_quality_features,
+    "identify_language": q_identify_language,
+    "token_counts": q_token_counts,
+    "document_fingerprint": q_document_fingerprint,
+    "event_windows": q_event_windows,
+    "json_props": q_json_props,
+    "merge_upsert": q_merge_upsert,
+    "incremental_new_keys": q_incremental_new_keys,
+    "distinct_dims": q_distinct_dims,
+    "mismatch_join": q_mismatch_join,
+    "feature_filter": q_feature_filter,
+    "scalar_funcs": q_scalar_funcs,
+    "null_zero_profile": q_null_zero_profile,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+def oracle_sqls() -> dict[str, str]:
+    """DuckDB-equivalent SQL per query. ``multimodal_features`` is
+    deliberately absent (binary payloads → rows-only check)."""
+    return {
+        "profile_build": _profile_sql(),
+        "profile_build_multi_pass": _profile_sql(),
+        "silver_e1": _silver_e1_sql(),
+        "gold_ratings": _gold_sql(),
+        "group_zscores": _GROUP_ZSCORES_SQL,
+        "last_n_filter": _LAST_N_SQL,
+        "with_group_rank": _GROUP_RANK_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "dedup_keep_best": _DEDUP_BEST_SQL,
+        "cumcount": _CUMCOUNT_SQL,
+        "filter_small_groups": _SMALL_GROUPS_SQL,
+        "any_union_agg": _ANY_AGG_SQL,
+        "rollup_grouping_sets": _ANY_AGG_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "minhash_sigs": _minhash_sigs_sql(),
+        "lsh_candidates": _lsh_candidates_sql(),
+        "jaccard_verify": _jaccard_sql(),
+        "simhash": _simhash_sql(),
+        "cosine_topk": _COSINE_SQL,
+        "lsh_topk": _lsh_topk_sql(),
+        "quality_features": _QUALITY_SQL,
+        "identify_language": _langid_sql(),
+        "token_counts": _TOKEN_SQL,
+        "document_fingerprint": _FINGERPRINT_SQL,
+        "event_windows": _EVENT_WINDOWS_SQL,
+        "json_props": _JSON_PROPS_SQL,
+        "merge_upsert": _MERGE_SQL,
+        "incremental_new_keys": _INCREMENTAL_SQL,
+        "distinct_dims": _DISTINCT_DIMS_SQL,
+        "mismatch_join": _MISMATCH_SQL,
+        "feature_filter": _FEATURE_FILTER_SQL,
+        "scalar_funcs": _SCALAR_SQL,
+        "null_zero_profile": _NULL_ZERO_SQL,
+    }

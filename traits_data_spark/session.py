@@ -55,6 +55,13 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # In local mode the driver JVM is also every executor; the 1g
+        # default OOMs under many parallel scan threads. Only effective
+        # before the JVM starts — a no-op on getOrCreate reuse.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     for k, v in _BASE_CONFS.items():
         builder = builder.config(k, v)
     if shuffle_partitions is None:
