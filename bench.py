@@ -1,0 +1,100 @@
+"""Benchmark harness: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is materialized end-to-end through the noop sink (full
+execution, no driver-side collect bottleneck, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline set: the flagship pipelines plus every operator family
+# with real weight at scale (shuffle-heavy, window-heavy, sketching,
+# similarity). Names map to traits_data_spark.catalog entries.
+BENCH_QUERIES = [
+    "silver_e1",
+    "profile_build",
+    "profile_build_multi_pass",
+    "gold_ratings",
+    "group_zscores",
+    "last_n_filter",
+    "dedup_keep_best",
+    "rollup_grouping_sets",
+    "exact_dedup",
+    "lsh_candidates",
+    "jaccard_verify",
+    "simhash",
+    "cosine_topk",
+    "lsh_topk",
+    "quality_features",
+    "identify_language",
+    "token_counts",
+    "document_fingerprint",
+    "event_windows",
+    "merge_upsert",
+]
+
+
+def main() -> None:
+    from traits_data_spark import catalog
+    from traits_data_spark.session import get_spark
+
+    spark = get_spark("traits-data-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM / whole-stage-codegen warmup: run every benched plan once at
+    # the smallest scale factor so the timed pass measures steady-state
+    # execution, not first-use JIT compilation (worth ~8s on the first
+    # md5-heavy plan otherwise).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for name in BENCH_QUERIES:
+        try:
+            catalog.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = catalog.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_headline_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,8 @@ ST,goals,1.0,finishing,1.0,scoring,1.0,0
 def test_hand_computed_rollup(spark):
     wh = WeightsHierarchy.from_csv(CSV)
     df = spark.createDataFrame(
-        [("GK", 1.0, -0.5, 2.0)], ["positionGroup", "zs_saves", "zs_errors", "zs_claims"]
+        [("GK", 1.0, -0.5, 2.0, 0.0)],
+        ["positionGroup", "zs_saves", "zs_errors", "zs_claims", "zs_goals"],
     )
     row = wh.apply(df).collect()[0]
     shotstop = 2.5 + 1.0 * 0.7 + (-0.5) * 0.3  # inverse already applied upstream

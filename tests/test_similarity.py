@@ -1,0 +1,62 @@
+"""Similarity search: brute-force vs numpy ground truth; LSH bucket
+recall behavior."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from traits_data_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+    with_lsh_bucket,
+)
+
+
+def test_bruteforce_matches_numpy(spark, embeddings):
+    emb = embeddings.limit(50).cache()
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=3)
+    got = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["cosine"])
+        for r in out.collect()
+    }
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for q in [r["vec_id"] for r in queries.collect()]:
+        sims = []
+        for nid, v in vecs.items():
+            if nid == q:
+                continue
+            c = float(vecs[q] @ v / (np.linalg.norm(vecs[q]) * np.linalg.norm(v)))
+            sims.append((round(c, 6), -nid))
+        sims.sort(reverse=True)
+        for rk in (1, 2, 3):
+            c_exp, neg_id = sims[rk - 1]
+            nid_got, c_got = got[(q, rk)]
+            assert nid_got == -neg_id
+            assert c_got == pytest.approx(c_exp, abs=1e-6)
+
+
+def test_lsh_same_vector_same_bucket(spark):
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = with_lsh_bucket(
+        df.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "v",
+        dim=8,
+    )
+    b = {r["vec_id"]: r["bucket"] for r in out.collect()}
+    assert b[1] == b[2]
+    assert b[1] != b[3]  # opposite vector flips every sign bit
+
+
+def test_lsh_topk_is_subset_of_bruteforce_candidates(spark, embeddings):
+    emb = embeddings.limit(100)
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = lsh_bucketed_topk(emb, queries, dim=64, id_col="vec_id", k=5)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=100)
+    a = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in exact.collect()}
+    # every approx hit must be a genuine pair with the exact same score
+    assert a <= e

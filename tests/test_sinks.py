@@ -1,0 +1,50 @@
+"""S11/S12/S13 serving-sink generators (pure-SQL parts are unit
+tested; JDBC execution is deploy-time)."""
+
+from pyspark.sql import types as T
+
+from traits_data_spark.sinks.jdbc import (
+    ddl_from_schema,
+    distinct_dims,
+    upsert_from_staging_sql,
+)
+
+
+def test_ddl_from_schema():
+    schema = T.StructType(
+        [
+            T.StructField("profileId", T.StringType(), False),
+            T.StructField("rating", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    ddl = ddl_from_schema(schema, "gold.Output", primary_key="profileId")
+    assert "CREATE TABLE IF NOT EXISTS gold.Output" in ddl
+    assert "`profileId` VARCHAR(255) NOT NULL" in ddl
+    assert "`rating` DOUBLE" in ddl
+    assert "`n` BIGINT" in ddl
+    assert "PRIMARY KEY (`profileId`)" in ddl
+
+
+def test_upsert_sql_mysql_dialect():
+    sql = upsert_from_staging_sql("t", "t_staging", ["id", "a", "b"], ["id"])
+    assert sql.startswith("INSERT INTO t (`id`, `a`, `b`) SELECT")
+    assert "ON DUPLICATE KEY UPDATE `a` = VALUES(`a`), `b` = VALUES(`b`)" in sql
+    assert "`id` = VALUES" not in sql  # keys never updated
+
+
+def test_upsert_sql_merge_dialect():
+    sql = upsert_from_staging_sql("t", "s", ["id", "a"], ["id"], dialect="merge")
+    assert "MERGE INTO t t USING s s ON t.`id` = s.`id`" in sql
+    assert "WHEN MATCHED THEN UPDATE SET t.`a` = s.`a`" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+
+
+def test_distinct_dims(spark):
+    df = spark.createDataFrame(
+        [(1, "AU", "x"), (2, "AU", "y"), (3, "NZ", "y")],
+        ["k", "country", "seg"],
+    )
+    dims = distinct_dims(df, {"country": ["country"], "seg": ["seg"]})
+    assert sorted(r["country"] for r in dims["country"].collect()) == ["AU", "NZ"]
+    assert dims["seg"].count() == 2

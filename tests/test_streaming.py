@@ -1,0 +1,95 @@
+"""Structured Streaming bronze path: file stream → foreachBatch MERGE,
+watermarked windowed aggregates (run with availableNow over a temp
+landing dir — real streaming machinery, bounded runtime)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from traits_data_spark.sinks.upsert import merge_upsert
+from traits_data_spark.streaming.bronze import (
+    stream_json_landing,
+    upsert_each_batch,
+    windowed_event_counts,
+)
+
+SCHEMA = "k LONG, part STRING, v STRING"
+
+
+def test_stream_upsert_each_batch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    (landing / "a.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"k": 1, "part": "p1", "v": "a"},
+                {"k": 2, "part": "p1", "v": "b"},
+            ]
+        )
+    )
+    stream = stream_json_landing(spark, str(landing), SCHEMA)
+    q = upsert_each_batch(stream, target, keys=["k"], partition_by=["part"], checkpoint=ckpt)
+    q.awaitTermination(60)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second drop: update k=2, new k=3 — checkpoint skips the old file
+    (landing / "b.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"k": 2, "part": "p1", "v": "B"},
+                {"k": 3, "part": "p2", "v": "c"},
+            ]
+        )
+    )
+    stream2 = stream_json_landing(spark, str(landing), SCHEMA)
+    q2 = upsert_each_batch(stream2, target, keys=["k"], partition_by=["part"], checkpoint=ckpt)
+    q2.awaitTermination(60)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_windowed_event_counts_streaming_plan(spark, tmp_path):
+    """Drive the watermarked windowed aggregate through a real stream
+    (availableNow → memory sink) and check the rollup."""
+    landing = tmp_path / "events"
+    landing.mkdir()
+    rows = [
+        {"ts": "2024-01-01 10:05:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 10:55:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 11:05:00", "event_type": "view", "value": 3.0},
+    ]
+    (landing / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts STRING, event_type STRING, value DOUBLE")
+        .json(str(landing))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = windowed_event_counts(
+        stream,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        ],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    assert out[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 11:00:00", "view")] == (1, 3.0)

@@ -1,0 +1,75 @@
+"""Text analysis: hand-computed quality features, langid tie-breaks,
+token counts, fingerprint robustness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traits_data_spark.operators.text import (
+    document_fingerprint,
+    identify_language,
+    quality_features,
+    token_counts,
+)
+
+
+def test_quality_features_hand_computed(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42")], ["doc_id", "text"])
+    r = quality_features(df).collect()[0]
+    assert r["n_chars_q"] == 16
+    assert r["n_words"] == 3
+    assert r["punct_ratio"] == pytest.approx(round(2 / 16, 4))  # ',' '!'
+    assert r["digit_ratio"] == pytest.approx(round(2 / 16, 4))  # '4' '2'
+    # nonspace chars = 14, words = 3
+    assert r["avg_word_len"] == pytest.approx(round(14 / 3, 4))
+
+
+def test_quality_empty_text_null_ratios(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    r = quality_features(df).collect()[0]
+    assert r["n_chars_q"] == 0
+    assert r["avg_word_len"] is None
+    assert r["punct_ratio"] is None
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame([(1, "the cat and the dog")], ["doc_id", "text"])
+    r = quality_features(df).collect()[0]
+    assert r["stopword_ratio"] == pytest.approx(round(3 / 5, 4))
+
+
+def test_langid_basics_and_und(spark):
+    rows = [
+        (1, "the cat is on the mat and the dog"),
+        (2, "le chat est sur la table et les chiens"),
+        (3, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"] for r in identify_language(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_langid_tie_breaks_alphabetically(spark):
+    # 'es' and 'en' both score via ' es ' marker? construct a genuine tie:
+    # ' is ' (en) once and ' es ' (es) once
+    df = spark.createDataFrame([(1, "it is all es aqui")], ["doc_id", "text"])
+    r = identify_language(df).collect()[0]
+    assert r["score_en"] == r["score_es"] == 1
+    assert r["lang_pred"] == "en"  # alphabetically first wins
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "don't count 123 twice!")], ["doc_id", "text"])
+    r = token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # regex tokens: don / ' / t / count / 123 / twice / !
+    assert r["re_tokens"] == 7
+
+
+def test_fingerprint_ignores_whitespace_and_punct(spark):
+    rows = [(1, "Hello, World!"), (2, "hello world"), (3, "hello  world?!"), (4, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(df).collect()}
+    assert fp[1] == fp[2] == fp[3]
+    assert fp[4] != fp[1]

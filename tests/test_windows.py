@@ -13,10 +13,11 @@ from traits_data_spark.operators.windows import (
 
 
 def _games(spark):
-    # player p1: a tie on matchId 30 straddles the last-4 boundary
+    # player p1: matchId 30 is tied as the 4th-most-recent game, so the
+    # tie sits exactly on the last-4 boundary
     rows = [
-        ("p1", 10, 1.0), ("p1", 20, 2.0), ("p1", 30, 3.0), ("p1", 30, 4.0),
-        ("p1", 40, 5.0), ("p1", 50, 6.0),
+        ("p1", 20, 1.0), ("p1", 30, 2.0), ("p1", 30, 3.0), ("p1", 40, 4.0),
+        ("p1", 50, 5.0), ("p1", 60, 6.0),
         ("p2", 10, 1.0), ("p2", 20, 2.0),
     ]
     return spark.createDataFrame(rows, ["player", "match_id", "x"])
@@ -41,8 +42,8 @@ def test_rank_vs_row_number_values(spark):
     rs = sorted(
         r["r"] for r in ranked.filter(F.col("player") == "p1").collect()
     )
-    # ties share rank 3; rank 5 skipped
-    assert rs == [1, 2, 3, 3, 5, 6]
+    # ties share rank 4; rank 5 skipped
+    assert rs == [1, 2, 3, 4, 4, 6]
 
 
 def test_small_group_filter_is_exact(spark):
@@ -58,7 +59,7 @@ def test_dedup_keep_best_deterministic(spark):
         df, ["player"], [F.col("match_id").desc(), F.col("x").desc()]
     )
     best = {r["player"]: r["x"] for r in out.collect()}
-    assert best == {"p1": 4.0, "p2": 2.0}
+    assert best == {"p1": 6.0, "p2": 2.0}
 
 
 def test_cumcount_zero_based_dense(spark):

@@ -41,12 +41,10 @@ from traits_data_spark.operators.any_union import (
 from traits_data_spark.operators.dedup import (
     MINHASH_PRIME,
     _hash_coeffs,
-    char_shingles,
     exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,
-    minhash_signature,
-    normalized_text,
+    minhash_signatures_df,
     simhash64,
 )
 from traits_data_spark.operators.flatten import enforce_cast_contract
@@ -603,10 +601,7 @@ GROUP BY 1
 
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    shingled = docs.select(
-        F.col("doc_id").alias("id"), char_shingles("text", k=5).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    return shingled.select("id", *minhash_signature(F.col("__sh"), 4, 42))
+    return minhash_signatures_df(docs, "text", "doc_id", num_hashes=4, seed=42)
 
 
 def _minhash_sigs_sql() -> str:
