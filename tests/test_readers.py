@@ -45,3 +45,30 @@ def test_read_csv_explicit_schema(spark, tmp_path):
     p.write_text("a,b\n1,x\n")
     df = read_csv(spark, str(p), schema="a string, b string")
     assert df.schema["a"].dataType.simpleString() == "string"
+
+
+def test_from_pandas_bridge(spark):
+    import pandas as pd
+
+    from traits_data_spark.sources.readers import from_pandas
+
+    pdf = pd.DataFrame({"teamId": [1, 2], "name": ["A", "B"]})
+    df = from_pandas(spark, pdf, schema="teamId long, name string")
+    assert df.count() == 2
+    assert df.schema["teamId"].dataType.simpleString() == "bigint"
+
+
+def test_filter_valid_seasons(spark):
+    from traits_data_spark.sources.readers import filter_valid_seasons
+
+    rows = [
+        (2019, "2019-08-01"),
+        (2026, "2026-09-01"),  # starts in the future as of the pin
+        (1995, "1995-08-01"),  # before min_year
+    ]
+    df = spark.createDataFrame(rows, ["startYear", "startDate"])
+    out = filter_valid_seasons(
+        df, min_year=2000, max_year=2030,
+        start_date_col="startDate", as_of="2026-08-13",
+    )
+    assert [r["startYear"] for r in out.collect()] == [2019]

@@ -75,3 +75,16 @@ def test_weighted_sum(spark):
         weighted_sum([("x", 0.5), ("y", 0.25)], base=2.5).alias("w")
     ).collect()
     assert out[0]["w"] == pytest.approx(2.5 + 0.5 + 0.5)
+
+
+def test_suffixed_name(spark):
+    from traits_data_spark.functions.scalars import suffixed_name
+
+    df = spark.createDataFrame(
+        [("United", "AFL"), ("United", "VFL"), ("City", "SANFL")],
+        ["team", "comp"],
+    )
+    out = df.select(
+        suffixed_name("team", "comp", {"AFL": "(AFL)", "VFL": "(VFL)"}).alias("n")
+    ).collect()
+    assert [r["n"] for r in out] == ["United (AFL)", "United (VFL)", "City"]

@@ -54,6 +54,7 @@ from traits_data_spark.operators.multimodal import (
     synthetic_media_table,
 )
 from traits_data_spark.operators.ratings import WeightsHierarchy
+from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk_bruteforce,
@@ -186,17 +187,25 @@ def q_profile_build_multi_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_silver_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full E1: profiles → meta re-join (J4) → ANY/season totals (J5)
-    → blanket cast contract (F11). Reference:
-    ADAPTERS/SILVER-adapter-wyscout.py:430-503."""
+    """Full E1: profiles (entity keys carried through the GROUP BY —
+    no J4 re-join for determined columns) → ANY/season totals (J5) →
+    blanket cast contract (F11). Reference:
+    ADAPTERS/SILVER-adapter-wyscout.py:430-503.
+
+    Plan shape: ONE scan+window+aggregate subtree; the J5 self-join's
+    totals side is the same aggregate, so Spark reuses the exchange
+    instead of recomputing (vs 8 full scans in the join-back
+    formulation)."""
     li = _t(spark, sf_dir, "lineitem")
-    profiles = build_profiles(li, FEATURE_STORE, PROFILE_SPEC, strategy="explode")
-    facts = _prepare(li, PROFILE_SPEC)
-    meta = attach_meta(
-        profiles, facts, PROFILE_SPEC, meta_cols=["l_suppkey", "l_returnflag"]
+    profiles = build_profiles(
+        li,
+        FEATURE_STORE,
+        PROFILE_SPEC,
+        strategy="explode",
+        carry_cols=["l_suppkey", "l_returnflag"],
     )
     with_totals = attach_any_season_totals(
-        meta,
+        profiles,
         PROFILE_SPEC,
         {"qty_for_season": "sum_qty", "lines_for_season": "n_lines"},
     )
@@ -904,6 +913,85 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag/cumsum window): 30-min inactivity gap
+    splits per-user sessions. Timestamps in µs on both engines (DuckDB
+    truncates parquet nanos to µs; Spark divides explicitly) so the
+    gap comparisons are bit-identical."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return sessionize(
+        ev,
+        user_col="user_id",
+        ts_col="ts_us",
+        gap=1_800_000_000,
+        order_tiebreak=["event_id"],
+    )
+
+
+_EVENT_SESSIONS_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+l AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM e
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM l
+)
+SELECT event_id, user_id, ts_us,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+FROM f
+"""
+
+# A2: the stats-catalogue shape — conditional aggregates compiled from
+# metadata rows, deriving per-entity stats from an event stream
+# (STAGING/SILVER-adapter-statsbomb-notebook.ipynb:171 stats_catalogue.csv).
+EVENT_STATS_CATALOGUE: list[tuple[str, str, str]] = [
+    (
+        "n_clicks",
+        "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)",
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)",
+    ),
+    (
+        "n_purchases",
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)",
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)",
+    ),
+    (
+        "purchase_cents",
+        "SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)",
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)",
+    ),
+    (
+        "n_errors",
+        "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)",
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)",
+    ),
+    ("n_events", "COUNT(1)", "COUNT(1)"),
+    (
+        "error_rate_bp",
+        "SUM(CASE WHEN event_type = 'error' THEN 10000 ELSE 0 END) / COUNT(1)",
+        "SUM(CASE WHEN event_type = 'error' THEN 10000 ELSE 0 END) / COUNT(1)",
+    ),
+]
+
+
+def q_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    fs = FeatureStore([Feature(n, s) for n, s, _ in EVENT_STATS_CATALOGUE])
+    return fs.aggregate(ev, ["user_id"])
+
+
+_EVENT_STATS_SQL = (
+    "SELECT user_id, "
+    + ", ".join(f"{d} AS {n}" for n, _, d in EVENT_STATS_CATALOGUE)
+    + " FROM events GROUP BY user_id"
+)
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.select(
@@ -1086,6 +1174,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "token_counts": q_token_counts,
     "document_fingerprint": q_document_fingerprint,
     "event_windows": q_event_windows,
+    "event_sessions": q_event_sessions,
+    "event_stats": q_event_stats,
     "json_props": q_json_props,
     "merge_upsert": q_merge_upsert,
     "incremental_new_keys": q_incremental_new_keys,
@@ -1127,6 +1217,8 @@ def oracle_sqls() -> dict[str, str]:
         "token_counts": _TOKEN_SQL,
         "document_fingerprint": _FINGERPRINT_SQL,
         "event_windows": _EVENT_WINDOWS_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
+        "event_stats": _EVENT_STATS_SQL,
         "json_props": _JSON_PROPS_SQL,
         "merge_upsert": _MERGE_SQL,
         "incremental_new_keys": _INCREMENTAL_SQL,

@@ -74,6 +74,23 @@ def portable_hash64(col: Column | str, bits: int = 60) -> Column:
     return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("long")
 
 
+def suffixed_name(
+    name: Column | str,
+    key: Column | str,
+    suffix_map: Mapping[object, str],
+    sep: str = " ",
+) -> Column:
+    """D4: per-key name disambiguation suffix — the reference's
+    ``add_suffix_udf`` (champion notebook cell 10) as a pure
+    expression: append the mapped suffix when the key has one,
+    otherwise pass the name through unchanged."""
+    n = F.col(name) if isinstance(name, str) else name
+    suffix = map_lookup(key, suffix_map)
+    return F.when(
+        suffix.isNotNull(), F.concat(n, F.lit(sep), suffix)
+    ).otherwise(n)
+
+
 def weighted_sum(pairs: Sequence[tuple[Column | str, float]], base: float = 0.0) -> Column:
     """``base + Σ col_i * w_i`` as a single column expression — the
     gold rollup primitive (LOADERS/GOLD-data-loader.py:487-534) without

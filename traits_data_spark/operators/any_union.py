@@ -25,13 +25,31 @@ def union_with_coarse_group(
     df: DataFrame,
     overrides: Mapping[str, object],
 ) -> DataFrame:
-    """Union ``df`` with a copy whose ``overrides`` columns are set to
+    """Duplicate every row with the ``overrides`` columns set to
     literal coarse values, e.g. ``{"positionGroup": "ANY"}``.
+
+    Implemented as explode of a 2-element array rather than
+    ``df.unionByName(df.withColumn(...))`` — row-identical output, but
+    ONE scan of the input instead of two. On a 100 TB fact table the
+    union formulation literally reads the data twice; the explode is a
+    narrow per-row expansion the downstream aggregation's map-side
+    combine absorbs.
     """
-    coarse = df
-    for col, value in overrides.items():
-        coarse = coarse.withColumn(col, F.lit(value))
-    return df.unionByName(coarse)
+    fine = F.struct(
+        *[F.col(c).alias(c) for c in overrides]
+    )
+    coarse = F.struct(
+        *[
+            F.lit(v).cast(df.schema[c].dataType).alias(c)
+            for c, v in overrides.items()
+        ]
+    )
+    tmp = df.withColumn("__coarse", F.explode(F.array(fine, coarse)))
+    replaced = [
+        F.col(f"__coarse.{c}").alias(c) if c in overrides else F.col(c)
+        for c in df.columns
+    ]
+    return tmp.select(*replaced)
 
 
 def rollup_grouping_sets(

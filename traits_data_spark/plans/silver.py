@@ -91,9 +91,20 @@ def build_profiles(
     spec: ProfileSpec,
     extra_aggs: Sequence[Column] = (),
     strategy: str = "explode",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Fact rows → (profileId, aggregationPeriod, features...)."""
+    """Fact rows → (profileId, aggregationPeriod, features...).
+
+    ``carry_cols``: columns functionally determined by the profile key
+    (the entity ids and the coarse group) to carry through as extra
+    GROUP BY keys. This is free — it does not change the grouping
+    cardinality — and removes the J4 meta re-join for those columns,
+    which otherwise re-scans and re-windows the whole fact input a
+    second time. Use ``attach_meta`` only for genuinely varying meta
+    (e.g. names that differ across rows of one profile).
+    """
     prepared = _prepare(df, spec)
+    carry = list(carry_cols)
 
     if strategy == "multi_pass":
         ranked = _ranked(prepared, spec).persist()
@@ -101,7 +112,9 @@ def build_profiles(
         for period, n in spec.periods.items():
             subset = ranked if n is None else ranked.filter(F.col("__rnk") <= n)
             agg = features.aggregate(
-                subset.drop("__rnk"), [spec.profile_col], extra=list(extra_aggs)
+                subset.drop("__rnk"),
+                [spec.profile_col, *carry],
+                extra=list(extra_aggs),
             )
             parts.append(agg.withColumn(spec.period_col, F.lit(period)))
         out = parts[0]
@@ -126,7 +139,9 @@ def build_profiles(
         spec.period_col, F.explode(membership)
     ).drop("__rnk")
     return features.aggregate(
-        exploded, [spec.profile_col, spec.period_col], extra=list(extra_aggs)
+        exploded,
+        [spec.profile_col, spec.period_col, *carry],
+        extra=list(extra_aggs),
     )
 
 

@@ -60,6 +60,41 @@ def with_filename_column(
     )
 
 
+def from_pandas(
+    spark: SparkSession,
+    pdf,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """S6: pandas→Spark bridge with Arrow transfer (the reference
+    builds small dimension frames in pandas then converts —
+    ADAPTERS/SILVER-adapter-wyscout.py:359-372). Pass ``schema`` to
+    pin types instead of inferring from the first rows."""
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)
+
+
+def filter_valid_seasons(
+    seasons: DataFrame,
+    start_year_col: str = "startYear",
+    min_year: int = 2000,
+    max_year: int = 2100,
+    start_date_col: str | None = None,
+    as_of: str | None = None,
+) -> DataFrame:
+    """C1: season work-list enumeration — keep seasons whose start
+    year is in range and (optionally) that already started as of a
+    pinned date (ADAPTERS/wyscout-silver-batcher.py:70-77; the
+    reference's "today" is parameterized here for determinism)."""
+    out = seasons.filter(
+        (F.col(start_year_col) >= F.lit(min_year))
+        & (F.col(start_year_col) <= F.lit(max_year))
+    )
+    if start_date_col is not None and as_of is not None:
+        out = out.filter(F.col(start_date_col) <= F.lit(as_of))
+    return out
+
+
 def newest_file(
     paths: Sequence[str],
     date_pattern: str = r"(\d{8})",
