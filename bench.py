@@ -35,9 +35,13 @@ BENCH_QUERIES = [
     "exact_dedup",
     "lsh_candidates",
     "jaccard_verify",
+    "ngram_jaccard",
     "simhash",
     "cosine_topk",
     "lsh_topk",
+    "embedding_near_dups",
+    "event_sessions",
+    "event_stats",
     "quality_features",
     "identify_language",
     "token_counts",

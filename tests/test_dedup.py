@@ -82,3 +82,23 @@ def test_simhash_near_dups_have_small_hamming(spark):
     d = df.select(hamming_dist(F.col("a"), F.col("b")).alias("d")).collect()
     near, far = d[0]["d"], d[1]["d"]
     assert near < far
+
+
+def test_word_ngrams_and_token_jaccard(spark):
+    from traits_data_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        word_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    grams = df.select(word_ngrams("text", n=3).alias("g")).collect()[0]["g"]
+    assert grams == ["a b c", "b c d"]
+
+    docs = _docs(spark)
+    cand = minhash_lsh_candidates(docs, "text", "doc_id", 16, 8)
+    out = ngram_jaccard_pairs(cand, docs, "text", "doc_id", n=3, threshold=0.0)
+    j = {(r["id_a"], r["id_b"]): r["ngram_jaccard"] for r in out.collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.0 < j[(1, 3)] < 1.0

@@ -60,3 +60,18 @@ def test_lsh_topk_is_subset_of_bruteforce_candidates(spark, embeddings):
     e = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in exact.collect()}
     # every approx hit must be a genuine pair with the exact same score
     assert a <= e
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    from traits_data_spark.operators.similarity import embedding_near_dups
+
+    base = [1.0, 0.5] * 4
+    nearly = [1.0, 0.5] * 3 + [1.01, 0.5]
+    opposite = [-x for x in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, nearly), (3, opposite)], ["vec_id", "embedding"]
+    )
+    out = embedding_near_dups(df, dim=8, threshold=0.95, n_planes=4)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all(3 not in p for p in pairs)

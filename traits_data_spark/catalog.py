@@ -45,6 +45,7 @@ from traits_data_spark.operators.dedup import (
     jaccard_verify,
     minhash_lsh_candidates,
     minhash_signatures_df,
+    ngram_jaccard_pairs,
     simhash64,
 )
 from traits_data_spark.operators.flatten import enforce_cast_contract
@@ -58,6 +59,7 @@ from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk_bruteforce,
+    embedding_near_dups,
     lsh_bucketed_topk,
 )
 from traits_data_spark.operators.text import (
@@ -674,6 +676,43 @@ WHERE len(list_intersect(a.js, b.js))::DOUBLE
 """
 
 
+_WORD_NGRAMS = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(wl) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(wl, i::INT, i::INT + 2), ' ')))"
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard verify over the LSH candidate pairs — the
+    token-level dedup variant."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket_size=None,
+    )
+    return ngram_jaccard_pairs(cand, docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+def _ngram_jaccard_sql() -> str:
+    cand = _lsh_candidates_sql()
+    return f"""
+WITH cand AS ({cand}),
+w AS (
+  SELECT doc_id AS jid,
+         list_filter(string_split(nt, ' '), t -> length(t) > 0) AS wl
+  FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+),
+shj AS (SELECT jid, {_WORD_NGRAMS} AS js FROM w)
+SELECT id_a, id_b,
+  round(len(list_intersect(a.js, b.js))::DOUBLE
+        / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS ngram_jaccard
+FROM cand JOIN shj a ON cand.id_a = a.jid JOIN shj b ON cand.id_b = b.jid
+WHERE len(list_intersect(a.js, b.js))::DOUBLE
+      / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE >= 0.2
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash64(docs, "text", "doc_id")
@@ -734,6 +773,51 @@ s AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, cosine + 0.0 AS cosine, rk FROM r WHERE rk <= {TOPK}
+"""
+
+
+def _bucket_sql(v: str, n_planes: int, seed: int = 42) -> str:
+    planes = _hyperplanes(EMB_DIM, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({v}, {arr}) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+NEAR_DUP_THRESHOLD = 0.3
+NEAR_DUP_PLANES = 4
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets (the
+    synthetic embeddings are unclustered, so the demo threshold is low;
+    production near-dup dedup runs ≥0.95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb,
+        dim=EMB_DIM,
+        threshold=NEAR_DUP_THRESHOLD,
+        n_planes=NEAR_DUP_PLANES,
+    )
+
+
+def _near_dups_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                  {_bucket_sql('embedding::DOUBLE[]', NEAR_DUP_PLANES)} AS bucket
+           FROM embeddings),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           + 0.0 AS cosine
+  FROM e a JOIN e b USING (bucket) WHERE a.id < b.id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {NEAR_DUP_THRESHOLD}
 """
 
 
@@ -1169,6 +1253,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ngram_jaccard": q_ngram_jaccard,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
     "token_counts": q_token_counts,
@@ -1212,6 +1298,8 @@ def oracle_sqls() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "cosine_topk": _COSINE_SQL,
         "lsh_topk": _lsh_topk_sql(),
+        "embedding_near_dups": _near_dups_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),
         "token_counts": _TOKEN_SQL,

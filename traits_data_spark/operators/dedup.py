@@ -86,6 +86,46 @@ def char_shingles(col: Column | str, k: int = 5, distinct: bool = True) -> Colum
     return F.array_distinct(arr) if distinct else arr
 
 
+def word_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Array of word n-grams of the normalized text (space-joined) —
+    the token-level alternative to ``char_shingles`` for n-gram
+    Jaccard dedup. Pure expressions: split → slice → concat_ws."""
+    words = F.filter(
+        F.split(normalized_text(col), " "), lambda w: F.length(w) > 0
+    )
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    arr = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i, n), " ")
+    )
+    return F.array_distinct(arr) if distinct else arr
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word-n-gram Jaccard on candidate pairs (the token-level verify
+    companion to ``jaccard_verify``'s character shingles)."""
+    sh = widen_if_narrow(
+        df.select(F.col(id_col).alias("__jid"), F.col(text_col))
+    ).select("__jid", word_ngrams(text_col, n=n).alias("__jsh"))
+    a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
+    b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("ngram_jaccard", F.round(inter / union, 6))
+        .filter(F.col("ngram_jaccard") >= threshold)
+        .select("id_a", "id_b", "ngram_jaccard")
+    )
+
+
 def minhash_signature(
     shingles: Column,
     num_hashes: int = 32,

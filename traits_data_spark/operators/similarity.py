@@ -104,6 +104,53 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus,
+    score only same-bucket pairs, keep cosine ≥ threshold.
+
+    The 100 TB shape: one shuffle on the bucket key, quadratic work
+    only within buckets (2^n_planes of them). Fewer planes → higher
+    recall, bigger buckets; a high threshold tolerates few planes
+    because near-identical vectors almost never straddle a hyperplane.
+    Returns ``(id_a, id_b, cosine)`` with id_a < id_b.
+    """
+    b = with_lsh_bucket(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        "__v",
+        dim,
+        n_planes,
+        seed,
+    )
+    left = b.select(
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "bucket"
+    )
+    right = b.select(
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "bucket"
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_to) + F.lit(0.0),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cosine")
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
