@@ -39,7 +39,9 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_topk",
     "lsh_topk",
+    "lsh_topk_multiprobe",
     "embedding_near_dups",
+    "clean_corpus",
     "event_sessions",
     "event_stats",
     "quality_features",

@@ -75,3 +75,31 @@ def test_embedding_near_dups_finds_planted_pair(spark):
     pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert all(3 not in p for p in pairs)
+
+
+def test_multiprobe_recall_at_least_single_table(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_topk_multiprobe,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(embeddings, queries, id_col="vec_id", k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    single = lsh_bucketed_topk(
+        embeddings, queries, dim=64, id_col="vec_id", k=5, n_planes=6
+    )
+    multi = lsh_topk_multiprobe(
+        embeddings, queries, dim=64, id_col="vec_id", k=5, n_planes=6, n_tables=3
+    )
+    r_single = len(
+        {(r["query_id"], r["neighbor_id"]) for r in single.collect()} & truth
+    ) / len(truth)
+    r_multi = len(
+        {(r["query_id"], r["neighbor_id"]) for r in multi.collect()} & truth
+    ) / len(truth)
+    # more tables can only add candidates → recall is monotone
+    assert r_multi >= r_single
+    assert r_multi > 0.0

@@ -61,7 +61,9 @@ from traits_data_spark.operators.similarity import (
     cosine_topk_bruteforce,
     embedding_near_dups,
     lsh_bucketed_topk,
+    lsh_topk_multiprobe,
 )
+from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.operators.text import (
     document_fingerprint,
     identify_language,
@@ -667,12 +669,12 @@ shj AS (
   SELECT doc_id AS jid, {_SHINGLES} AS js
   FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
 )
-SELECT id_a, id_b,
-  round(len(list_intersect(a.js, b.js))::DOUBLE
-        / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS jaccard
-FROM cand JOIN shj a ON cand.id_a = a.jid JOIN shj b ON cand.id_b = b.jid
-WHERE len(list_intersect(a.js, b.js))::DOUBLE
-      / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE >= 0.5
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    round(len(list_intersect(a.js, b.js))::DOUBLE
+          / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS jaccard
+  FROM cand JOIN shj a ON cand.id_a = a.jid JOIN shj b ON cand.id_b = b.jid
+) WHERE jaccard >= 0.5
 """
 
 
@@ -704,12 +706,12 @@ w AS (
   FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
 ),
 shj AS (SELECT jid, {_WORD_NGRAMS} AS js FROM w)
-SELECT id_a, id_b,
-  round(len(list_intersect(a.js, b.js))::DOUBLE
-        / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS ngram_jaccard
-FROM cand JOIN shj a ON cand.id_a = a.jid JOIN shj b ON cand.id_b = b.jid
-WHERE len(list_intersect(a.js, b.js))::DOUBLE
-      / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE >= 0.2
+SELECT id_a, id_b, ngram_jaccard FROM (
+  SELECT id_a, id_b,
+    round(len(list_intersect(a.js, b.js))::DOUBLE
+          / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS ngram_jaccard
+  FROM cand JOIN shj a ON cand.id_a = a.jid JOIN shj b ON cand.id_b = b.jid
+) WHERE ngram_jaccard >= 0.2
 """
 
 
@@ -790,6 +792,51 @@ def _bucket_sql(v: str, n_planes: int, seed: int = 42) -> str:
 
 NEAR_DUP_THRESHOLD = 0.3
 NEAR_DUP_PLANES = 4
+MULTIPROBE_TABLES = 3
+
+
+def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH top-k — the recall-improving scale path (union
+    of candidates from independent hash tables, scored once)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_topk_multiprobe(
+        emb,
+        emb.filter(F.expr(_QUERY_PRED)),
+        dim=EMB_DIM,
+        k=TOPK,
+        n_planes=N_PLANES,
+        n_tables=MULTIPROBE_TABLES,
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _lsh_multiprobe_sql() -> str:
+    tables = " UNION ALL ".join(
+        f"""SELECT q.id AS query_id, c.id AS neighbor_id
+FROM (SELECT vec_id AS id, {_bucket_sql('embedding::DOUBLE[]', N_PLANES, 42 + t)} AS bucket
+      FROM embeddings) c
+JOIN (SELECT vec_id AS id, {_bucket_sql('embedding::DOUBLE[]', N_PLANES, 42 + t)} AS bucket
+      FROM embeddings WHERE {_QUERY_PRED}) q USING (bucket)"""
+        for t in range(MULTIPROBE_TABLES)
+    )
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM ({tables})
+  WHERE query_id != neighbor_id
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv.vec, cv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec))
+                  * sqrt(list_dot_product(cv.vec, cv.vec))), 6) + 0.0 AS cosine
+  FROM cand JOIN v cv ON cand.neighbor_id = cv.vec_id
+            JOIN v qv ON cand.query_id = qv.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= {TOPK}
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,6 +912,94 @@ s AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, cosine + 0.0 AS cosine, rk FROM r WHERE rk <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-cleaning flagship (quality → langid → exact dedup → near-dup)
+# ---------------------------------------------------------------------------
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return clean_corpus(
+        docs,
+        min_words=10,
+        max_punct_ratio=0.2,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        jaccard_threshold=0.8,
+    )
+
+
+def _clean_corpus_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"((length(pt) - length(replace(pt, '{m}', ''))) / {len(m)})::INT"
+            for m in markers
+        )
+        score_exprs.append(f"({terms}) AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    arms = " ".join(
+        f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    )
+    coeffs = _hash_coeffs(NUM_HASHES, 42)
+    mh = ", ".join(
+        f"list_min(list_transform(hl, h -> (h * {a} + {b}) % {MINHASH_PRIME})) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rows_per_band = NUM_HASHES // BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, {_NORM} AS nt FROM documents),
+q AS (
+  SELECT *, ' ' || nt || ' ' AS pt,
+    len(regexp_extract_all(text, '\\S+')) AS n_words,
+    round(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+          / (CASE WHEN length(text) > 0 THEN length(text)::DOUBLE END), 4) AS punct_ratio
+  FROM d
+),
+s AS (SELECT *, {', '.join(score_exprs)} FROM q),
+lang AS (SELECT *, CASE {arms} ELSE 'und' END AS lang_pred FROM s),
+filt AS (
+  SELECT doc_id, text, nt, lang_pred, n_words FROM lang
+  WHERE n_words >= 10 AND punct_ratio < 0.2 AND lang_pred != 'und'
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY {_H60.format(x='nt')}
+),
+ek AS (SELECT f.* FROM filt f JOIN keepers USING (doc_id)),
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s_arr, nt FROM ek
+),
+hs AS (SELECT id, list_transform(s_arr, s -> {_H28}) AS hl FROM sh WHERE len(s_arr) > 0),
+sig AS (SELECT id, {mh} FROM hs),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key) WHERE a.id < b.id
+),
+shj AS (SELECT id AS jid, s_arr AS js FROM sh),
+near AS (
+  SELECT id_b FROM (
+    SELECT id_a, id_b,
+      round(len(list_intersect(a.js, b.js))::DOUBLE
+            / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS jaccard
+    FROM cand JOIN shj a ON cand.id_a = a.jid JOIN shj b ON cand.id_b = b.jid
+  ) WHERE jaccard >= 0.8
+)
+SELECT doc_id, lang_pred, n_words FROM ek
+WHERE doc_id NOT IN (SELECT id_b FROM near)
 """
 
 
@@ -1255,6 +1390,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "ngram_jaccard": q_ngram_jaccard,
+    "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
+    "clean_corpus": q_clean_corpus,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
     "token_counts": q_token_counts,
@@ -1300,6 +1437,8 @@ def oracle_sqls() -> dict[str, str]:
         "lsh_topk": _lsh_topk_sql(),
         "embedding_near_dups": _near_dups_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "lsh_topk_multiprobe": _lsh_multiprobe_sql(),
+        "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),
         "token_counts": _TOKEN_SQL,

@@ -104,6 +104,64 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH top-k: union the candidate pairs of
+    ``n_tables`` independent hash tables (seeds ``seed..seed+T-1``),
+    dedup, then score once.
+
+    Recall ≈ 1 - (1 - p^n_planes)^n_tables for per-plane agreement
+    p — each extra table roughly multiplies the miss rate by
+    (1 - p^n_planes), at the cost of one more shuffle of the *id
+    pairs* (not the vectors: candidates are collected as ids only and
+    vectors are joined back exactly once for scoring).
+    """
+    c_ids = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q_ids = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    cands = None
+    for t in range(n_tables):
+        cb = with_lsh_bucket(c_ids, "__cv", dim, n_planes, seed + t).select(
+            "neighbor_id", "bucket"
+        )
+        qb = with_lsh_bucket(q_ids, "__qv", dim, n_planes, seed + t).select(
+            "query_id", "bucket"
+        )
+        pair = cb.join(qb, "bucket").select("query_id", "neighbor_id")
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    scored = (
+        cands.join(c_ids, "neighbor_id")
+        .join(F.broadcast(q_ids), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6) + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

@@ -1,0 +1,77 @@
+"""The training-data corpus-cleaning pipeline — the LLM-pipeline
+flagship, composing the text stack end-to-end:
+
+    quality filter → language filter → exact dedup (keep canonical)
+    → MinHash-LSH near-dup removal (Jaccard-verified)
+
+Every stage is the already-oracle-checked operator; the composition
+adds no new primitives, only the realistic ordering: cheap projection
+filters first (quality/langid are scan-speed), the linear exact dedup
+next, and the candidate-bounded near-dup pass last, over the smallest
+surviving set. Removal is greedy keep-smallest-id (a doc is dropped if
+it is the larger side of any verified near-dup pair) — the standard
+single-pass policy; full transitive clustering needs iteration and is
+deliberately out of scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from traits_data_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+)
+from traits_data_spark.operators.text import identify_language, quality_features
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_punct_ratio: float = 0.2,
+    drop_lang: str = "und",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Return the surviving documents with their quality/lang columns.
+
+    Output: one row per kept doc — ``(id_col, lang_pred, n_words)``.
+    """
+    scored = identify_language(
+        quality_features(docs.select(id_col, text_col), text_col=text_col),
+        text_col=text_col,
+    )
+    # Persist at the two reuse points: the filtered corpus feeds the
+    # exact-dedup grouping AND the semi-join back; the exact-kept set
+    # feeds shingling, both jaccard sides, and the final anti-join.
+    # Without the barriers Catalyst re-derives the whole text-scoring
+    # subtree at every consumer (14 scans of the input, and the fused
+    # quality+langid+minhash projection overflows whole-stage codegen).
+    filtered = scored.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("punct_ratio") < max_punct_ratio)
+        & (F.col("lang_pred") != drop_lang)
+    ).persist()
+
+    # exact dedup: keep each content group's smallest id
+    keepers = exact_dedup(filtered, text_col, id_col, keep="min").select(
+        F.col("keep_id").alias(id_col)
+    )
+    exact_kept = filtered.join(keepers, id_col, "left_semi").persist()
+
+    # near-dup removal over the exact-kept set: drop the larger id of
+    # every verified pair
+    cand = minhash_lsh_candidates(
+        exact_kept, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        max_bucket_size=None,
+    )
+    near = jaccard_verify(
+        cand, exact_kept, text_col, id_col, threshold=jaccard_threshold
+    ).select(F.col("id_b").alias(id_col))
+    kept = exact_kept.join(near, id_col, "left_anti")
+    return kept.select(id_col, "lang_pred", "n_words")
