@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): operators vs pure-Python
+reference implementations on randomized inputs — the SURVEY §5 plan's
+complement to the golden/oracle tests."""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ref_sessionize(events, gap):
+    """Pure-Python sessionization reference: events = [(id, user, ts)]."""
+    out = {}
+    by_user = {}
+    for eid, user, ts in sorted(events, key=lambda e: (e[1], e[2], e[0])):
+        by_user.setdefault(user, []).append((ts, eid))
+    for user, seq in by_user.items():
+        session = -1
+        last = None
+        for ts, eid in seq:
+            if last is None or ts - last > gap:
+                session += 1
+            out[eid] = session
+            last = ts
+    return out
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # user
+            st.integers(0, 5000),  # ts
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    gap=st.integers(1, 1000),
+)
+@_settings
+def test_sessionize_matches_python_reference(spark, events, gap):
+    from traits_data_spark.operators.sessions import sessionize
+
+    rows = [(i, u, t) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap=gap, order_tiebreak=["event_id"]).collect()
+    }
+    assert got == _ref_sessionize(rows, gap)
+
+
+@given(
+    existing=st.dictionaries(st.integers(0, 20), st.text(max_size=5), max_size=15),
+    updates=st.dictionaries(st.integers(0, 20), st.text(max_size=5), max_size=15),
+)
+@_settings
+def test_merge_upsert_is_dict_update(spark, existing, updates):
+    from traits_data_spark.sinks.upsert import merge_upsert
+
+    e = spark.createDataFrame(
+        list(existing.items()) or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    u = spark.createDataFrame(
+        list(updates.items()) or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    got = {r["k"]: r["v"] for r in merge_upsert(e, u, ["k"]).collect()}
+    assert got == {**existing, **updates}
+
+
+@given(texts=st.lists(st.text(max_size=30), min_size=1, max_size=10))
+@_settings
+def test_portable_hash_matches_python_md5(spark, texts):
+    from traits_data_spark.functions.scalars import portable_hash64
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", portable_hash64("t").alias("h")).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[i] == expected
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=20,
+    )
+)
+@_settings
+def test_zscore_matches_numpy(spark, values):
+    import numpy as np
+
+    from traits_data_spark.operators.zscore import group_zscores
+
+    df = spark.createDataFrame([("g", float(v)) for v in values], ["grp", "x"])
+    got = sorted(
+        r["zs_x"] for r in group_zscores(df, ["grp"], ["x"]).collect()
+    )
+    arr = np.array(values, dtype=np.float64)
+    sd = arr.std(ddof=1)
+    if sd == 0 or np.isnan(sd):
+        expected = [0.0] * len(values)
+    else:
+        expected = sorted((arr - arr.mean()) / sd)
+    assert np.allclose(got, expected, atol=1e-6)

@@ -1211,6 +1211,38 @@ _EVENT_STATS_SQL = (
 )
 
 
+def q_outer_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: the cards pattern — two per-entity count frames joined FULL
+    OUTER with zero-fill (yellow ⋈ red cards,
+    STAGING/SILVER-adapter-statsbomb-notebook.ipynb:187)."""
+    ev = _events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return errors.join(purchases, "user_id", "outer").na.fill(
+        0, ["n_errors", "n_purchases"]
+    )
+
+
+_OUTER_JOIN_SQL = """
+WITH e AS (SELECT user_id, COUNT(1) AS n_errors FROM events
+           WHERE event_type = 'error' GROUP BY user_id),
+p AS (SELECT user_id, COUNT(1) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(e.user_id, p.user_id) AS user_id,
+       COALESCE(n_errors, 0) AS n_errors,
+       COALESCE(n_purchases, 0) AS n_purchases
+FROM e FULL OUTER JOIN p ON e.user_id = p.user_id
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.select(
@@ -1399,6 +1431,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "event_windows": q_event_windows,
     "event_sessions": q_event_sessions,
     "event_stats": q_event_stats,
+    "outer_join_fill": q_outer_join_fill,
     "json_props": q_json_props,
     "merge_upsert": q_merge_upsert,
     "incremental_new_keys": q_incremental_new_keys,
@@ -1446,6 +1479,7 @@ def oracle_sqls() -> dict[str, str]:
         "event_windows": _EVENT_WINDOWS_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
+        "outer_join_fill": _OUTER_JOIN_SQL,
         "json_props": _JSON_PROPS_SQL,
         "merge_upsert": _MERGE_SQL,
         "incremental_new_keys": _INCREMENTAL_SQL,

@@ -116,18 +116,33 @@ def identify_language(
     markers: Mapping[str, Sequence[str]] = LANG_MARKERS,
 ) -> DataFrame:
     """Argmax over language marker scores; 'und' when all scores are 0.
-    Ties break alphabetically (deterministic, oracle-friendly)."""
+    Ties break alphabetically (deterministic, oracle-friendly).
+
+    The argmax is ONE ``greatest()`` over (score, priority, lang)
+    structs — struct comparison is lexicographic, and priority is the
+    reversed alphabetical rank, so equal scores resolve to the
+    alphabetically smallest language. A WHEN-ladder formulation
+    references every score column ~N² times; after projection
+    collapse that inlined the replace-chain score expressions enough
+    to overflow whole-stage codegen's 64 KB method limit (observed in
+    the clean_corpus composition).
+    """
     scores = language_scores(text_col, markers)
     out = df.withColumns({f"score_{k}": v for k, v in scores.items()})
-    best = F.greatest(*[F.col(f"score_{k}") for k in scores])
-    pred = F.lit("und")
-    expr = None
-    for lang in sorted(scores):
-        cond = (F.col(f"score_{lang}") == best) & (best > 0)
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    # when() chains evaluate in order, so alphabetical order + first-win
-    # gives deterministic tie-breaks; fall through to 'und'.
-    return out.withColumn(out_col, expr.otherwise(pred))
+    langs = sorted(scores)
+    structs = [
+        F.struct(
+            F.col(f"score_{k}").alias("s"),
+            F.lit(len(langs) - 1 - i).alias("p"),
+            F.lit(k).alias("l"),
+        )
+        for i, k in enumerate(langs)
+    ]
+    best = F.greatest(*structs)
+    pred = F.when(best.getField("s") > 0, best.getField("l")).otherwise(
+        F.lit("und")
+    )
+    return out.withColumn(out_col, pred)
 
 
 def token_counts(
