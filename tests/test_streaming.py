@@ -93,3 +93,35 @@ def test_windowed_event_counts_streaming_plan(spark, tmp_path):
     }
     assert out[("2024-01-01 10:00:00", "click")] == (2, 3.0)
     assert out[("2024-01-01 11:00:00", "view")] == (1, 3.0)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from traits_data_spark.streaming.bronze import stream_dedup
+
+    rows = [
+        {"k": 1, "ts": "2024-01-01 10:00:00", "v": "a"},
+        {"k": 1, "ts": "2024-01-01 10:00:05", "v": "a-dup"},
+        {"k": 2, "ts": "2024-01-01 10:01:00", "v": "b"},
+    ]
+    landing = tmp_path / "dd"
+    landing.mkdir()
+    (landing / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("k LONG, ts STRING, v STRING")
+        .json(str(landing))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        stream_dedup(stream, ["k"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM dd").collect()}
+    assert set(got) == {1, 2}
+    assert got[1] in ("a", "a-dup") and len(got) == 2

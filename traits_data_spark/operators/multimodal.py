@@ -97,6 +97,97 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_extract, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("sha256", StringType()),
+        StructField("rms_stub", LongType()),  # stubbed loudness proxy
+        StructField("target_rate", IntegerType()),
+    ]
+)
+
+
+def decode_audio_stub(payload: bytes | None) -> dict:
+    """Deterministic fake audio decode — swap for soundfile/librosa:
+
+        data, sr = soundfile.read(io.BytesIO(payload))
+
+    The fake 'rms' is the byte-value RMS; null payloads yield a
+    null-feature sentinel (never raise inside the executor).
+    """
+    if payload is None:
+        return {"byte_len": None, "sha256": None, "rms_stub": None}
+    rms = int((sum(b * b for b in payload) / len(payload)) ** 0.5) if payload else 0
+    return {
+        "byte_len": len(payload),
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "rms_stub": rms,
+    }
+
+
+def extract_audio_features(df: DataFrame, target_rate: int = 16_000) -> DataFrame:
+    """mapInPandas audio feature extraction (resample-to-target plan
+    shape; the decode/resample kernel is the stub above)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_audio_stub)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": feats.map(lambda d: d["byte_len"]),
+                    "sha256": feats.map(lambda d: d["sha256"]),
+                    "rms_stub": feats.map(lambda d: d["rms_stub"]),
+                    "target_rate": target_rate,
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images_stub(
+    df: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize plumbing: batch-shape and schema are real (binary in,
+    binary out, target dims attached); the pixel kernel is stubbed as
+    identity — swap for Pillow's ``Image.resize`` without touching the
+    plan."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],  # stub: identity bytes
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 30, frame_count_col: str = "n_frames"
 ) -> DataFrame:

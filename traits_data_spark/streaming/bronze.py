@@ -61,6 +61,23 @@ def upsert_each_batch(
     return writer.start()
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps state bounded (keys older
+    than the watermark are evicted), which is the streaming analog of
+    the batch anti-join ingest (J13): at-least-once upstream delivery
+    becomes effectively-once downstream.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
