@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "lsh_topk",
     "lsh_topk_multiprobe",
+    "ivf_topk",
     "embedding_near_dups",
     "clean_corpus",
     "event_sessions",

@@ -103,3 +103,36 @@ def test_multiprobe_recall_at_least_single_table(spark, embeddings):
     # more tables can only add candidates → recall is monotone
     assert r_multi >= r_single
     assert r_multi > 0.0
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, embeddings):
+    """Probing every centroid degenerates IVF to exact search."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import ivf_topk
+
+    emb = embeddings.limit(100).cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=5)
+    full = ivf_topk(
+        emb, queries, dim=64, k=5, n_centroids=8, n_probe=8
+    )
+    e = sorted(tuple(r) for r in exact.collect())
+    f = sorted(tuple(r) for r in full.collect())
+    assert e == f
+
+
+def test_ivf_partial_probe_subset_and_nonzero(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import ivf_topk
+
+    emb = embeddings.limit(200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=200)
+    truth = {
+        (r["query_id"], r["neighbor_id"], r["cosine"]) for r in exact.collect()
+    }
+    approx = ivf_topk(emb, queries, dim=64, k=5, n_centroids=8, n_probe=2)
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in approx.collect()}
+    assert got and got <= truth  # genuine pairs, exact same scores

@@ -60,6 +60,7 @@ from traits_data_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk_bruteforce,
     embedding_near_dups,
+    ivf_topk,
     lsh_bucketed_topk,
     lsh_topk_multiprobe,
 )
@@ -839,6 +840,23 @@ SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= {TOPK}
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means cells + n_probe nearest cells).
+    Rows-only check — k-means is not SQL-expressible; the recall
+    invariants (full probe ≡ brute force, partial probe ⊆ exact) are
+    pinned in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb,
+        emb.filter(F.expr(_QUERY_PRED)),
+        dim=EMB_DIM,
+        k=TOPK,
+        n_centroids=16,
+        n_probe=4,
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (the
     synthetic embeddings are unclustered, so the demo threshold is low;
@@ -1423,6 +1441,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "embedding_near_dups": q_embedding_near_dups,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
+    "ivf_topk": q_ivf_topk,
     "clean_corpus": q_clean_corpus,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
