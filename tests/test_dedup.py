@@ -102,3 +102,17 @@ def test_word_ngrams_and_token_jaccard(spark):
     j = {(r["id_a"], r["id_b"]): r["ngram_jaccard"] for r in out.collect()}
     assert j[(1, 2)] == 1.0
     assert 0.0 < j[(1, 3)] < 1.0
+
+
+def test_simhash_near_dups_banding(spark):
+    from traits_data_spark.operators.dedup import simhash_near_dups
+
+    out = simhash_near_dups(_docs(spark), "text", "doc_id", bands=4, max_hamming=6)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    # the exact-dup cluster (1,2,5) collides at distance 0
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
+    # on 9-token docs one changed word flips many simhash bits, so the
+    # near-dup (1,3) is beyond max_hamming=6 — and the unrelated doc 4
+    # must never appear
+    assert all(4 not in p for p in pairs)
+    assert all(h <= 6 for h in pairs.values())

@@ -47,6 +47,7 @@ from traits_data_spark.operators.dedup import (
     minhash_signatures_df,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_dups,
 )
 from traits_data_spark.operators.flatten import enforce_cast_contract
 from traits_data_spark.operators.joins import dim_join, mismatch_join
@@ -719,6 +720,36 @@ SELECT id_a, id_b, ngram_jaccard FROM (
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash64(docs, "text", "doc_id")
+
+
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(
+        docs, "text", "doc_id",
+        bands=SIMHASH_BANDS, max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+def _simhash_near_dups_sql() -> str:
+    bits = 60 // SIMHASH_BANDS
+    mask = (1 << bits) - 1
+    bands_sql = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * bits}) & {mask} AS band_key FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({_simhash_sql()}),
+bands AS ({bands_sql})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b USING (band_idx, band_key)
+WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 def _simhash_sql() -> str:
@@ -1436,6 +1467,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
     "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1485,6 +1517,7 @@ def oracle_sqls() -> dict[str, str]:
         "lsh_candidates": _lsh_candidates_sql(),
         "jaccard_verify": _jaccard_sql(),
         "simhash": _simhash_sql(),
+        "simhash_near_dups": _simhash_near_dups_sql(),
         "cosine_topk": _COSINE_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "embedding_near_dups": _near_dups_sql(),

@@ -334,3 +334,61 @@ def simhash64(
 
 def hamming_dist(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via hamming-LSH banding.
+
+    The 60-bit simhash splits into ``bands`` bit-slices; by the
+    pigeonhole principle two hashes within ``bands - 1`` hamming
+    distance share at least one identical slice, so slice-equality
+    buckets (one melt + one self-join, same shape as the MinHash path)
+    generate candidates and an exact ``bit_count(xor)`` filter keeps
+    pairs with distance ≤ ``max_hamming``. Recall is exact for
+    distance < bands and probabilistic above.
+    """
+    bits_per_band = 60 // bands
+    sig = simhash64(df, text_col, id_col)  # (id, simhash)
+    mask = (1 << bits_per_band) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), b * bits_per_band)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    melted = sig.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("__b")
+    ).select(
+        "id",
+        "simhash",
+        F.col("__b.band_idx").alias("band_idx"),
+        F.col("__b.band_key").alias("band_key"),
+    )
+    left = melted.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band_idx", "band_key",
+    )
+    right = melted.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band_idx", "band_key",
+    )
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming_dist(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
