@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "jaccard_verify",
     "ngram_jaccard",
     "simhash",
+    "simhash_near_dups",
     "cosine_topk",
     "lsh_topk",
     "lsh_topk_multiprobe",
