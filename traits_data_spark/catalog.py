@@ -31,7 +31,6 @@ from traits_data_spark.functions.feature_store import Feature, FeatureStore
 from traits_data_spark.functions.scalars import (
     age_at,
     map_lookup,
-    portable_hash64,
     surrogate_key,
 )
 from traits_data_spark.operators.any_union import (

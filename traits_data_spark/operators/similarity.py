@@ -18,10 +18,7 @@ expression.
 
 from __future__ import annotations
 
-import math
 import random
-from typing import Sequence
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
