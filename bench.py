@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "document_fingerprint",
     "event_windows",
     "merge_upsert",
+    "asof_join",
+    "range_join",
 ]
 
 

@@ -38,7 +38,12 @@ def canon(v):
 
 def frame_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # null-safe, type-stable sort key; equality still compares the
+    # canon tuples themselves
+    return sorted(
+        (tuple(canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, type(v).__name__, str(v)) for v in t),
+    )
 
 
 def main() -> int:

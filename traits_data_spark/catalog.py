@@ -49,7 +49,12 @@ from traits_data_spark.operators.dedup import (
     simhash_near_dups,
 )
 from traits_data_spark.operators.flatten import enforce_cast_contract
-from traits_data_spark.operators.joins import dim_join, mismatch_join
+from traits_data_spark.operators.joins import (
+    asof_join,
+    dim_join,
+    mismatch_join,
+    range_join_binned,
+)
 from traits_data_spark.operators.multimodal import (
     extract_image_features,
     synthetic_media_table,
@@ -1358,6 +1363,110 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the timestamp in epoch µs — the cross-engine unit
+    (DuckDB truncates the parquet nanos to µs; Spark divides)."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the most recent error
+    event at-or-before it for the same user (union + window fill — no
+    join node; see ``operators.joins.asof_join``). The error side is
+    pre-aggregated to unique (user, ts) with ``max_by`` so both
+    engines resolve duplicate timestamps identically."""
+    ev = _events_us(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts_us")
+        .agg(F.expr("max_by(value, event_id)").alias("state_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["state_value"],
+    )
+    # no-prior-error rows → sentinel instead of NULL (the driver's
+    # order-insensitive compare sorts rows; NULLs aren't orderable
+    # against values cross-engine)
+    return out.withColumns(
+        {
+            "asof_ts_us": F.coalesce("asof_ts_us", F.lit(-1).cast("long")),
+            "asof_state_value": F.coalesce("asof_state_value", F.lit(-1.0)),
+        }
+    )
+
+
+_ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+),
+r AS (
+  SELECT user_id, ts_us, arg_max(value, event_id) AS state_value
+  FROM ev WHERE event_type = 'error' GROUP BY 1, 2
+),
+l AS (
+  SELECT event_id, user_id, ts_us, value AS purchase_value
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts_us, l.purchase_value,
+       CAST(COALESCE(r.ts_us, -1) AS BIGINT) AS asof_ts_us,
+       COALESCE(r.state_value, -1.0) AS asof_state_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: purchases within one hour after an error by
+    the same user. The oracle is the plain BETWEEN join DuckDB plans
+    natively; the Spark side is the binned equi-join that avoids the
+    nested-loop plan (see ``operators.joins.range_join_binned``)."""
+    ev = _events_us(spark, sf_dir)
+    win = 3_600_000_000  # 1 h in µs
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts_us").alias("win_start"),
+        (F.col("ts_us") + win).alias("win_end"),
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts_us").alias("p_ts")
+    )
+    joined = range_join_binned(
+        points, intervals, "p_ts", "win_start", "win_end", bin_width=win,
+        on=["user_id"],
+    )
+    return joined.select(
+        "error_id",
+        "purchase_id",
+        "user_id",
+        (F.col("p_ts") - F.col("win_start")).alias("gap_us"),
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+e AS (SELECT event_id AS error_id, user_id, ts_us AS t0 FROM ev WHERE event_type = 'error'),
+p AS (SELECT event_id AS purchase_id, user_id, ts_us AS pt FROM ev WHERE event_type = 'purchase')
+SELECT e.error_id, p.purchase_id, e.user_id, CAST(p.pt - e.t0 AS BIGINT) AS gap_us
+FROM e JOIN p ON e.user_id = p.user_id AND p.pt BETWEEN e.t0 AND e.t0 + 3600000000
+"""
+
+
 def q_mismatch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), "c_nationkey"
@@ -1487,6 +1596,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "incremental_new_keys": q_incremental_new_keys,
     "distinct_dims": q_distinct_dims,
     "mismatch_join": q_mismatch_join,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "feature_filter": q_feature_filter,
     "scalar_funcs": q_scalar_funcs,
     "null_zero_profile": q_null_zero_profile,
@@ -1536,6 +1647,8 @@ def oracle_sqls() -> dict[str, str]:
         "incremental_new_keys": _INCREMENTAL_SQL,
         "distinct_dims": _DISTINCT_DIMS_SQL,
         "mismatch_join": _MISMATCH_SQL,
+        "asof_join": _ASOF_SQL,
+        "range_join": _RANGE_JOIN_SQL,
         "feature_filter": _FEATURE_FILTER_SQL,
         "scalar_funcs": _SCALAR_SQL,
         "null_zero_profile": _NULL_ZERO_SQL,
