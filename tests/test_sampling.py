@@ -1,0 +1,75 @@
+"""Deterministic hash split / sample: reproducibility is the entire
+point, so every test is about invariance — across calls, partitionings,
+and growing fractions."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from traits_data_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
+from traits_data_spark.quality import percentile_profile
+
+
+def test_hash_split_is_deterministic_and_partition_invariant(spark, documents):
+    docs = documents.select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    # every row gets a label; ~90% train (binomial tolerance on 500 docs)
+    assert None not in a.values()
+    train_frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.84 <= train_frac <= 0.96, train_frac
+
+
+def test_hash_split_rejects_bad_weights(spark, documents):
+    with pytest.raises(ValueError, match="sum to 10000"):
+        hash_split(documents, "doc_id", splits=(("a", 5000), ("b", 400)))
+
+
+def test_hash_split_salt_redeals(spark, documents):
+    docs = documents.select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", salt="v2").collect()
+    }
+    assert a != b  # a different salt moves at least some rows
+
+
+def test_deterministic_sample_nested_fractions(spark, documents):
+    docs = documents.select("doc_id")
+    small = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert small <= big  # kept sets nest as the fraction grows
+    n = docs.count()
+    assert abs(len(big) / n - 0.3) < 0.08
+
+
+def test_percentile_profile_matches_numpy(spark, lineitem):
+    out = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in percentile_profile(
+            lineitem, ["l_returnflag"], "l_extendedprice"
+        ).collect()
+    }
+    rows = lineitem.select("l_returnflag", "l_extendedprice").collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for flag, vals in by_flag.items():
+        assert out[flag][0] == pytest.approx(np.percentile(vals, 50), abs=1e-9)
+        assert out[flag][1] == pytest.approx(np.percentile(vals, 95), abs=1e-9)
+
+
+def test_percentile_profile_approx_form_runs(spark, lineitem):
+    out = percentile_profile(
+        lineitem, ["l_returnflag"], "l_extendedprice", approx=True
+    ).collect()
+    assert len(out) == 3 and all(r["p50"] is not None for r in out)

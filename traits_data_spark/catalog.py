@@ -93,7 +93,8 @@ from traits_data_spark.plans.silver import (
     attach_meta,
     build_profiles,
 )
-from traits_data_spark.quality import null_zero_profile
+from traits_data_spark.operators.sampling import hash_split
+from traits_data_spark.quality import null_zero_profile, percentile_profile
 from traits_data_spark.sinks.jdbc import distinct_dims
 from traits_data_spark.sinks.upsert import incremental_new_keys, merge_upsert
 
@@ -1467,6 +1468,44 @@ FROM e JOIN p ON e.user_id = p.user_id AND p.pt BETWEEN e.t0 AND e.t0 + 36000000
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split of the document corpus
+    by hashed doc_id (``operators.sampling.hash_split``) — pure
+    projection, reproducible on any engine/partitioning."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id")
+
+
+_HASH_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 10000 AS b
+  FROM documents
+)
+"""
+
+
+def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (A10 distribution sanity as data) —
+    linear interpolation is bit-identical to DuckDB quantile_cont."""
+    li = _t(spark, sf_dir, "lineitem")
+    return percentile_profile(
+        li, ["l_returnflag"], "l_extendedprice", ps=(0.5, 0.95)
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_mismatch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), "c_nationkey"
@@ -1598,6 +1637,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "mismatch_join": q_mismatch_join,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "hash_split": q_hash_split,
+    "percentile_profile": q_percentile_profile,
     "feature_filter": q_feature_filter,
     "scalar_funcs": q_scalar_funcs,
     "null_zero_profile": q_null_zero_profile,
@@ -1649,6 +1690,8 @@ def oracle_sqls() -> dict[str, str]:
         "mismatch_join": _MISMATCH_SQL,
         "asof_join": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "hash_split": _HASH_SPLIT_SQL,
+        "percentile_profile": _PERCENTILE_SQL,
         "feature_filter": _FEATURE_FILTER_SQL,
         "scalar_funcs": _SCALAR_SQL,
         "null_zero_profile": _NULL_ZERO_SQL,

@@ -1,0 +1,69 @@
+"""Deterministic sampling / dataset splitting for training-data
+pipelines.
+
+Random `df.sample()` is non-reproducible across runs, cluster layouts,
+and engines; a training pipeline needs the SAME document to land in
+the same split every run, on every engine, regardless of partitioning.
+Hashing a stable key gives that: the split is a pure projection (no
+shuffle, no state), survives incremental re-processing (new docs don't
+reshuffle old ones between splits), and is recomputable in any SQL
+engine via the portable md5 hash (``functions.scalars.portable_hash64``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from traits_data_spark.functions.scalars import portable_hash64
+
+N_BUCKETS = 10_000  # 0.01% split granularity
+
+
+def split_bucket(key: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from the md5 of ``salt || key``.
+    Changing ``salt`` re-deals every row independently — the knob for
+    drawing a fresh holdout without touching the data."""
+    c = F.col(key) if isinstance(key, str) else key
+    return portable_hash64(F.concat(F.lit(salt), c.cast("string"))) % N_BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 9000), ("val", 500), ("test", 500)),
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label by hash bucket.
+
+    ``splits`` maps label → bucket weight out of 10000 (so the default
+    is a 90/5/5 split); weights must sum to 10000 exactly — a silent
+    remainder bucket would leak rows into no split.
+    """
+    total = sum(w for _, w in splits)
+    if total != N_BUCKETS:
+        raise ValueError(f"split weights must sum to {N_BUCKETS}, got {total}")
+    b = split_bucket(key_col, salt)
+    expr: Column | None = None
+    hi = 0
+    for label, w in splits:
+        hi += w
+        cond = b < hi
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows by hash bucket — the
+    reproducible replacement for ``df.sample(fraction)``. Resolution is
+    1/10000; the kept set is a subset of any larger fraction's kept set
+    (same salt), so nested sample sizes are consistent."""
+    return df.filter(split_bucket(key_col, salt) < int(round(fraction * N_BUCKETS)))

@@ -83,3 +83,28 @@ def null_zero_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             (F.sum((F.col(c) == 0).cast("int")) / n * 100).alias(f"pct_zero_{c}")
         )
     return df.agg(*aggs)
+
+
+def percentile_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ps: Sequence[float] = (0.5, 0.95),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group percentiles of ``value_col`` — the distribution-sanity
+    profile as data (``assert_distribution`` is the hard-fail form).
+
+    Exact ``percentile`` buffers each group's values for a full sort —
+    fine for bounded group cardinality × group size; at 100 TB pass
+    ``approx=True`` for t-digest ``approx_percentile`` (mergeable,
+    bounded memory, no exact-sort barrier). Exact linear interpolation
+    is bit-identical to DuckDB's ``quantile_cont``, so only the exact
+    form is oracle-checked.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    aggs = [
+        F.expr(f"{fn}({value_col}, {p})").alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
