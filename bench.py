@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "merge_upsert",
     "asof_join",
     "range_join",
+    "kmv_distinct",
+    "rolling_agg",
+    "tfidf_top_terms",
 ]
 
 

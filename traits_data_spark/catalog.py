@@ -74,6 +74,7 @@ from traits_data_spark.operators.text import (
     document_fingerprint,
     identify_language,
     quality_features,
+    tfidf_top_terms,
     token_counts,
     LANG_MARKERS,
 )
@@ -82,6 +83,7 @@ from traits_data_spark.operators.windows import (
     dedup_keep_best,
     filter_small_groups,
     last_n_filter,
+    rolling_range_agg,
     with_group_rank,
 )
 from traits_data_spark.operators.zscore import group_zscores
@@ -93,7 +95,9 @@ from traits_data_spark.plans.silver import (
     attach_meta,
     build_profiles,
 )
-from traits_data_spark.operators.sampling import hash_split
+from traits_data_spark.operators.pivot import pivot_wide
+from traits_data_spark.operators.sampling import hash_split, stratified_sample
+from traits_data_spark.operators.sketches import kmv_distinct
 from traits_data_spark.quality import null_zero_profile, percentile_profile
 from traits_data_spark.sinks.jdbc import distinct_dims
 from traits_data_spark.sinks.upsert import incremental_new_keys, merge_upsert
@@ -1592,6 +1596,175 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketches / rolling windows / TF-IDF / stratified sampling / pivot
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch: engine-portable alternative to
+    HLL++ ``approx_count_distinct`` — the estimate is recomputable
+    bit-for-bit by any engine (``operators.sketches``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=_KMV_K)
+
+
+def _kmv_sql() -> str:
+    scale = repr(float(_KMV_K - 1) * float(2**60))
+    return f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag, {_H60.format(x='CAST(l_partkey AS VARCHAR)')} AS h
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM d
+),
+a AS (
+  SELECT l_returnflag, COUNT(*) AS n_distinct,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+  FROM r GROUP BY 1
+)
+SELECT l_returnflag, n_distinct,
+       CASE WHEN n_distinct < {_KMV_K} THEN n_distinct
+            ELSE CAST(FLOOR({scale} / kth) AS BIGINT) END AS distinct_est
+FROM a
+"""
+
+
+_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling spend per customer: RANGE frame over epoch day —
+    sliding aggregate inside one sorted shuffle, not a range
+    self-join (``operators.windows.rolling_range_agg``)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # o_orderdate is TIMESTAMP_NTZ; NTZ→TIMESTAMP is the identity
+        # under the UTC session timezone, and TIMESTAMP→BIGINT is epoch
+        # seconds — matching DuckDB's epoch().
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) DIV 86400"
+        ).alias("day"),
+        F.expr(_CENTS).alias("__cents"),
+    )
+    out = rolling_range_agg(
+        o,
+        ["o_custkey"],
+        "day",
+        6,
+        {
+            "cents_7d": F.sum("__cents"),
+            "n_orders_7d": F.count(F.lit(1)),
+        },
+    )
+    return out.drop("__cents")
+
+
+_ROLLING_SQL = f"""
+SELECT o_orderkey, o_custkey, day,
+  CAST(SUM({_CENTS}) OVER w AS BIGINT) AS cents_7d,
+  COUNT(1) OVER w AS n_orders_7d
+FROM (
+  SELECT *, CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+_TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (``operators.text``)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=_TFIDF_K)
+
+
+# word splitting mirrors word_array / _TOKEN_SQL exactly
+_WORDS_SQL = r"""
+  SELECT doc_id, lower(w) AS term
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+             x -> length(x) > 0)) AS w
+    FROM documents
+  )
+"""
+
+_TFIDF_SQL = f"""
+WITH words AS ({_WORDS_SQL}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_docs FROM words GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dfreq.df_docs,
+         ROUND(LN((nd.n + 1.0) / (dfreq.df_docs + 1.0)), 6) AS idf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+s2 AS (SELECT *, ROUND(tf * idf, 6) AS score FROM scored),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn FROM s2)
+SELECT term, doc_id, tf, df_docs, idf, score FROM r WHERE rn <= {_TFIDF_K}
+"""
+
+_STRATA_FRACTIONS = {"en": 0.2, "zh": 0.5}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rebalancing: downsample 'en' to 20% and
+    'zh' to 50% by deterministic key hash, keep the rest whole
+    (``operators.sampling.stratified_sample``)."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", _STRATA_FRACTIONS, "doc_id", default_fraction=1.0
+    )
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{v}' THEN {int(round(f * 10000))}"
+        for v, f in _STRATA_FRACTIONS.items()
+    )
+    return f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM (
+  SELECT *, {_H60.format(x='CAST(doc_id AS VARCHAR)')} % 10000 AS b
+  FROM documents
+)
+WHERE b < CASE lang {cases} ELSE 10000 END
+"""
+
+
+def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list — single shuffle,
+    no driver-side distinct pre-pass (``operators.pivot``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+    )
+    return pivot_wide(
+        li, ["l_returnflag"], "l_linestatus", ["O", "F"], cents,
+        prefix="cents_",
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+       FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS cents_O,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+       FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS cents_F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1643,6 +1816,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "scalar_funcs": q_scalar_funcs,
     "null_zero_profile": q_null_zero_profile,
     "multimodal_features": q_multimodal_features,
+    "kmv_distinct": q_kmv_distinct,
+    "rolling_agg": q_rolling_agg,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "stratified_sample": q_stratified_sample,
+    "pivot_stats": q_pivot_stats,
 }
 
 
@@ -1695,4 +1873,9 @@ def oracle_sqls() -> dict[str, str]:
         "feature_filter": _FEATURE_FILTER_SQL,
         "scalar_funcs": _SCALAR_SQL,
         "null_zero_profile": _NULL_ZERO_SQL,
+        "kmv_distinct": _kmv_sql(),
+        "rolling_agg": _ROLLING_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
+        "stratified_sample": _stratified_sql(),
+        "pivot_stats": _PIVOT_SQL,
     }

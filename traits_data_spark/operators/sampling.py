@@ -12,12 +12,12 @@ engine via the portable md5 hash (``functions.scalars.portable_hash64``).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from traits_data_spark.functions.scalars import portable_hash64
+from traits_data_spark.functions.scalars import map_lookup, portable_hash64
 
 N_BUCKETS = 10_000  # 0.01% split granularity
 
@@ -54,6 +54,35 @@ def hash_split(
         cond = b < hi
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: Mapping[object, float],
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    hash-bucket fraction (strata absent from ``fractions`` keep
+    ``default_fraction``). The downsample-the-majority-class move for
+    rebalancing training corpora (e.g. per-language caps).
+
+    Pure projection + filter — no shuffle, no ``sampleBy`` RNG: the
+    same row survives every run, on every engine, under any
+    partitioning, and enlarging one stratum's fraction only ever adds
+    rows (same salt), so corpus versions stay supersets.
+    """
+    thresholds = {
+        v: int(round(f * N_BUCKETS)) for v, f in fractions.items()
+    }
+    thr = map_lookup(
+        stratum_col,
+        thresholds,
+        default=F.lit(int(round(default_fraction * N_BUCKETS))),
+    )
+    return df.filter(split_bucket(key_col, salt) < thr)
 
 
 def deterministic_sample(

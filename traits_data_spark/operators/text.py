@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from traits_data_spark.functions.scalars import portable_hash64
@@ -156,6 +156,62 @@ def token_counts(
                 F.regexp_extract_all(F.col(text_col), F.lit(token_regex), F.lit(0))
             ).cast("long"),
         }
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    ``score = tf * round(ln((N+1)/(df+1)), round_to)``, rounded again
+    to ``round_to`` — each float step is a single IEEE operation with
+    a round after it, so a SQL oracle recomputes it exactly. Ties
+    break on term ascending (deterministic).
+
+    Scale shape: one explode→groupBy for term frequencies (shuffle on
+    (doc, term)), one groupBy for document frequencies (shuffle on
+    term — partial aggregation collapses each partition to its
+    vocabulary first), a broadcast of the 1-row corpus size, and one
+    window for the top-k. No driver-side vocabulary, no collect.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(word_array(text_col)).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = words.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_docs")
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    (F.col("__n_docs") + F.lit(1.0))
+                    / (F.col("df_docs") + F.lit(1.0))
+                ),
+                round_to,
+            ),
+        )
+        .withColumn("score", F.round(F.col("tf") * F.col("idf"), round_to))
+        .drop("__n_docs")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

@@ -9,7 +9,7 @@ split at runtime.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -95,6 +95,38 @@ def filter_small_groups(
         .filter(F.col("__grp_n") >= min_rows)
         .drop("__grp_n")
     )
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_col: Column | str,
+    preceding: int,
+    aggs: Mapping[str, Column],
+) -> DataFrame:
+    """Rolling aggregates over a value-range frame: for each row, every
+    agg in ``aggs`` is computed over the partition's rows whose
+    ``order_col`` lies in ``[row - preceding, row]`` — the "last 7
+    days per customer" feature family.
+
+    ``order_col`` must be numeric (epoch day / epoch seconds): a
+    RANGE frame over an integer key is engine-portable and immune to
+    the timezone traps of interval frames. Rows that tie on
+    ``order_col`` are frame peers, so results are deterministic even
+    when the ordering is not total.
+
+    One shuffle on the partition keys; the frame is evaluated with a
+    sliding aggregate inside the sorted partition (no self-join, no
+    row explosion — contrast a ``t BETWEEN t-7d AND t`` range
+    self-join which at 100 TB multiplies every row by its window).
+    """
+    c = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(c)
+        .rangeBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumns({name: expr.over(w) for name, expr in aggs.items()})
 
 
 def cumcount(
