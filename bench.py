@@ -81,6 +81,7 @@ def main() -> None:
             ).save()
         except Exception:
             pass
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -89,6 +90,11 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries that persist intermediates (LSH signature tables,
+        # corpus barriers) must not leak cache blocks into the next
+        # query's run — eviction thrash would charge query N's cost
+        # to query N+1.
+        spark.catalog.clearCache()
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

@@ -47,6 +47,7 @@ from traits_data_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_dups,
+    widen_if_narrow,
 )
 from traits_data_spark.operators.flatten import enforce_cast_contract
 from traits_data_spark.operators.joins import (
@@ -107,6 +108,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id, text) widened to all cores: the text operators
+    are regex/md5-CPU-bound and a small file scans as one partition."""
+    return widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -1067,7 +1074,7 @@ WHERE doc_id NOT IN (SELECT id_b FROM near)
 
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_wide(spark, sf_dir)
     return quality_features(docs).drop("text")
 
 
@@ -1093,7 +1100,7 @@ FROM d
 
 
 def q_identify_language(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_wide(spark, sf_dir)
     return identify_language(docs).drop("text")
 
 
@@ -1120,7 +1127,7 @@ FROM s
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_wide(spark, sf_dir)
     return token_counts(docs).drop("text")
 
 
@@ -1134,7 +1141,7 @@ FROM documents
 
 
 def q_document_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_wide(spark, sf_dir)
     return document_fingerprint(docs).drop("text")
 
 

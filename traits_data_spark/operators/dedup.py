@@ -108,10 +108,12 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Word-n-gram Jaccard on candidate pairs (the token-level verify
-    companion to ``jaccard_verify``'s character shingles)."""
-    sh = widen_if_narrow(
-        df.select(F.col(id_col).alias("__jid"), F.col(text_col))
-    ).select("__jid", word_ngrams(text_col, n=n).alias("__jsh"))
+    companion to ``jaccard_verify``'s character shingles; same
+    semi-join + shared-shingle-table shape)."""
+    candidates = candidates.persist()  # consumed 3× (two id sides + join)
+    sh = _candidate_shingles(
+        candidates, df, text_col, id_col, word_ngrams(text_col, n=n)
+    )
     a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
     b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
     joined = candidates.join(a, "id_a").join(b, "id_b")
@@ -280,12 +282,16 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (the cheap,
-    bounded verify step after LSH)."""
-    sh = widen_if_narrow(
-        df.select(F.col(id_col).alias("__jid"), F.col(text_col))
-    ).select(
-        "__jid",
-        char_shingles(text_col, k=shingle_k).alias("__jsh"),
+    bounded verify step after LSH).
+
+    Shingles are built once, only for documents that appear in a
+    candidate pair (semi-join first — at scale candidates are a tiny
+    fraction of the corpus), and persisted so the a/b join sides share
+    one computation instead of re-shingling per side.
+    """
+    candidates = candidates.persist()  # consumed 3× (two id sides + join)
+    sh = _candidate_shingles(
+        candidates, df, text_col, id_col, char_shingles(text_col, k=shingle_k)
     )
     a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
     b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
@@ -297,6 +303,25 @@ def jaccard_verify(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _candidate_shingles(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_expr: Column,
+) -> DataFrame:
+    """``(__jid, __jsh)`` shingle table for candidate-pair members only."""
+    ids = (
+        candidates.select(F.col("id_a").alias("__jid"))
+        .union(candidates.select(F.col("id_b").alias("__jid")))
+        .distinct()
+    )
+    narrow = widen_if_narrow(
+        df.select(F.col(id_col).alias("__jid"), F.col(text_col))
+    ).join(ids, "__jid", "left_semi")
+    return narrow.select("__jid", shingle_expr.alias("__jsh")).persist()
 
 
 def simhash64(

@@ -23,6 +23,7 @@ from traits_data_spark.operators.dedup import (
     exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,
+    widen_if_narrow,
 )
 from traits_data_spark.operators.text import identify_language, quality_features
 
@@ -43,9 +44,11 @@ def clean_corpus(
 
     Output: one row per kept doc — ``(id_col, lang_pred, n_words)``.
     """
+    # The scoring projection is regex-CPU-bound; a small input file
+    # scans as one partition and would serialize it onto one core.
+    base = widen_if_narrow(docs.select(id_col, text_col))
     scored = identify_language(
-        quality_features(docs.select(id_col, text_col), text_col=text_col),
-        text_col=text_col,
+        quality_features(base, text_col=text_col), text_col=text_col
     )
     # Persist at the two reuse points: the filtered corpus feeds the
     # exact-dedup grouping AND the semi-join back; the exact-kept set
