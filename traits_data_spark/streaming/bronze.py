@@ -78,6 +78,49 @@ def stream_dedup(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: match right-stream rows that
+    occur within ``[left_ts - max_lag, left_ts]`` for the same key —
+    the streaming form of the batch binned range join
+    (``operators.joins.range_join_binned``).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time gap, so each side's state store evicts rows once the
+    other side's watermark passes ``max_lag`` — without the time
+    bound, stream-stream join state grows forever. Outer joins emit
+    the unmatched row only when the watermark closes its window.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    lag_s = _duration_seconds(max_lag)
+    gap = lt.cast("long") - rt.cast("long")
+    cond = (gap >= 0) & (gap <= F.lit(lag_s))
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    return lw.alias("l").join(rw.alias("r"), cond, how)
+
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(s: str) -> int:
+    n, unit = s.strip().split()
+    return int(n) * _UNIT_SECONDS[unit.lower()]
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
