@@ -96,6 +96,7 @@ from traits_data_spark.plans.silver import (
     attach_meta,
     build_profiles,
 )
+from traits_data_spark.operators.layout import zvalue, zvalue_sql
 from traits_data_spark.operators.pivot import pivot_wide
 from traits_data_spark.operators.sampling import hash_split, stratified_sample
 from traits_data_spark.operators.sketches import kmv_distinct
@@ -1771,6 +1772,27 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+_Z_COLS = ["l_partkey % 65536", "l_suppkey % 65536"]
+
+
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for 2-D clustering (``operators.layout``) —
+    the column the z-ordered writer range-partitions and sorts on."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zvalue([F.expr(c) for c in _Z_COLS]).alias("zval"),
+    )
+
+
+def _zorder_sql() -> str:
+    return f"""
+SELECT l_orderkey, l_linenumber, {zvalue_sql([f'({c})' for c in _Z_COLS])} AS zval
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1828,6 +1850,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
     "pivot_stats": q_pivot_stats,
+    "zorder_values": q_zorder_values,
 }
 
 
@@ -1885,4 +1908,5 @@ def oracle_sqls() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "stratified_sample": _stratified_sql(),
         "pivot_stats": _PIVOT_SQL,
+        "zorder_values": _zorder_sql(),
     }

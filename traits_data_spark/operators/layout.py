@@ -1,0 +1,85 @@
+"""Data-layout clustering for scan pruning (z-order).
+
+Parquet readers skip row groups / files whose column min-max ranges
+exclude the predicate. That only works if the write CLUSTERED the
+data: a table range-sorted on one column prunes on that column only;
+interleaving the bits of several columns (Morton / z-order curve)
+gives every interleaved column locality, so multi-dimensional point
+and range predicates prune files. This is the same layout move as
+Delta's OPTIMIZE ZORDER BY, as plain open-Spark: compute the z-value
+expression, ``repartitionByRange`` + in-partition sort on it, write.
+
+The z-value is pure bit arithmetic — deterministic, engine-portable
+(``zvalue_sql`` emits the identical formula for a SQL oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 16
+
+
+def zvalue(cols: Sequence[Column | str], bits: int = DEFAULT_BITS) -> Column:
+    """Morton-interleave ``bits`` low bits of each column into one long.
+
+    Inputs must be non-negative ints < 2**bits — bucketize raw values
+    first (e.g. ``F.ntile`` ranks or fixed-width bins); z-order
+    locality is about relative ordering, not exact values. With k
+    columns the result uses k*bits bits, so k*bits must stay < 63.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    k = len(cs)
+    if k * bits >= 63:
+        raise ValueError(f"{k} cols x {bits} bits overflows a signed long")
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out + F.shiftleft(bit, b * k + i)
+    return out
+
+
+def zvalue_sql(cols: Sequence[str], bits: int = DEFAULT_BITS) -> str:
+    """The identical z-value formula as ANSI-ish SQL (DuckDB/Trino
+    operators) for oracles and cross-engine reconciliation."""
+    k = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * k + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " + ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: Sequence[str],
+    bits: int = DEFAULT_BITS,
+    num_files: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Write parquet clustered on the z-order curve of ``zorder_by``.
+
+    ``repartitionByRange`` on the z-value puts neighboring curve
+    positions in the same file; the in-partition sort tightens each
+    row group's min-max spans. One range-exchange (sampled
+    boundaries), fully parallel — no global sort bottleneck.
+    """
+    z = zvalue(zorder_by, bits=bits).alias("__z")
+    parted = (
+        df.withColumn("__z", z).repartitionByRange(num_files, "__z")
+        if num_files
+        else df.withColumn("__z", z).repartitionByRange("__z")
+    )
+    (
+        parted.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )

@@ -183,9 +183,10 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(word_array(text_col)).alias("term")
     ).withColumn("term", F.lower(F.col("term")))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = words.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df_docs")
-    )
+    # tf is unique per (doc, term), so document frequency is a row
+    # count over tf — no second explode over the corpus, and Catalyst
+    # reuses tf's shuffle for both consumers (ReusedExchange).
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = df.select(
         F.countDistinct(id_col).alias("__n_docs")
     )
