@@ -1,0 +1,55 @@
+"""Partial-aggregate state merging: merge(history, increment) must be
+bit-identical to aggregating everything at once, including groups
+that exist on only one side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traits_data_spark.operators.incremental import merge_aggregate_states
+
+# name -> merge fn; Columns are built lazily (needs an active session)
+AGG_HOW = {"sum_qty": "sum", "n": "sum", "min_price": "min", "max_price": "max"}
+
+
+def _agg(df):
+    cols = {
+        "sum_qty": F.expr("SUM(CAST(l_quantity AS BIGINT))"),
+        "n": F.expr("COUNT(1)"),
+        "min_price": F.min("l_extendedprice"),
+        "max_price": F.max("l_extendedprice"),
+    }
+    return df.groupBy("l_suppkey").agg(
+        *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def test_merge_equals_full_reaggregation(spark, lineitem):
+    hist = _agg(lineitem.filter(F.col("l_orderkey") % 4 != 0))
+    inc = _agg(lineitem.filter(F.col("l_orderkey") % 4 == 0))
+    merged = merge_aggregate_states(hist, inc, ["l_suppkey"], AGG_HOW)
+    full = _agg(lineitem)
+    got = {r["l_suppkey"]: r for r in merged.collect()}
+    want = {r["l_suppkey"]: r for r in full.collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for name in AGG_HOW:
+            assert g[name] == w[name], (k, name)
+
+
+def test_merge_one_sided_groups_pass_through(spark):
+    a = spark.createDataFrame([(1, 10, 1.0), (2, 20, 2.0)], "k INT, s LONG, m DOUBLE")
+    b = spark.createDataFrame([(2, 5, 0.5), (3, 7, 7.0)], "k INT, s LONG, m DOUBLE")
+    out = {
+        r["k"]: (r["s"], r["m"])
+        for r in merge_aggregate_states(
+            a, b, ["k"], {"s": "sum", "m": "min"}
+        ).collect()
+    }
+    assert out == {1: (10, 1.0), 2: (25, 0.5), 3: (7, 7.0)}
+
+
+def test_merge_rejects_unknown_fn(spark):
+    a = spark.createDataFrame([(1, 1)], "k INT, v INT")
+    with pytest.raises(ValueError, match="unknown merge"):
+        merge_aggregate_states(a, a, ["k"], {"v": "avg"})

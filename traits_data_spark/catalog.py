@@ -77,6 +77,7 @@ from traits_data_spark.operators.text import (
     quality_features,
     tfidf_top_terms,
     token_counts,
+    word_array,
     LANG_MARKERS,
 )
 from traits_data_spark.operators.windows import (
@@ -96,6 +97,7 @@ from traits_data_spark.plans.silver import (
     attach_meta,
     build_profiles,
 )
+from traits_data_spark.operators.incremental import merge_aggregate_states
 from traits_data_spark.operators.layout import zvalue, zvalue_sql
 from traits_data_spark.operators.pivot import pivot_wide
 from traits_data_spark.operators.sampling import hash_split, stratified_sample
@@ -1772,6 +1774,70 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+_STATE_AGGS = [
+    ("sum_qty", "SUM(CAST(l_quantity AS BIGINT))", "sum"),
+    ("n_lines", "COUNT(1)", "sum"),
+    ("min_price", "MIN(l_extendedprice)", "min"),
+    ("max_price", "MAX(l_extendedprice)", "max"),
+]
+
+
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: aggregate history and a new
+    increment separately, merge the partial states — bit-identical to
+    re-aggregating everything (``operators.incremental``). The oracle
+    IS the full re-aggregation, so the equality is what's checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.expr(frag).alias(name) for name, frag, _ in _STATE_AGGS]
+    history = li.filter(F.col("l_orderkey") % 4 != 0).groupBy("l_suppkey").agg(*aggs)
+    increment = li.filter(F.col("l_orderkey") % 4 == 0).groupBy("l_suppkey").agg(*aggs)
+    return merge_aggregate_states(
+        history,
+        increment,
+        ["l_suppkey"],
+        {name: how for name, _, how in _STATE_AGGS},
+    )
+
+
+def _incremental_merge_sql() -> str:
+    cols = ", ".join(
+        (
+            f"CAST({frag} AS BIGINT) AS {name}"
+            if how == "sum"
+            else f"{frag} AS {name}"
+        )
+        for name, frag, how in _STATE_AGGS
+    )
+    return f"SELECT l_suppkey, {cols} FROM lineitem GROUP BY l_suppkey"
+
+
+_TOP_TERMS_N = 20
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: exact vocabulary counts, top-N with a
+    deterministic tiebreak — two shuffles (term aggregate with map-side
+    combine, then a single-partition top-N of the already-tiny
+    vocabulary table)."""
+    docs = _docs_wide(spark, sf_dir)
+    words = docs.select(
+        F.explode(word_array("text")).alias("__w")
+    ).select(F.lower(F.col("__w")).alias("term"))
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(_TOP_TERMS_N)
+    )
+
+
+def _top_terms_sql() -> str:
+    return f"""
+WITH words AS ({_WORDS_SQL})
+SELECT term, COUNT(*) AS n FROM words GROUP BY term
+ORDER BY n DESC, term LIMIT {_TOP_TERMS_N}
+"""
+
+
 _Z_COLS = ["l_partkey % 65536", "l_suppkey % 65536"]
 
 
@@ -1851,6 +1917,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "pivot_stats": q_pivot_stats,
     "zorder_values": q_zorder_values,
+    "incremental_merge": q_incremental_merge,
+    "top_terms": q_top_terms,
 }
 
 
@@ -1909,4 +1977,6 @@ def oracle_sqls() -> dict[str, str]:
         "stratified_sample": _stratified_sql(),
         "pivot_stats": _PIVOT_SQL,
         "zorder_values": _zorder_sql(),
+        "incremental_merge": _incremental_merge_sql(),
+        "top_terms": _top_terms_sql(),
     }
