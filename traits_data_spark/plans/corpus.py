@@ -19,13 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from traits_data_spark.functions.scalars import portable_hash64
 from traits_data_spark.operators.dedup import (
-    exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,
+    normalized_text,
     widen_if_narrow,
 )
 from traits_data_spark.operators.text import identify_language, quality_features
+from traits_data_spark.operators.windows import dedup_keep_best
 
 
 def clean_corpus(
@@ -50,23 +52,31 @@ def clean_corpus(
     scored = identify_language(
         quality_features(base, text_col=text_col), text_col=text_col
     )
-    # Persist at the two reuse points: the filtered corpus feeds the
-    # exact-dedup grouping AND the semi-join back; the exact-kept set
-    # feeds shingling, both jaccard sides, and the final anti-join.
-    # Without the barriers Catalyst re-derives the whole text-scoring
-    # subtree at every consumer (14 scans of the input, and the fused
-    # quality+langid+minhash projection overflows whole-stage codegen).
     filtered = scored.filter(
         (F.col("n_words") >= min_words)
         & (F.col("punct_ratio") < max_punct_ratio)
         & (F.col("lang_pred") != drop_lang)
-    ).persist()
-
-    # exact dedup: keep each content group's smallest id
-    keepers = exact_dedup(filtered, text_col, id_col, keep="min").select(
-        F.col("keep_id").alias(id_col)
     )
-    exact_kept = filtered.join(keepers, id_col, "left_semi").persist()
+
+    # Exact dedup: keep each content group's smallest id. The window
+    # form is one shuffle on the content hash; the equivalent
+    # exact_dedup + semi-join shape costs a groupBy shuffle AND a join
+    # back. The persist is the plan's one barrier: the exact-kept set
+    # feeds shingling, both jaccard sides, and the final anti-join —
+    # without it Catalyst re-derives the whole regex-heavy scoring
+    # subtree at every consumer (and the fused quality+langid+minhash
+    # projection overflows whole-stage codegen).
+    exact_kept = (
+        dedup_keep_best(
+            filtered.withColumn(
+                "__ch", portable_hash64(normalized_text(text_col))
+            ),
+            ["__ch"],
+            [F.col(id_col)],
+        )
+        .drop("__ch")
+        .persist()
+    )
 
     # near-dup removal over the exact-kept set: drop the larger id of
     # every verified pair
