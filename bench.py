@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "rolling_agg",
     "tfidf_top_terms",
+    "stratified_sample",
+    "pivot_stats",
+    "zorder_values",
+    "incremental_merge",
+    "top_terms",
+    "chunk_docs",
+    "pack_sequences",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Sequence packing and document chunking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traits_data_spark.operators.packing import chunk_documents, pack_contiguous
+
+
+def test_chunks_cover_text_with_overlap(spark, documents):
+    chunk, overlap = 200, 50
+    out = chunk_documents(documents, chunk_chars=chunk, overlap=overlap)
+    texts = {r["doc_id"]: r["text"] for r in documents.collect()}
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        text = texts[did]
+        # reconstruction: dropping each chunk's overlap prefix after the
+        # first re-yields the document exactly
+        rebuilt = rows[0]["chunk_text"] + "".join(
+            r["chunk_text"][overlap:] for r in rows[1:]
+        )
+        assert rebuilt == text
+        for r in rows:
+            assert len(r["chunk_text"]) <= chunk
+            assert r["chunk_start"] == 1 + r["chunk_idx"] * (chunk - overlap)
+
+
+def test_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "tiny")], "doc_id LONG, text STRING")
+    rows = chunk_documents(df, chunk_chars=100, overlap=10).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "tiny"
+
+
+def test_chunk_rejects_bad_overlap(spark, documents):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(documents, chunk_chars=100, overlap=100)
+
+
+def test_pack_contiguous_budget_and_determinism(spark, documents):
+    budget = 3000
+    docs = documents.select("doc_id", "n_chars")
+    out = pack_contiguous(docs, "n_chars", ["doc_id"], budget=budget)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    # exclusive running sum reproduces pack ids
+    cum = 0
+    packs: dict[str, int] = {}
+    for r in rows:
+        assert r["pack_id"] == cum // budget
+        cum += r["n_chars"]
+        packs[r["pack_id"]] = packs.get(r["pack_id"], 0) + r["n_chars"]
+    # every pack except possibly the last holds >= budget - max_row
+    # (contiguous fill) and ends within one row's weight over budget
+    max_w = max(r["n_chars"] for r in rows)
+    for pid, total in packs.items():
+        if pid != rows[-1]["pack_id"]:
+            assert budget - max_w <= total <= budget + max_w
+
+    # partition invariance
+    out2 = pack_contiguous(
+        docs.repartition(7), "n_chars", ["doc_id"], budget=budget
+    )
+    assert {(r["doc_id"], r["pack_id"]) for r in out2.collect()} == {
+        (r["doc_id"], r["pack_id"]) for r in rows
+    }
+
+
+def test_pack_bucketed_ids_are_prefixed(spark, documents):
+    docs = documents.select("doc_id", "n_chars").withColumn(
+        "bucket", F.col("doc_id") % 4
+    )
+    out = pack_contiguous(
+        docs, "n_chars", ["doc_id"], budget=2000, partition_cols=["bucket"]
+    )
+    for r in out.collect():
+        assert r["pack_id"].startswith(f"{r['bucket']}-")

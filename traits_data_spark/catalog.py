@@ -99,6 +99,7 @@ from traits_data_spark.plans.silver import (
 )
 from traits_data_spark.operators.incremental import merge_aggregate_states
 from traits_data_spark.operators.layout import zvalue, zvalue_sql
+from traits_data_spark.operators.packing import chunk_documents, pack_contiguous
 from traits_data_spark.operators.pivot import pivot_wide
 from traits_data_spark.operators.sampling import hash_split, stratified_sample
 from traits_data_spark.operators.sketches import kmv_distinct
@@ -1838,6 +1839,72 @@ ORDER BY n DESC, term LIMIT {_TOP_TERMS_N}
 """
 
 
+_CHUNK, _OVERLAP = 400, 80
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunks (``operators.packing``) —
+    pure projection, no shuffle."""
+    docs = _docs_wide(spark, sf_dir)
+    out = chunk_documents(
+        docs, chunk_chars=_CHUNK, overlap=_OVERLAP
+    )
+    return out.withColumns(
+        {
+            "chunk_idx": F.col("chunk_idx").cast("long"),
+            "chunk_start": F.col("chunk_start").cast("long"),
+        }
+    )
+
+
+def _chunk_sql() -> str:
+    step = _CHUNK - _OVERLAP
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - {_OVERLAP}, 1) + 1, {step}))
+           AS chunk_start
+  FROM documents
+)
+SELECT doc_id,
+       CAST((chunk_start - 1) // {step} AS BIGINT) AS chunk_idx,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       substring(text, CAST(chunk_start AS INT), {_CHUNK}) AS chunk_text
+FROM s
+"""
+
+
+_PACK_BUDGET, _PACK_BUCKETS = 4000, 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous-fill training packs, formed per hash
+    bucket so no global sort exists (``operators.packing``)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucketed = docs.withColumn("bucket", F.col("doc_id") % _PACK_BUCKETS)
+    return pack_contiguous(
+        bucketed,
+        "n_chars",
+        ["doc_id"],
+        budget=_PACK_BUDGET,
+        partition_cols=["bucket"],
+    )
+
+
+def _pack_sql() -> str:
+    cum = (
+        "COALESCE(SUM(n_chars) OVER (PARTITION BY doc_id % {b} ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    ).format(b=_PACK_BUCKETS)
+    return f"""
+SELECT doc_id, n_chars, doc_id % {_PACK_BUCKETS} AS bucket,
+       CAST(doc_id % {_PACK_BUCKETS} AS VARCHAR) || '-' ||
+         CAST(CAST(FLOOR({cum} / {_PACK_BUDGET}) AS BIGINT) AS VARCHAR)
+         AS pack_id
+FROM documents
+"""
+
+
 _Z_COLS = ["l_partkey % 65536", "l_suppkey % 65536"]
 
 
@@ -1919,6 +1986,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "zorder_values": q_zorder_values,
     "incremental_merge": q_incremental_merge,
     "top_terms": q_top_terms,
+    "chunk_docs": q_chunk_docs,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -1979,4 +2048,6 @@ def oracle_sqls() -> dict[str, str]:
         "zorder_values": _zorder_sql(),
         "incremental_merge": _incremental_merge_sql(),
         "top_terms": _top_terms_sql(),
+        "chunk_docs": _chunk_sql(),
+        "pack_sequences": _pack_sql(),
     }
