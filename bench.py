@@ -90,18 +90,25 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
 
+    # Local-mode wall clocks vary ±20% run-to-run (GC, JIT, OS cache);
+    # min-of-N is the stable statistic for regression tracking.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = catalog.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # queries that persist intermediates (LSH signature tables,
-        # corpus barriers) must not leak cache blocks into the next
-        # query's run — eviction thrash would charge query N's cost
-        # to query N+1.
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # queries that persist intermediates (LSH signature tables,
+            # corpus barriers) must not leak cache blocks into the next
+            # run — eviction thrash would charge query N's cost to
+            # query N+1.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

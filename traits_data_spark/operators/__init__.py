@@ -1,9 +1,21 @@
 from traits_data_spark.operators.any_union import union_with_coarse_group
 from traits_data_spark.operators.flatten import flatten_struct_columns, flattened_columns
+from traits_data_spark.operators.incremental import merge_aggregate_states
+from traits_data_spark.operators.layout import write_zordered, zvalue
+from traits_data_spark.operators.packing import chunk_documents, pack_contiguous
+from traits_data_spark.operators.pivot import pivot_wide, unpivot_long
+from traits_data_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+from traits_data_spark.operators.sketches import kmv_distinct
 from traits_data_spark.operators.windows import (
     cumcount,
     dedup_keep_best,
+    filter_small_groups,
     last_n_filter,
+    rolling_range_agg,
     with_group_rank,
 )
 from traits_data_spark.operators.zscore import group_zscores
@@ -13,9 +25,22 @@ __all__ = [
     "union_with_coarse_group",
     "flatten_struct_columns",
     "flattened_columns",
+    "merge_aggregate_states",
+    "write_zordered",
+    "zvalue",
+    "chunk_documents",
+    "pack_contiguous",
+    "pivot_wide",
+    "unpivot_long",
+    "deterministic_sample",
+    "hash_split",
+    "stratified_sample",
+    "kmv_distinct",
     "cumcount",
     "dedup_keep_best",
+    "filter_small_groups",
     "last_n_filter",
+    "rolling_range_agg",
     "with_group_rank",
     "group_zscores",
     "WeightsHierarchy",

@@ -377,7 +377,9 @@ def simhash_near_dups(
     distance < bands and probabilistic above.
     """
     bits_per_band = 60 // bands
-    sig = simhash64(df, text_col, id_col)  # (id, simhash)
+    # both self-join sides melt from sig; persist so the 60-column
+    # vote aggregate runs once (same barrier as the MinHash path)
+    sig = simhash64(df, text_col, id_col).persist()  # (id, simhash)
     mask = (1 << bits_per_band) - 1
     band_structs = [
         F.struct(
