@@ -114,3 +114,41 @@ def test_zscore_matches_numpy(spark, values):
     else:
         expected = sorted((arr - arr.mean()) / sd)
     assert np.allclose(got, expected, atol=1e-6)
+
+
+@given(
+    weights=st.lists(st.integers(1, 500), min_size=1, max_size=30),
+    budget=st.integers(10, 1000),
+)
+@_settings
+def test_pack_contiguous_matches_python_reference(spark, weights, budget):
+    from traits_data_spark.operators.packing import pack_contiguous
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_contiguous(df, "w", ["doc_id"], budget=budget).collect()
+    }
+    cum = 0
+    for i, w in rows:
+        assert got[i] == cum // budget
+        cum += w
+
+
+@given(
+    values=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    k=st.integers(2, 8),
+)
+@_settings
+def test_kmv_exact_below_k_and_bounded_above(spark, values, k):
+    from traits_data_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([("g", v) for v in values], ["grp", "v"])
+    row = kmv_distinct(df, ["grp"], "v", k=k).collect()[0]
+    n = len(set(values))
+    assert row["n_distinct"] == n
+    if n < k:
+        assert row["distinct_est"] == n
+    else:
+        assert row["distinct_est"] >= 1

@@ -38,6 +38,16 @@ HEADLINE = [
     "event_stats",
     "merge_upsert",
     "distinct_dims",
+    "kmv_distinct",
+    "rolling_agg",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "pivot_stats",
+    "zorder_values",
+    "incremental_merge",
+    "top_terms",
+    "chunk_docs",
+    "pack_sequences",
 ]
 
 
