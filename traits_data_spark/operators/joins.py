@@ -33,6 +33,42 @@ def dim_join(
     return facts.join(d, list(on), how)
 
 
+ISIN_LITERAL_MAX = 1000
+
+
+def allowlist_filter(
+    df: DataFrame,
+    col: str,
+    allowed,
+    negate: bool = False,
+) -> DataFrame:
+    """P5 membership filter with an explicit scale path.
+
+    ``allowed`` may be a Python collection or a 1-column DataFrame.
+    Small collections compile to ``isin`` (a codegen'd IN-list that
+    pushes down to the parquet scan); big collections and DataFrames
+    become a broadcast left-semi (or left-anti, ``negate=True``) join —
+    a 100k-element ``isin`` would bloat the plan tree and never push
+    down anyway, and a driver-collected list defeats the point when
+    the allowlist already lives in a table.
+    """
+    if isinstance(allowed, DataFrame):
+        acols = allowed.columns
+        if len(acols) != 1:
+            raise ValueError(f"allowlist DataFrame needs 1 column, got {acols}")
+        keys = F.broadcast(allowed.withColumnRenamed(acols[0], col).distinct())
+        return df.join(keys, col, "left_anti" if negate else "left_semi")
+    values = list(allowed)
+    if len(values) <= ISIN_LITERAL_MAX:
+        cond = F.col(col).isin(values)
+        return df.filter(~cond if negate else cond)
+    spark = df.sparkSession
+    keys_df = spark.createDataFrame([(v,) for v in values], [col]).distinct()
+    return df.join(
+        F.broadcast(keys_df), col, "left_anti" if negate else "left_semi"
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
