@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "top_terms",
     "chunk_docs",
     "pack_sequences",
+    "training_prep",
 ]
 
 

@@ -77,3 +77,16 @@ def test_pack_bucketed_ids_are_prefixed(spark, documents):
     )
     for r in out.collect():
         assert r["pack_id"].startswith(f"{r['bucket']}-")
+
+
+def test_training_prep_no_split_leakage(spark, sf_dir):
+    from traits_data_spark.catalog import q_training_prep
+
+    out = q_training_prep(spark, sf_dir).collect()
+    assert out
+    by_doc: dict[int, set] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["split"])
+        assert r["pack_id"].startswith(r["split"] + "-")
+    # every chunk of a document lands in the same split
+    assert all(len(s) == 1 for s in by_doc.values())

@@ -1905,6 +1905,81 @@ FROM documents
 """
 
 
+_PREP_BUDGET = 2000
+
+
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM training-data prep flagship: corpus cleaning
+    (quality → langid → exact dedup → LSH near-dup) → overlapping
+    chunking → document-level train/val/test split (all chunks of a
+    doc share a split, so no near-duplicate leakage across splits) →
+    contiguous packing within each split."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = clean_corpus(docs).select("doc_id")
+    with_text = docs.join(survivors, "doc_id", "left_semi")
+    chunks = chunk_documents(
+        widen_if_narrow(with_text), chunk_chars=_CHUNK, overlap=_OVERLAP
+    )
+    labeled = hash_split(chunks, "doc_id").withColumn(
+        "chunk_chars", F.length("chunk_text").cast("long")
+    )
+    packed = pack_contiguous(
+        labeled,
+        "chunk_chars",
+        ["doc_id", "chunk_idx"],
+        budget=_PREP_BUDGET,
+        partition_cols=["split"],
+    )
+    return packed.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "split",
+        "pack_id",
+        "chunk_chars",
+    )
+
+
+def _training_prep_sql() -> str:
+    step = _CHUNK - _OVERLAP
+    cum = (
+        "COALESCE(SUM(chunk_chars) OVER (PARTITION BY split "
+        "ORDER BY doc_id, chunk_idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""
+WITH survivors AS (SELECT doc_id FROM ({_clean_corpus_sql()})),
+wt AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN survivors USING (doc_id)
+),
+ch AS (
+  SELECT doc_id,
+         CAST((chunk_start - 1) // {step} AS BIGINT) AS chunk_idx,
+         length(substring(text, CAST(chunk_start AS INT), {_CHUNK})) AS chunk_chars
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - {_OVERLAP}, 1) + 1, {step}))
+             AS chunk_start
+    FROM wt
+  )
+),
+sp AS (
+  SELECT *, CASE WHEN b < 9000 THEN 'train'
+                 WHEN b < 9500 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM (
+    SELECT *, {_H60.format(x='CAST(doc_id AS VARCHAR)')} % 10000 AS b FROM ch
+  )
+)
+SELECT doc_id, chunk_idx, split,
+       split || '-' ||
+         CAST(CAST(FLOOR({cum} / {_PREP_BUDGET}) AS BIGINT) AS VARCHAR)
+         AS pack_id,
+       CAST(chunk_chars AS BIGINT) AS chunk_chars
+FROM sp
+"""
+
+
 _Z_COLS = ["l_partkey % 65536", "l_suppkey % 65536"]
 
 
@@ -1988,6 +2063,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "top_terms": q_top_terms,
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
+    "training_prep": q_training_prep,
 }
 
 
@@ -2050,4 +2126,5 @@ def oracle_sqls() -> dict[str, str]:
         "top_terms": _top_terms_sql(),
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
+        "training_prep": _training_prep_sql(),
     }
