@@ -90,3 +90,15 @@ def test_training_prep_no_split_leakage(spark, sf_dir):
         assert r["pack_id"].startswith(r["split"] + "-")
     # every chunk of a document lands in the same split
     assert all(len(s) == 1 for s in by_doc.values())
+
+
+def test_chunk_null_text_yields_no_chunks(spark):
+    from traits_data_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "some text")], "doc_id LONG, text STRING"
+    )
+    rows = chunk_documents(df, chunk_chars=50, overlap=10).collect()
+    # null text drops the document (posexplode of a null sequence);
+    # filter/repair nulls upstream if they must be kept
+    assert {r["doc_id"] for r in rows} == {2}

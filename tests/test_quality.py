@@ -49,3 +49,30 @@ def test_null_zero_profile(spark):
     r = null_zero_profile(df, ["x"]).collect()[0]
     assert r["pct_null_x"] == 25.0
     assert r["pct_zero_x"] == 50.0
+
+
+def test_summarize_one_row_per_column(spark, lineitem, embeddings):
+    from traits_data_spark.quality import summarize
+
+    out = {r["column"]: r for r in summarize(lineitem).collect()}
+    assert set(out) == set(lineitem.columns)
+    n = lineitem.count()
+    for c, r in out.items():
+        assert r["n_rows"] == n
+        assert r["n_nulls"] == 0
+    qty = out["l_quantity"]
+    assert float(qty["min_str"]) >= 1.0
+    # approx distinct within 20% of exact for a plain column
+    exact = lineitem.select("l_suppkey").distinct().count()
+    assert abs(out["l_suppkey"]["approx_distinct"] - exact) <= max(2, exact * 0.2)
+    # array column (embeddings.embedding) profiles without error
+    emb = {r["column"]: r for r in summarize(embeddings).collect()}
+    assert emb["embedding"]["n_nulls"] == 0
+
+
+def test_summarize_is_single_job_plan(spark, lineitem):
+    from traits_data_spark.quality import summarize
+
+    plan = summarize(lineitem)._jdf.queryExecution().executedPlan().toString()
+    # one scan, no joins — every stat comes from a single aggregation
+    assert plan.count("FileScan parquet") == 1

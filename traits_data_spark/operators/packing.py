@@ -34,11 +34,13 @@ def chunk_documents(
     """One row per (doc, chunk): ``chunk_idx``, ``chunk_start`` (1-based)
     and ``chunk_text``. Consecutive chunks share ``overlap`` characters;
     the final chunk may be shorter. Documents shorter than
-    ``chunk_chars`` yield exactly one chunk.
+    ``chunk_chars`` yield exactly one chunk; null-text documents are
+    dropped (explicitly — repair nulls upstream if they must survive).
     """
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     step = chunk_chars - overlap
+    df = df.filter(F.col(text_col).isNotNull())
     t = F.col(text_col)
     starts = F.sequence(
         F.lit(1),

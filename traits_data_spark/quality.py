@@ -108,3 +108,54 @@ def percentile_profile(
         for p in ps
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def summarize(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
+    """One-pass table profile: a row per column with null count,
+    approximate distinct count (HLL++, ``approx_rsd`` relative error),
+    and min/max rendered as strings (type-heterogeneous columns can't
+    share a typed column).
+
+    The ANALYZE-TABLE move for pipeline debugging at scale: every
+    statistic is computed in a SINGLE aggregation over one scan — never
+    one job per column — and only ncols scalar rows reach the driver.
+    For engine-portable (oracle-checkable) cardinalities use
+    ``operators.sketches.kmv_distinct`` per column instead.
+    """
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in df.columns:
+        col = F.col(c)
+        # map columns are not orderable/hashable — profile nulls only
+        plain = not dtypes[c].startswith("map")
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"__n_{c}"),
+                F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"),
+                (
+                    F.approx_count_distinct(c, approx_rsd)
+                    if plain
+                    else F.lit(None).cast("long")
+                ).alias(f"__dist_{c}"),
+                (F.min(col).cast("string") if plain else F.lit(None)).alias(
+                    f"__min_{c}"
+                ),
+                (F.max(col).cast("string") if plain else F.lit(None)).alias(
+                    f"__max_{c}"
+                ),
+            ]
+        )
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(dtypes[c]).alias("dtype"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__dist_{c}").alias("approx_distinct"),
+            F.col(f"__min_{c}").alias("min_str"),
+            F.col(f"__max_{c}").alias("max_str"),
+        )
+        for c in df.columns
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
