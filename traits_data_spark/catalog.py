@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Callable, Mapping
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from traits_data_spark.functions.feature_store import Feature, FeatureStore
