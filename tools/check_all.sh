@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Full local verification: unit/property tests, the Spark-vs-DuckDB
+# oracle gate (the driver's CORRECTNESS replica), and the benchmark.
+#   tools/check_all.sh [sf_dir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+
+echo "== pytest =="
+python -m pytest tests/ -q
+
+echo "== oracle gate ($SF) =="
+python tools/oracle_check.py "$SF"
+
+echo "== bench (sf0.1) =="
+python bench.py
