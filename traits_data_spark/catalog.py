@@ -57,7 +57,9 @@ from traits_data_spark.operators.joins import (
     range_join_binned,
 )
 from traits_data_spark.operators.multimodal import (
+    extract_audio_features,
     extract_image_features,
+    frame_sample_plan,
     synthetic_media_table,
 )
 from traits_data_spark.operators.ratings import WeightsHierarchy
@@ -1606,6 +1608,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio branch of the multimodal plumbing (stub resample kernel,
+    real Arrow batch shape). Rows-only check."""
+    media = synthetic_media_table(spark, n=256)
+    return extract_audio_features(media.select("media_id", "payload"))
+
+
+_FRAME_EVERY_N = 30
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (``operators.multimodal``): expand
+    (media_id, n_frames) to one row per sampled index — pure
+    sequence+explode, so unlike the decode kernels it has a full SQL
+    oracle. Frame counts derive deterministically from supplier keys."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("media_id"),
+        (F.col("s_suppkey") % 300 + 1).alias("n_frames"),
+    )
+    out = frame_sample_plan(sup, every_n=_FRAME_EVERY_N)
+    return out.withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
+_FRAME_SQL = f"""
+SELECT s_suppkey AS media_id,
+       s_suppkey % 300 + 1 AS n_frames,
+       CAST(unnest(range(0, s_suppkey % 300 + 1, {_FRAME_EVERY_N})) AS BIGINT)
+         AS frame_idx
+FROM supplier
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sketches / rolling windows / TF-IDF / stratified sampling / pivot
 # ---------------------------------------------------------------------------
@@ -2064,6 +2098,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
     "training_prep": q_training_prep,
+    "audio_features": q_audio_features,
+    "frame_samples": q_frame_samples,
 }
 
 
@@ -2127,4 +2163,5 @@ def oracle_sqls() -> dict[str, str]:
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
         "training_prep": _training_prep_sql(),
+        "frame_samples": _FRAME_SQL,
     }
