@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "simhash",
     "simhash_near_dups",
+    "dup_clusters",
+    "decontaminate",
+    "repetition_features",
     "cosine_topk",
     "lsh_topk",
     "lsh_topk_multiprobe",

@@ -116,3 +116,59 @@ def test_simhash_near_dups_banding(spark):
     # must never appear
     assert all(4 not in p for p in pairs)
     assert all(h <= 6 for h in pairs.values())
+
+
+def test_connected_components_transitive_chain(spark):
+    """A path graph a-b-c-d needs multiple propagation rounds; all
+    nodes must converge to the min id even though (a,d) is no pair."""
+    from traits_data_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (50, 60)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50}
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    from traits_data_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(2, 3)], ["id_a", "id_b"])
+    rows = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert rows == {1: (1, True), 2: (2, True), 3: (2, False), 4: (4, True)}
+
+
+def test_ngram_decontaminate_overlap_counts(spark):
+    from traits_data_spark.operators.dedup import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 3-grams with bench 100
+            (2, "totally unrelated words here"),
+            (3, "quick brown fox runs away"),   # shares one 3-gram
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps"), (101, "nothing in common")],
+        ["bench_id", "text"],
+    )
+    out = {
+        r["id"]: (r["overlap_ngrams"], r["matched_bench_docs"])
+        for r in ngram_decontaminate(
+            corpus, bench, "text", "doc_id", "bench_id", n=3
+        ).collect()
+    }
+    # doc 1: "the quick brown" + "quick brown fox" both in bench 100
+    assert out[1] == (2, 1)
+    # doc 3: "quick brown fox" only
+    assert out[3] == (1, 1)
+    assert 2 not in out

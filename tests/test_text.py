@@ -73,3 +73,32 @@ def test_fingerprint_ignores_whitespace_and_punct(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(df).collect()}
     assert fp[1] == fp[2] == fp[3]
     assert fp[4] != fp[1]
+
+
+def test_repetition_features_hand_computed(spark):
+    from traits_data_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, None)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_features(docs, "doc_id", "text").collect()
+    }
+    r1 = rows[1]
+    # words: a,a,a,b -> total 4, distinct 2, top 3
+    assert r1["total_words"] == 4
+    assert r1["dup_word_frac"] == 0.5
+    assert r1["top_word_frac"] == 0.75
+    # 2-grams: "a a","a a","a b" -> total 3, distinct 2, top 2
+    assert r1["dup_2gram_frac"] == 0.3333
+    assert r1["top_2gram_frac"] == 0.6667
+    # 3-grams: "a a a","a a b" -> all distinct
+    assert r1["dup_3gram_frac"] == 0.0
+    assert r1["top_3gram_frac"] == 0.5
+    # fully distinct doc: every dup fraction 0
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    # NULL text yields no row (oracle-consistent)
+    assert 3 not in rows

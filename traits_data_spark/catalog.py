@@ -40,10 +40,12 @@ from traits_data_spark.operators.any_union import (
 from traits_data_spark.operators.dedup import (
     MINHASH_PRIME,
     _hash_coeffs,
+    dedup_clusters,
     exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,
     minhash_signatures_df,
+    ngram_decontaminate,
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_dups,
@@ -77,6 +79,7 @@ from traits_data_spark.operators.text import (
     document_fingerprint,
     identify_language,
     quality_features,
+    repetition_features,
     tfidf_top_terms,
     token_counts,
     word_array,
@@ -792,6 +795,141 @@ WITH toks AS (
 h AS (SELECT id, {_H60.format(x='tok')} AS hh FROM toks),
 votes AS (SELECT id, {votes} FROM h GROUP BY id)
 SELECT id, {bits} AS simhash FROM votes
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: simhash banding pairs →
+    connected components (min-label propagation) → per-doc cluster id
+    + canonical flag. The step pairwise candidates can't express:
+    A~B, B~C collapses {A,B,C} even when A~C was never a candidate."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(
+        docs, "text", "doc_id",
+        bands=SIMHASH_BANDS, max_hamming=SIMHASH_MAX_HAMMING,
+    )
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+def _dup_clusters_sql() -> str:
+    # min reachable id over the symmetric closure of the near-dup
+    # pairs == the component label connected_components converges to.
+    return f"""
+WITH RECURSIVE
+pairs AS ({_simhash_near_dups_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM cc JOIN edges e ON cc.id = e.dst
+),
+comp AS (SELECT id, MIN(label) AS component FROM cc GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
+DECON_N = 5
+DECON_BENCH_SOURCE = "src0"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct
+    word-5-gram with the held-out benchmark slice (source='src0')."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == DECON_BENCH_SOURCE)
+    corpus = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+    return ngram_decontaminate(
+        corpus, bench, "text", "doc_id", "doc_id", n=DECON_N
+    )
+
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB word-n-gram list over ``wl`` (mirrors word_ngrams:
+    greatest(len-n+1, 1) grams, inclusive list_slice bounds)."""
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len(wl) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice(wl, i::INT, i::INT + {n - 1}), ' ')))"
+    )
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split({_NORM}, ' '), t -> length(t) > 0) AS wl
+  FROM documents
+),
+cg AS (
+  SELECT doc_id AS id, unnest({_ngrams_sql(DECON_N)}) AS gram
+  FROM w WHERE source <> '{DECON_BENCH_SOURCE}'
+),
+bg AS (
+  SELECT DISTINCT doc_id AS bench_id, unnest({_ngrams_sql(DECON_N)}) AS gram
+  FROM w WHERE source = '{DECON_BENCH_SOURCE}'
+)
+SELECT id, COUNT(DISTINCT cg.gram) AS overlap_ngrams,
+       COUNT(DISTINCT bg.bench_id) AS matched_bench_docs
+FROM cg JOIN bg USING (gram)
+GROUP BY id
+HAVING COUNT(DISTINCT cg.gram) >= 1
+"""
+
+
+REP_NS = (1, 2, 3)
+
+
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality gate (duplicate / top n-gram
+    fractions for n=1,2,3)."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_features(docs, "doc_id", "text", ns=REP_NS)
+
+
+def _repetition_sql() -> str:
+    def gl(n: int) -> str:
+        # non-distinct grams: same as _ngrams_sql minus list_distinct
+        return (
+            "list_transform("
+            f"range(1, greatest(len(wl) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string(list_slice(wl, i::INT, i::INT + {n - 1}), ' '))"
+        )
+
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({gl(n)}) AS gram FROM w"
+        for n in REP_NS
+    )
+    name = {1: "word", 2: "2gram", 3: "3gram"}
+    aggs = []
+    for n in REP_NS:
+        aggs.append(
+            f"round((SUM(CASE WHEN n={n} THEN cnt END) - COUNT(CASE WHEN n={n} THEN 1 END))"
+            f"::DOUBLE / SUM(CASE WHEN n={n} THEN cnt END)::DOUBLE, 4) AS dup_{name[n]}_frac"
+        )
+        aggs.append(
+            f"round(MAX(CASE WHEN n={n} THEN cnt END)::DOUBLE"
+            f" / SUM(CASE WHEN n={n} THEN cnt END)::DOUBLE, 4) AS top_{name[n]}_frac"
+        )
+    agg_sql = ", ".join(aggs)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), t -> length(t) > 0) AS wl
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS ({union}),
+counts AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN n=1 THEN cnt END) AS BIGINT) AS total_words,
+       {agg_sql}
+FROM counts GROUP BY doc_id
 """
 
 
@@ -2059,6 +2197,9 @@ QUERIES: Mapping[str, QueryFn] = {
     "jaccard_verify": q_jaccard_verify,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
+    "dup_clusters": q_dup_clusters,
+    "decontaminate": q_decontaminate,
+    "repetition_features": q_repetition_features,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2126,6 +2267,9 @@ def oracle_sqls() -> dict[str, str]:
         "jaccard_verify": _jaccard_sql(),
         "simhash": _simhash_sql(),
         "simhash_near_dups": _simhash_near_dups_sql(),
+        "dup_clusters": _dup_clusters_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "repetition_features": _repetition_sql(),
         "cosine_topk": _COSINE_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "embedding_near_dups": _near_dups_sql(),

@@ -324,6 +324,156 @@ def _candidate_shingles(
     return narrow.select("__jid", shingle_expr.alias("__jsh")).persist()
 
 
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_overlap`` distinct word-``n``-grams with any benchmark
+    document, with the overlap size and the number of distinct
+    benchmark documents hit.
+
+    The standard training-data hygiene step (e.g. GPT-3's 13-gram
+    eval-set filtering): n-grams are hashed to 60-bit longs so the
+    join key is a fixed-width integer, and the benchmark side — a few
+    thousand eval documents against a 100 TB corpus — is broadcast by
+    default, making the contamination join map-side with NO shuffle of
+    the corpus gram table. Only matched grams (a vanishing fraction)
+    reach the final groupBy shuffle. Set
+    ``broadcast_benchmark=False`` when the benchmark side is itself
+    large (falls back to a sort-merge join on the gram hash).
+
+    Returns ``(id, overlap_ngrams, matched_bench_docs)`` — anti-join
+    the corpus against it to drop contaminated documents.
+    """
+    c_grams = (
+        widen_if_narrow(corpus.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(word_ngrams(text_col, n=n)).alias("__g"))
+        .select("id", _portable_hash_expr(F.col("__g")).alias("__gh"))
+    )
+    b_grams = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"), F.col(text_col)
+        )
+        .select("bench_id", F.explode(word_ngrams(text_col, n=n)).alias("__g"))
+        .select("bench_id", _portable_hash_expr(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        b_grams = F.broadcast(b_grams)
+    return (
+        c_grams.join(b_grams, "__gh")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("__gh").alias("overlap_ngrams"),
+            F.countDistinct("bench_id").alias("matched_bench_docs"),
+        )
+        .filter(F.col("overlap_ngrams") >= min_overlap)
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """``(id, component)`` connected components of an undirected pair
+    graph via iterative min-label propagation.
+
+    Each iteration is one join + one aggregation over the *edge
+    subgraph only* — at corpus scale the near-dup graph is a tiny
+    fraction of the corpus, so the loop never touches full-corpus
+    data. Labels converge to the minimum id reachable in the
+    component; iteration count is bounded by the graph diameter
+    (near-dup graphs are clique-ish, typically 2-3 rounds).
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    does not grow with the iteration count, and the convergence check
+    rides the same aggregation (a ``max(changed)`` flag, no second
+    pass over the labels).
+
+    This is the transitive closure step pairwise candidate generators
+    (``minhash_lsh_candidates``, ``simhash_near_dups``) cannot express:
+    A~B and B~C must collapse A,B,C into ONE cluster even when A~C was
+    never sampled as a candidate.
+
+    Oracle: a recursive CTE (min reachable id) — see the catalog's
+    ``dup_clusters`` SQL.
+    """
+    sym = pairs.select(
+        F.col(src).cast("long").alias("e_src"), F.col(dst).cast("long").alias("e_dst")
+    )
+    edges = sym.union(
+        sym.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
+    ).distinct()
+    # Iterating on a persisted edge table: it is consumed once per
+    # round, and recomputing the upstream candidate generation (LSH
+    # join + distinct) per iteration would dominate the loop cost.
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("e_src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # min over own label and every neighbour's label, one shuffle:
+        # union(own, neighbour-labels) -> groupBy(id).min
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "e_dst"), "e_dst"
+        ).select(F.col("e_src").alias("id"), "label")
+        new_labels = (
+            labels.select("id", "label", F.col("label").alias("old"))
+            .unionByName(nbr.withColumn("old", F.lit(None).cast("long")))
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min("old").alias("old"),
+            )
+        )
+        new_labels = new_labels.withColumn(
+            "changed", F.col("label") != F.col("old")
+        ).localCheckpoint()
+        any_changed = new_labels.agg(F.max("changed")).first()[0]
+        labels = new_labels.select("id", "label")
+        if not any_changed:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Per-document duplicate-cluster assignment: every row of ``df``
+    gets a ``component`` (cluster id = min doc id in its near-dup
+    cluster; docs in no pair are their own singleton component) and an
+    ``is_canonical`` flag (the kept representative — the min id).
+
+    One left join of the corpus against the (small) component table;
+    all iteration happens inside ``connected_components`` on the edge
+    subgraph only.
+    """
+    comp = connected_components(pairs, max_iterations=max_iterations)
+    out = df.select(F.col(id_col).cast("long").alias("id")).join(
+        comp, "id", "left"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", "id").alias("component"),
+        (F.coalesce("component", "id") == F.col("id")).alias("is_canonical"),
+    )
+
+
 def simhash64(
     df: DataFrame,
     text_col: str,

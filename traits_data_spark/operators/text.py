@@ -216,6 +216,83 @@ def tfidf_top_terms(
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: Sequence[int] = (1, 2, 3),
+    round_to: int = 4,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/FineWeb-style
+    quality gate): per document, for each n in ``ns``, the fraction of
+    duplicated word n-grams and the share of the single most frequent
+    n-gram.
+
+    Columns (n=1 is named ``word``): ``total_words``,
+    ``dup_{word,2gram,3gram}_frac`` = (total - distinct) / total,
+    ``top_{word,2gram,3gram}_frac`` = max single-gram count / total.
+
+    Scale shape: ONE explode carrying (n, gram) structs for all ns
+    (narrow), a two-level aggregation — groupBy(doc, n, gram) then a
+    conditional-aggregate groupBy(doc) — so partial aggregation
+    collapses each partition's gram counts before the single shuffle
+    on (doc, n, gram). No per-document quadratic array scans: a pure
+    array-expression formulation (count each distinct gram with
+    ``filter``) is O(words²) per document and dies on long documents.
+
+    Documents whose text is NULL are filtered out explicitly (engines
+    disagree on NULL propagation through lambda chains); empty text
+    yields one empty-string gram per n — both match the SQL oracle's
+    semantics exactly.
+    """
+    from traits_data_spark.operators.dedup import widen_if_narrow, word_ngrams
+
+    df = df.filter(F.col(text_col).isNotNull())
+
+    # NB: the lambda must be unary — PySpark treats a 2-arg lambda as
+    # an (element, index) function, which would bind n to the index.
+    def _tagged(n: int) -> Column:
+        return F.transform(
+            word_ngrams(text_col, n=n, distinct=False),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    gram_arrays = [_tagged(n) for n in ns]
+    ex = (
+        widen_if_narrow(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(F.concat(*gram_arrays)).alias("g"))
+        .select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = ex.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def _name(n: int) -> str:
+        return "word" if n == 1 else f"{n}gram"
+
+    aggs = []
+    for n in ns:
+        is_n = F.col("n") == n
+        aggs += [
+            F.sum(F.when(is_n, F.col("cnt"))).alias(f"__total_{n}"),
+            F.count(F.when(is_n, F.lit(1))).alias(f"__distinct_{n}"),
+            F.max(F.when(is_n, F.col("cnt"))).alias(f"__top_{n}"),
+        ]
+    per_doc = counts.groupBy("id").agg(*aggs)
+    out_cols: dict[str, Column] = {}
+    for n in ns:
+        total = F.col(f"__total_{n}")
+        out_cols[f"dup_{_name(n)}_frac"] = F.round(
+            (total - F.col(f"__distinct_{n}")) / total.cast("double"), round_to
+        )
+        out_cols[f"top_{_name(n)}_frac"] = F.round(
+            F.col(f"__top_{n}") / total.cast("double"), round_to
+        )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col(f"__total_{ns[0]}").alias(f"total_{_name(ns[0])}s"),
+        *[c.alias(name) for name, c in out_cols.items()],
+    )
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:
