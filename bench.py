@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "rolling_agg",
     "tfidf_top_terms",
     "stratified_sample",
+    "temperature_sample",
     "pivot_stats",
     "zorder_values",
     "incremental_merge",

@@ -172,3 +172,18 @@ def test_ngram_decontaminate_overlap_counts(spark):
     # doc 3: "quick brown fox" only
     assert out[3] == (1, 1)
     assert 2 not in out
+
+
+def test_dedup_clusters_best_by_quality(spark):
+    from traits_data_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5)], ["doc_id", "quality"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs, "doc_id", best_by="quality").collect()
+    }
+    # one cluster {1,2,3}; doc 2 wins on quality despite not being min id
+    assert rows == {1: (1, False), 2: (1, True), 3: (1, False)}

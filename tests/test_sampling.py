@@ -73,3 +73,43 @@ def test_percentile_profile_approx_form_runs(spark, lineitem):
         lineitem, ["l_returnflag"], "l_extendedprice", approx=True
     ).collect()
     assert len(out) == 3 and all(r["p50"] is not None for r in out)
+
+
+def test_temperature_weights_hand_computed(spark):
+    from traits_data_spark.operators.sampling import temperature_weights
+
+    rows = [(i, "big") for i in range(100)] + [(i + 100, "rare") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    w = {
+        r["source"]: r.asDict()
+        for r in temperature_weights(df, "source", alpha=0.5, target_frac=1.0).collect()
+    }
+    # sqrt weights: 10 vs 5 -> 2/3 vs 1/3
+    assert w["big"]["weight"] == 0.666667
+    assert w["rare"]["weight"] == 0.333333
+    # big is downsampled: target 125*2/3=83 of 100 docs -> 8300 buckets
+    assert w["big"]["bucket_threshold"] == 8300
+    # rare is upsampled beyond its size -> capped at the full group
+    assert w["rare"]["bucket_threshold"] == 10000
+
+
+def test_temperature_sample_deterministic_and_capped(spark):
+    from traits_data_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(100)] + [(i + 100, "rare") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df, "source", "doc_id", alpha=0.5).collect()
+    )
+    out2 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df, "source", "doc_id", alpha=0.5).collect()
+    )
+    assert out1 == out2  # reproducible
+    kept = temperature_sample(df, "source", "doc_id", alpha=0.5)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert by_src["rare"] == 25  # capped: every rare doc kept
+    assert by_src["big"] < 100   # majority downsampled

@@ -106,7 +106,12 @@ from traits_data_spark.operators.incremental import merge_aggregate_states
 from traits_data_spark.operators.layout import zvalue, zvalue_sql
 from traits_data_spark.operators.packing import chunk_documents, pack_contiguous
 from traits_data_spark.operators.pivot import pivot_wide
-from traits_data_spark.operators.sampling import hash_split, stratified_sample
+from traits_data_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+    temperature_sample,
+    temperature_weights,
+)
 from traits_data_spark.operators.sketches import kmv_distinct
 from traits_data_spark.quality import null_zero_profile, percentile_profile
 from traits_data_spark.sinks.jdbc import distinct_dims
@@ -930,6 +935,59 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN n=1 THEN cnt END) AS BIGINT) AS total_words,
        {agg_sql}
 FROM counts GROUP BY doc_id
+"""
+
+
+MIX_ALPHA = 0.5
+MIX_TARGET_FRAC = 0.5
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (count^alpha) source-rebalancing weights + hash
+    bucket thresholds — the LLaMA-style data-mixing rule."""
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_weights(
+        docs, "source", alpha=MIX_ALPHA, target_frac=MIX_TARGET_FRAC
+    )
+
+
+def _source_mixture_sql() -> str:
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+        CAST(round(pow(n_docs::DOUBLE, {MIX_ALPHA}) * 1000000, 0) AS BIGINT) AS ws
+      FROM counts),
+t AS (SELECT source, n_docs,
+        round(ws::DOUBLE / (SUM(ws) OVER ())::DOUBLE, 6) AS weight,
+        SUM(n_docs) OVER () AS n_total
+      FROM w),
+tn AS (SELECT source, n_docs, weight,
+        CAST(round({MIX_TARGET_FRAC} * n_total * weight, 0) AS BIGINT) AS target_n
+      FROM t)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, weight,
+       LEAST(10000, CAST(round(10000.0 * target_n::DOUBLE / n_docs::DOUBLE, 0) AS INT))
+         AS bucket_threshold
+FROM tn
+"""
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus resample toward the count^alpha mixture:
+    broadcast per-source thresholds, hash-bucket filter — the corpus
+    never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "source", "doc_id", alpha=MIX_ALPHA, target_frac=MIX_TARGET_FRAC
+    ).select("doc_id", "source")
+
+
+def _temperature_sample_sql() -> str:
+    bucket = _H60.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH thr AS ({_source_mixture_sql()})
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE {bucket} % 10000 < thr.bucket_threshold
 """
 
 
@@ -2200,6 +2258,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "dup_clusters": q_dup_clusters,
     "decontaminate": q_decontaminate,
     "repetition_features": q_repetition_features,
+    "source_mixture": q_source_mixture,
+    "temperature_sample": q_temperature_sample,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2270,6 +2330,8 @@ def oracle_sqls() -> dict[str, str]:
         "dup_clusters": _dup_clusters_sql(),
         "decontaminate": _decontaminate_sql(),
         "repetition_features": _repetition_sql(),
+        "source_mixture": _source_mixture_sql(),
+        "temperature_sample": _temperature_sample_sql(),
         "cosine_topk": _COSINE_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "embedding_near_dups": _near_dups_sql(),

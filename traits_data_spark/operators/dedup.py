@@ -452,25 +452,40 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
+    best_by: str | None = None,
+    descending: bool = True,
     max_iterations: int = 50,
 ) -> DataFrame:
     """Per-document duplicate-cluster assignment: every row of ``df``
     gets a ``component`` (cluster id = min doc id in its near-dup
     cluster; docs in no pair are their own singleton component) and an
-    ``is_canonical`` flag (the kept representative — the min id).
+    ``is_canonical`` flag marking the kept representative.
+
+    By default the canonical doc is the min id (free — it IS the
+    component label). Pass ``best_by`` to keep the highest-quality doc
+    per cluster instead (e.g. a quality score column); that adds one
+    window shuffle on the component key, with id as the deterministic
+    tiebreak.
 
     One left join of the corpus against the (small) component table;
     all iteration happens inside ``connected_components`` on the edge
     subgraph only.
     """
     comp = connected_components(pairs, max_iterations=max_iterations)
-    out = df.select(F.col(id_col).cast("long").alias("id")).join(
-        comp, "id", "left"
+    extra = [F.col(best_by)] if best_by else []
+    out = (
+        df.select(F.col(id_col).cast("long").alias("id"), *extra)
+        .join(comp, "id", "left")
+        .withColumn("component", F.coalesce("component", "id"))
     )
+    if best_by is None:
+        out = out.withColumn("is_canonical", F.col("component") == F.col("id"))
+    else:
+        order = F.col(best_by).desc() if descending else F.col(best_by).asc()
+        w = Window.partitionBy("component").orderBy(order, F.col("id"))
+        out = out.withColumn("is_canonical", F.row_number().over(w) == 1)
     return out.select(
-        F.col("id").alias(id_col),
-        F.coalesce("component", "id").alias("component"),
-        (F.coalesce("component", "id") == F.col("id")).alias("is_canonical"),
+        F.col("id").alias(id_col), "component", "is_canonical"
     )
 
 

@@ -85,6 +85,87 @@ def stratified_sample(
     return df.filter(split_bucket(key_col, salt) < thr)
 
 
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group temperature sampling weights: ``weight ∝ count^alpha``
+    (the multilingual/source rebalancing rule from the GPT/LLaMA data
+    recipes — ``alpha < 1`` upsamples rare sources relative to their
+    share, ``alpha = 1`` is proportional, ``alpha = 0`` uniform).
+
+    Returns one row per group: ``n_docs``, normalized ``weight``, and
+    ``bucket_threshold`` — the [0, 10000) hash-bucket cutoff such that
+    keeping rows with ``split_bucket < threshold`` draws ~``target_frac
+    × corpus_size × weight`` rows from the group (capped at the whole
+    group).
+
+    Cross-engine determinism: the ``pow`` is scaled to an integer
+    (×1e6, round) so the normalizing sum is exact integer arithmetic;
+    the remaining float steps are single operations rounded on both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    ws = F.round(
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))) * 1e6, 0
+    ).cast("long")
+    out = (
+        counts.withColumn("__ws", ws)
+        # the group table is tiny (distinct sources); a whole-table
+        # window over it is a single-partition no-op, not a scale risk
+        .withColumn(
+            "weight",
+            F.round(F.col("__ws") / F.sum("__ws").over(w_all), round_to),
+        )
+        .withColumn(
+            "__target_n",
+            F.round(
+                F.lit(float(target_frac))
+                * F.sum("n_docs").over(w_all)
+                * F.col("weight"),
+                0,
+            ).cast("long"),
+        )
+        .withColumn(
+            "bucket_threshold",
+            F.least(
+                F.lit(N_BUCKETS),
+                F.round(
+                    F.lit(float(N_BUCKETS)) * F.col("__target_n") / F.col("n_docs"), 0
+                ).cast("int"),
+            ),
+        )
+    )
+    return out.select(group_col, "n_docs", "weight", "bucket_threshold")
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically resample the corpus toward the ``count^alpha``
+    source mixture: one tiny aggregate, a broadcast join of the
+    per-group thresholds, and a pure projection filter — the corpus
+    itself never shuffles."""
+    w = temperature_weights(df, group_col, alpha=alpha, target_frac=target_frac)
+    thr = F.broadcast(w.select(group_col, "bucket_threshold"))
+    return (
+        df.join(thr, group_col)
+        .filter(split_bucket(key_col, salt) < F.col("bucket_threshold"))
+        .drop("bucket_threshold")
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     key_col: str,
