@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "identify_language",
     "token_counts",
     "document_fingerprint",
+    "redact_pii",
     "event_windows",
     "merge_upsert",
     "asof_join",

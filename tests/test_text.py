@@ -102,3 +102,24 @@ def test_repetition_features_hand_computed(spark):
     assert rows[2]["dup_2gram_frac"] == 0.0
     # NULL text yields no row (oracle-consistent)
     assert 3 not in rows
+
+
+def test_redact_pii_classes_and_counts(spark):
+    from traits_data_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (3, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in redact_pii(docs, "text").collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert "[EMAIL]" in rows[1]["clean_text"] and "[PHONE]" in rows[1]["clean_text"]
+    assert "example" not in rows[1]["clean_text"]
+    assert rows[2]["n_ip"] == 2
+    assert rows[2]["clean_text"] == "server at [IP] and [IP] up"
+    assert rows[3]["clean_text"] == "no pii here"
+    assert rows[3]["n_email"] == rows[3]["n_ip"] == rows[3]["n_phone"] == 0

@@ -79,6 +79,7 @@ from traits_data_spark.operators.text import (
     document_fingerprint,
     identify_language,
     quality_features,
+    redact_pii,
     repetition_features,
     tfidf_top_terms,
     token_counts,
@@ -935,6 +936,54 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN n=1 THEN cnt END) AS BIGINT) AS total_words,
        {agg_sql}
 FROM counts GROUP BY doc_id
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-class match counts + redacted text, all inside
+    codegen. The contact blob is derived deterministically from
+    customer's key columns (the synthetic tables carry no raw PII
+    strings), identically on both engines, so the redaction is
+    non-trivially exercised and oracle-checkable."""
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    blob = cust.select(
+        "c_custkey",
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.concat(F.lit("user"), key, F.lit("@mail.example.com")),
+            F.concat(
+                F.lit("10.0."),
+                (F.col("c_custkey") % 199).cast("string"),
+                F.lit("."),
+                F.col("c_nationkey").cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(blob, "text")
+
+
+def _redact_pii_sql() -> str:
+    from traits_data_spark.operators.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    cleaned = "text"
+    for _, pat, token in PII_PATTERNS:
+        cleaned = f"regexp_replace({cleaned}, '{pat}', '{token}', 'g')"
+    return f"""
+SELECT c_custkey, text, {counts}, {cleaned} AS clean_text
+FROM (
+  SELECT c_custkey,
+         concat_ws(' ', c_name,
+                   'user' || CAST(c_custkey AS VARCHAR) || '@mail.example.com',
+                   '10.0.' || CAST(c_custkey % 199 AS VARCHAR) || '.'
+                           || CAST(c_nationkey AS VARCHAR)) AS text
+  FROM customer
+)
 """
 
 
@@ -2260,6 +2309,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "repetition_features": q_repetition_features,
     "source_mixture": q_source_mixture,
     "temperature_sample": q_temperature_sample,
+    "redact_pii": q_redact_pii,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2332,6 +2382,7 @@ def oracle_sqls() -> dict[str, str]:
         "repetition_features": _repetition_sql(),
         "source_mixture": _source_mixture_sql(),
         "temperature_sample": _temperature_sample_sql(),
+        "redact_pii": _redact_pii_sql(),
         "cosine_topk": _COSINE_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "embedding_near_dups": _near_dups_sql(),

@@ -216,6 +216,43 @@ def tfidf_top_terms(
     )
 
 
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround. Applied
+# email → ip → phone so the broad phone pattern can't eat IP octets.
+PII_PATTERNS: Sequence[tuple[str, str, str]] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "[PHONE]"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    patterns: Sequence[tuple[str, str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """Regex PII redaction (emails, IPv4, phone-ish digit runs) with
+    per-class match counts — the standard pre-training scrub step.
+
+    Pure projection: every replacement and count is a regexp
+    expression inside whole-stage codegen, so the scrub runs at scan
+    speed with zero shuffles at any corpus size. Counts are measured
+    on the ORIGINAL text (before any replacement) so classes don't
+    mask each other's tallies; replacements chain in ``patterns``
+    order.
+    """
+    t = F.col(text_col)
+    counts = {
+        f"n_{name}": _count_matches(t, pat).cast("long")
+        for name, pat, _ in patterns
+    }
+    cleaned = t
+    for _, pat, token in patterns:
+        cleaned = F.regexp_replace(cleaned, pat, token)
+    return df.withColumns({**counts, out_col: cleaned})
+
+
 def repetition_features(
     df: DataFrame,
     id_col: str = "doc_id",
