@@ -27,6 +27,11 @@ HEADLINE = [
     "last_n_filter",
     "rollup_grouping_sets",
     "exact_dedup",
+    "dup_clusters",
+    "decontaminate",
+    "repetition_features",
+    "redact_pii",
+    "temperature_sample",
     "lsh_candidates",
     "jaccard_verify",
     "simhash",
