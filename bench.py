@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "stratified_sample",
     "temperature_sample",
+    "token_budget",
     "pivot_stats",
     "zorder_values",
     "incremental_merge",

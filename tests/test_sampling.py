@@ -113,3 +113,40 @@ def test_temperature_sample_deterministic_and_capped(spark):
     ).collect()}
     assert by_src["rare"] == 25  # capped: every rare doc kept
     assert by_src["big"] < 100   # majority downsampled
+
+
+def test_token_budget_filter_prefix_semantics(spark):
+    from traits_data_spark.operators.sampling import token_budget_filter
+
+    rows = [
+        # (id, src, quality, tokens)
+        (1, "a", 9.0, 50),
+        (2, "a", 8.0, 40),
+        (3, "a", 7.0, 40),   # cum 130 > 100 -> dropped
+        (4, "a", 6.0, 5),    # after an over-budget doc, still dropped (strict prefix? no: cum=135)
+        (5, "b", 1.0, 100),  # exactly at budget -> kept
+        (6, "b", 0.5, 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality", "tokens"])
+    kept = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_filter(
+            df, "source", "quality", "tokens", 100, "doc_id"
+        ).collect()
+    }
+    assert kept == {1: 50, 2: 90, 5: 100}
+
+
+def test_token_budget_deterministic_tiebreak(spark):
+    from traits_data_spark.operators.sampling import token_budget_filter
+
+    # equal quality: id ascending admits 10 then 11; 12 busts the budget
+    rows = [(i, "s", 5.0, 60) for i in (12, 10, 11)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality", "tokens"])
+    kept = sorted(
+        r["doc_id"]
+        for r in token_budget_filter(
+            df, "source", "quality", "tokens", 120, "doc_id"
+        ).collect()
+    )
+    assert kept == [10, 11]

@@ -48,3 +48,21 @@ def test_distinct_dims(spark):
     dims = distinct_dims(df, {"country": ["country"], "seg": ["seg"]})
     assert sorted(r["country"] for r in dims["country"].collect()) == ["AU", "NZ"]
     assert dims["seg"].count() == 2
+
+
+def test_write_jsonl_shards_roundtrip(spark, tmp_path):
+    from traits_data_spark.sinks.parquet import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "train" if i % 2 else "val") for i in range(20)],
+        ["doc_id", "text", "split"],
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(df, out, max_records_per_file=5, shard_by=["split"])
+    back = spark.read.json(out)
+    assert back.count() == 20
+    assert set(back.columns) == {"doc_id", "text", "split"}
+    # hive-partitioned by split, gzip shard files
+    import glob
+    files = glob.glob(f"{out}/split=train/*.json.gz")
+    assert files and len(files) >= 2  # 10 records / max 5 per file

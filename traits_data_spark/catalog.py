@@ -112,6 +112,7 @@ from traits_data_spark.operators.sampling import (
     stratified_sample,
     temperature_sample,
     temperature_weights,
+    token_budget_filter,
 )
 from traits_data_spark.operators.sketches import kmv_distinct
 from traits_data_spark.quality import null_zero_profile, percentile_profile
@@ -936,6 +937,31 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN n=1 THEN cnt END) AS BIGINT) AS total_words,
        {agg_sql}
 FROM counts GROUP BY doc_id
+"""
+
+
+TOKEN_BUDGET = 4000
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked per-source token-budget curation: keep the
+    longest docs per source until 4000 chars are admitted — one
+    window pass, strict prefix of the quality ordering."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return token_budget_filter(
+        docs, "source", "n_chars", "n_chars", TOKEN_BUDGET, "doc_id"
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+SELECT doc_id, source, n_chars, cum_tokens FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM documents
+) WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
@@ -2310,6 +2336,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "source_mixture": q_source_mixture,
     "temperature_sample": q_temperature_sample,
     "redact_pii": q_redact_pii,
+    "token_budget": q_token_budget,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2383,6 +2410,7 @@ def oracle_sqls() -> dict[str, str]:
         "source_mixture": _source_mixture_sql(),
         "temperature_sample": _temperature_sample_sql(),
         "redact_pii": _redact_pii_sql(),
+        "token_budget": _TOKEN_BUDGET_SQL,
         "cosine_topk": _COSINE_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "embedding_near_dups": _near_dups_sql(),

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from traits_data_spark.functions.scalars import map_lookup, portable_hash64
@@ -163,6 +163,43 @@ def temperature_sample(
         df.join(thr, group_col)
         .filter(split_bucket(key_col, salt) < F.col("bucket_threshold"))
         .drop("bucket_threshold")
+    )
+
+
+def token_budget_filter(
+    df: DataFrame,
+    group_col: str,
+    quality_col: str,
+    token_col: str,
+    budget: int,
+    key_col: str,
+    descending: bool = True,
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Quality-ranked token-budget curation: within each group, keep
+    documents in descending quality order until the group's token
+    budget is exhausted (the kept set is every doc whose running token
+    total fits the budget).
+
+    One window shuffle on the group key — the running sum and the keep
+    decision happen in a single pass, no join-backs, no driver loop.
+    ``key_col`` is the deterministic tiebreak so equal-quality docs
+    admit identically on every run/engine. The first over-budget doc
+    is NOT kept (strict ``cum <= budget``), so the result is a stable
+    prefix of the quality ranking.
+    """
+    order = [
+        F.col(quality_col).desc() if descending else F.col(quality_col).asc(),
+        F.col(key_col),
+    ]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(out_col, F.sum(F.col(token_col)).over(w))
+        .filter(F.col(out_col) <= budget)
     )
 
 
