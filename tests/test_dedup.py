@@ -187,3 +187,44 @@ def test_dedup_clusters_best_by_quality(spark):
     }
     # one cluster {1,2,3}; doc 2 wins on quality despite not being min id
     assert rows == {1: (1, False), 2: (1, True), 3: (1, False)}
+
+
+def test_incremental_lsh_matches_full_rerun(spark):
+    """old-candidates ∪ incremental(new vs banded(old)) must equal a
+    full re-run over old+new — history never re-hashed."""
+    from traits_data_spark.operators.dedup import (
+        banded_signatures,
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(spark)  # ids 1..5 with dup/near-dup structure
+    old = docs.filter("doc_id <= 3")
+    new = docs.filter("doc_id > 3")
+    params = dict(num_hashes=16, bands=4)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, "text", "doc_id", max_bucket_size=None, **params
+        ).collect()
+    }
+    old_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            old, "text", "doc_id", max_bucket_size=None, **params
+        ).collect()
+    }
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_lsh_candidates(
+            new,
+            banded_signatures(old, "text", "doc_id", **params),
+            "text",
+            "doc_id",
+            max_bucket_size=None,
+            **params,
+        ).collect()
+    }
+    assert old_pairs | inc == full
+    assert old_pairs.isdisjoint(inc)

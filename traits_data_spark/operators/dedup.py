@@ -208,6 +208,100 @@ def _hash_coeffs(n: int, seed: int) -> list[tuple[int, int]]:
     return out
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """``(id, band_idx, band_key)`` LSH band table — the persistable
+    dedup index. Signature → melt to one row per band (narrow explode,
+    no shuffle). Write this table once per corpus snapshot and new
+    ingest batches can be deduped against it incrementally
+    (``incremental_lsh_candidates``) without re-hashing history.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_df(
+        df, text_col, id_col, num_hashes=num_hashes, seed=seed, shingle_k=shingle_k
+    )
+    # Downstream self-joins consume the band table twice; it is tiny
+    # (|docs| × num_hashes longs) relative to the text it was derived
+    # from, so persisting it avoids re-hashing every shingle per side.
+    sig = sig.persist()
+    band_structs = []
+    for b in range(bands):
+        slice_cols = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in slice_cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
+        )
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("__b")
+    ).select(
+        "id",
+        F.col("__b.band_idx").alias("band_idx"),
+        F.col("__b.band_key").alias("band_key"),
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    existing_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup candidates for an ingest batch against an existing
+    corpus WITHOUT re-mining history: only the new batch is shingled
+    and hashed; the existing corpus participates via its persisted
+    ``banded_signatures`` table (read back from parquet).
+
+    Returns ``(id_a, id_b)`` pairs covering new×existing and new×new
+    — exactly the pairs a full re-run would add. Hash params must
+    match the ones the existing band table was built with.
+
+    Scale shape: the join is new-bands × all-bands on the band key —
+    at steady state the new side is small, so AQE broadcasts it and
+    history streams through map-side; history is never re-hashed.
+    """
+    new_bands = banded_signatures(
+        new_docs, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, seed=seed, shingle_k=shingle_k,
+    ).persist()
+    all_bands = existing_bands.select("id", "band_idx", "band_key").unionByName(
+        new_bands
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        all_bands = (
+            all_bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
+    left = new_bands.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    right = all_bands.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -232,28 +326,10 @@ def minhash_lsh_candidates(
     exact duplicates anyway; catch them with ``exact_dedup``, which is
     linear. Pass None to disable (small/trusted corpora only).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(
-        df, text_col, id_col, num_hashes=num_hashes, seed=seed, shingle_k=shingle_k
+    melted = banded_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        seed=seed, shingle_k=shingle_k,
     )
-    # The self-join consumes the signature table twice; it is tiny
-    # (|docs| × num_hashes longs) relative to the text it was derived
-    # from, so persisting it avoids re-hashing every shingle per side.
-    sig = sig.persist()
-
-    # melt: one struct per band, exploded to rows — narrow, no shuffle
-    band_structs = []
-    for b in range(bands):
-        slice_cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in slice_cols]))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), key.alias("band_key"))
-        )
-    melted = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("__b")
-    ).select("id", F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_key").alias("band_key"))
 
     if max_bucket_size is not None:
         w = Window.partitionBy("band_idx", "band_key")
