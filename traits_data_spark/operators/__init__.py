@@ -8,7 +8,18 @@ from traits_data_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
     stratified_sample,
+    temperature_sample,
+    temperature_weights,
+    token_budget_filter,
 )
+from traits_data_spark.operators.dedup import (
+    banded_signatures,
+    connected_components,
+    dedup_clusters,
+    incremental_lsh_candidates,
+    ngram_decontaminate,
+)
+from traits_data_spark.operators.text import redact_pii, repetition_features
 from traits_data_spark.operators.sketches import kmv_distinct
 from traits_data_spark.operators.windows import (
     cumcount,
@@ -35,6 +46,16 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "stratified_sample",
+    "temperature_sample",
+    "temperature_weights",
+    "token_budget_filter",
+    "banded_signatures",
+    "connected_components",
+    "dedup_clusters",
+    "incremental_lsh_candidates",
+    "ngram_decontaminate",
+    "redact_pii",
+    "repetition_features",
     "kmv_distinct",
     "cumcount",
     "dedup_keep_best",
