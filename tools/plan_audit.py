@@ -32,6 +32,7 @@ HEADLINE = [
     "repetition_features",
     "redact_pii",
     "temperature_sample",
+    "token_budget",
     "lsh_candidates",
     "jaccard_verify",
     "simhash",
