@@ -136,3 +136,38 @@ def test_ivf_partial_probe_subset_and_nonzero(spark, embeddings):
     approx = ivf_topk(emb, queries, dim=64, k=5, n_centroids=8, n_probe=2)
     got = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in approx.collect()}
     assert got and got <= truth  # genuine pairs, exact same scores
+
+
+def test_ivf_hyperplane_full_probe_equals_bruteforce(spark, embeddings):
+    """Probing all 2^n_planes cells degenerates to exact search."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import ivf_topk_hyperplane
+
+    emb = embeddings.limit(100).cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=5)
+    full = ivf_topk_hyperplane(
+        emb, queries, dim=64, k=5, n_planes=3, n_probe=8
+    )
+    e = sorted(tuple(r) for r in exact.collect())
+    f = sorted(tuple(r) for r in full.collect())
+    assert e == f
+
+
+def test_ivf_hyperplane_partial_probe_subset(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import ivf_topk_hyperplane
+
+    emb = embeddings.limit(200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=200)
+    truth = {
+        (r["query_id"], r["neighbor_id"], r["cosine"]) for r in exact.collect()
+    }
+    approx = ivf_topk_hyperplane(
+        emb, queries, dim=64, k=5, n_planes=3, n_probe=2
+    )
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in approx.collect()}
+    assert got and got <= truth  # genuine pairs, exact same scores

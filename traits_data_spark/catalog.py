@@ -70,7 +70,7 @@ from traits_data_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk_bruteforce,
     embedding_near_dups,
-    ivf_topk,
+    ivf_topk_hyperplane,
     lsh_bucketed_topk,
     lsh_topk_multiprobe,
 )
@@ -1164,21 +1164,77 @@ SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= {TOPK}
 """
 
 
+IVF_PLANES = 4  # 16 cells
+IVF_PROBE = 4
+IVF_SEED = 7
+IVF_SCALE = 1_000_000
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (k-means cells + n_probe nearest cells).
-    Rows-only check — k-means is not SQL-expressible; the recall
-    invariants (full probe ≡ brute force, partial probe ⊆ exact) are
-    pinned in tests/test_similarity.py."""
+    """IVF approximate top-k with the deterministic hyperplane coarse
+    quantizer (``ivf_topk_hyperplane``): cells = sign-buckets of
+    seeded planes, centroids = exact fixed-point cell means — fully
+    oracle-checkable, unlike the k-means variant (``ivf_topk``), whose
+    recall invariants are pinned in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = ivf_topk(
+    out = ivf_topk_hyperplane(
         emb,
         emb.filter(F.expr(_QUERY_PRED)),
         dim=EMB_DIM,
         k=TOPK,
-        n_centroids=16,
-        n_probe=4,
+        n_planes=IVF_PLANES,
+        n_probe=IVF_PROBE,
+        seed=IVF_SEED,
+        scale=IVF_SCALE,
     )
     return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _ivf_sql() -> str:
+    bucket = _bucket_sql("vec", IVF_PLANES, IVF_SEED)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+b AS (SELECT vec_id AS neighbor_id, vec, {bucket} AS bucket FROM v),
+comp AS (
+  SELECT bucket, gs.pos,
+         CAST(SUM(CAST(ROUND(vec[gs.pos] * {IVF_SCALE}) AS BIGINT)) AS DOUBLE)
+           / ({float(IVF_SCALE)} * COUNT(*)) AS comp
+  FROM b CROSS JOIN generate_series(1, {EMB_DIM}) AS gs(pos)
+  GROUP BY bucket, gs.pos
+),
+cent AS (
+  SELECT bucket, array_agg(comp ORDER BY pos) AS cv FROM comp GROUP BY bucket
+),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE {_QUERY_PRED}),
+pd AS (
+  SELECT q.query_id, q.qv, cent.bucket,
+         list_dot_product(q.qv, q.qv)
+           - 2.0 * list_dot_product(q.qv, cent.cv)
+           + list_dot_product(cent.cv, cent.cv) AS d2
+  FROM q CROSS JOIN cent
+),
+pr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, bucket) AS prk
+  FROM pd
+),
+probe AS (SELECT query_id, qv, bucket FROM pr WHERE prk <= {IVF_PROBE}),
+s AS (
+  SELECT probe.query_id, b.neighbor_id,
+         round(list_dot_product(probe.qv, b.vec)
+               / (sqrt(list_dot_product(probe.qv, probe.qv))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) + 0.0 AS cosine
+  FROM probe JOIN b USING (bucket)
+  WHERE b.neighbor_id != probe.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {TOPK}
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1434,13 +1490,18 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
-# events.ts is parquet TIMESTAMP(NANOS), which Spark's schema
-# converter rejects; reading with an explicit ts:long schema gives raw
-# epoch nanoseconds — and keeps the driver's session config untouched.
+# events.ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false); read
+# it as TIMESTAMP_NTZ so no session-timezone conversion is applied,
+# then derive epoch µs with pure wall-clock arithmetic against the
+# epoch literal. DuckDB's epoch_us(ts) on the same naive timestamp
+# yields the identical integer, so the two engines agree regardless
+# of the driver session's spark.sql.session.timeZone.
 _EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
+
+_TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,7 +1517,7 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn(
             "window_start",
-            F.expr("ts DIV 3600000000000 * 3600").cast("long"),
+            F.expr(f"({_TS_US}) DIV 3600000000 * 3600").cast("long"),
         )
         .groupBy("window_start", "event_type")
         .agg(
@@ -1480,7 +1541,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates parquet nanos to µs; Spark divides explicitly) so the
     gap comparisons are bit-identical."""
     ev = _events(spark, sf_dir).select(
-        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+        "event_id", "user_id", F.expr(_TS_US).alias("ts_us")
     )
     return sessionize(
         ev,
@@ -1654,11 +1715,12 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with the timestamp in epoch µs — the cross-engine unit
-    (DuckDB truncates the parquet nanos to µs; Spark divides)."""
+    (both engines read the naive TIMESTAMP(MICROS) column and take its
+    raw micros: DuckDB via epoch_us, Spark via wall-clock diff)."""
     return _events(spark, sf_dir).select(
         "event_id",
         "user_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
+        F.expr(_TS_US).alias("ts_us"),
         "event_type",
         "value",
     )
@@ -2416,6 +2478,7 @@ def oracle_sqls() -> dict[str, str]:
         "embedding_near_dups": _near_dups_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "lsh_topk_multiprobe": _lsh_multiprobe_sql(),
+        "ivf_topk": _ivf_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),

@@ -179,6 +179,106 @@ def ivf_topk(
     )
 
 
+def ivf_topk_hyperplane(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    n_probe: int = 4,
+    seed: int = 42,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF approximate top-k with a *deterministic* coarse quantizer.
+
+    Cells are the 2^n_planes sign-buckets of seeded random hyperplanes
+    (the same quantizer family FAISS's IVF admits); each cell's
+    centroid is the exact mean of its member vectors, computed in
+    fixed-point (``round(x*scale)`` summed as BIGINT) so the mean is
+    independent of partitioning/summation order — that makes the whole
+    operator reproducible on any engine, unlike k-means
+    (``ivf_topk``), and therefore oracle-checkable.
+
+    The 100 TB shape: one shuffle to build the (≤2^n_planes · dim)-row
+    centroid table, which is then broadcast; queries rank centroids by
+    exact L2 (computed as q·q − 2q·c + c·c so both engines fold in the
+    same order), probe the ``n_probe`` nearest cells, and score only
+    those cells' members. ``n_probe == 2^n_planes`` degenerates to
+    exact brute force.
+    """
+    c = with_lsh_bucket(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ),
+        "__cv",
+        dim,
+        n_planes,
+        seed,
+    )
+    # exact fixed-point per-component mean per bucket
+    comp = (
+        c.select("bucket", F.posexplode("__cv").alias("pos", "x"))
+        .groupBy("bucket", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * scale).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "bucket",
+            "pos",
+            (F.col("s").cast("double") / (F.lit(float(scale)) * F.col("n"))).alias(
+                "comp"
+            ),
+        )
+    )
+    centroids = comp.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+            lambda s: s.getField("comp"),
+        ).alias("__centv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # L2² via the inner-product identity so Spark's fold and the
+    # oracle's list_dot_product sum in the same order per term
+    d2 = (
+        dot(F.col("__qv"), F.col("__qv"))
+        - F.lit(2.0) * dot(F.col("__qv"), F.col("__centv"))
+        + dot(F.col("__centv"), F.col("__centv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("bucket").asc()
+    )
+    q_probed = (
+        q.join(F.broadcast(centroids))
+        .withColumn("__d2", d2)
+        .withColumn("__prk", F.row_number().over(wp))
+        .filter(F.col("__prk") <= n_probe)
+        .select("query_id", "__qv", "bucket")
+    )
+    scored = (
+        c.join(q_probed, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6) + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def lsh_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
