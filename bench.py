@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "lsh_topk",
     "lsh_topk_multiprobe",
     "ivf_topk",
+    "quantize_embeddings",
     "embedding_near_dups",
     "clean_corpus",
     "event_sessions",

@@ -171,3 +171,51 @@ def test_ivf_hyperplane_partial_probe_subset(spark, embeddings):
     )
     got = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in approx.collect()}
     assert got and got <= truth  # genuine pairs, exact same scores
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = embeddings.limit(50)
+    qd = quantize_int8(emb)
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            dequantize_int8("qvec", "q_scale", "q_min"),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    rows = qd.select(
+        "q_scale",
+        err.alias("max_err"),
+        F.array_min("qvec").alias("cmin"),
+        F.array_max("qvec").alias("cmax"),
+    ).collect()
+    for r in rows:
+        assert r["cmin"] >= -128 and r["cmax"] <= 127
+        # round() puts every code within half a step of the true value
+        assert r["max_err"] <= r["q_scale"] / 2 + 1e-12
+
+
+def test_quantize_int8_constant_vector(spark):
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([(1, [0.5] * 4)], ["vec_id", "embedding"])
+    qd = quantize_int8(df)
+    r = qd.select(
+        "qvec", "q_scale", "q_min",
+        dequantize_int8("qvec", "q_scale", "q_min").alias("rec"),
+    ).collect()[0]
+    assert r["qvec"] == [-128] * 4
+    assert r["q_scale"] == 0.0
+    assert r["rec"] == [0.5] * 4  # (q+128)*0 + min == min exactly

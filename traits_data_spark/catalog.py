@@ -69,10 +69,12 @@ from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk_bruteforce,
+    dequantize_int8,
     embedding_near_dups,
     ivf_topk_hyperplane,
     lsh_bucketed_topk,
     lsh_topk_multiprobe,
+    quantize_int8,
 )
 from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.operators.text import (
@@ -1234,6 +1236,64 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM s)
 SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
 FROM r WHERE rk <= {TOPK}
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization round-trip audit: per vector, the
+    quantization scale, the sum of codes (pins every code exactly),
+    and the max reconstruction error (pins the dequantize path; must
+    be ≤ scale/2)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb, vec_col="embedding")
+    deq = dequantize_int8("qvec", "q_scale", "q_min")
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            deq,
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    # compute the error in its own projection: putting it in the same
+    # select as the ``round(q_scale, 9) AS q_scale`` alias makes the
+    # dequantize expression bind to the ROUNDED scale
+    audited = qd.withColumn("__err", err)
+    return audited.select(
+        "vec_id",
+        F.round("q_scale", 9).alias("q_scale"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.round("__err", 9).alias("max_err"),
+    )
+
+
+_QUANTIZE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+st AS (
+  SELECT vec_id, x, list_min(x) AS lo,
+         (list_max(x) - list_min(x)) / 255.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, x, lo, scale,
+         list_transform(
+           x,
+           e -> CAST(CASE WHEN scale > 0 THEN round((e - lo) / scale)
+                          ELSE 0 END AS INT) - 128
+         ) AS codes
+  FROM st
+),
+e AS (
+  SELECT vec_id,
+         max(abs(x[gs.i] - ((codes[gs.i] + 128) * scale + lo))) AS max_err,
+         CAST(SUM(codes[gs.i]) AS BIGINT) AS code_sum
+  FROM q CROSS JOIN generate_series(1, {EMB_DIM}) AS gs(i)
+  GROUP BY vec_id
+)
+SELECT q.vec_id, round(q.scale, 9) AS q_scale, e.code_sum,
+       round(e.max_err, 9) AS max_err
+FROM q JOIN e USING (vec_id)
 """
 
 
@@ -2405,6 +2465,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "ivf_topk": q_ivf_topk,
+    "quantize_embeddings": q_quantize_embeddings,
     "clean_corpus": q_clean_corpus,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
@@ -2479,6 +2540,7 @@ def oracle_sqls() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "lsh_topk_multiprobe": _lsh_multiprobe_sql(),
         "ivf_topk": _ivf_sql(),
+        "quantize_embeddings": _QUANTIZE_SQL,
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),

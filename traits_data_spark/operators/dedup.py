@@ -75,28 +75,49 @@ def exact_dedup(
     )
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``bound`` ONCE per
+    row and pass it to ``body`` as a lambda variable.
+
+    Lambda variables in higher-order functions are references to an
+    already-computed value, but any *outer* expression a lambda body
+    closes over is re-evaluated per element (HOFs run interpreted —
+    no codegen, no subexpression elimination). Shingling a document
+    with the normalization chain inlined in the lambda therefore costs
+    O(len) regex passes per row; binding it first costs one.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def char_shingles(col: Column | str, k: int = 5, distinct: bool = True) -> Column:
     """Array of k-character shingles of the normalized text — built with
     ``transform(sequence(...))``, no UDF, no explode until needed."""
-    c = normalized_text(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
-    arr = F.transform(idx, lambda i: c.substr(i, F.lit(k)))
-    return F.array_distinct(arr) if distinct else arr
+
+    def shingle(c: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+        arr = F.transform(idx, lambda i: c.substr(i, F.lit(k)))
+        return F.array_distinct(arr) if distinct else arr
+
+    return _let(normalized_text(col), shingle)
 
 
 def word_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
     """Array of word n-grams of the normalized text (space-joined) —
     the token-level alternative to ``char_shingles`` for n-gram
     Jaccard dedup. Pure expressions: split → slice → concat_ws."""
-    words = F.filter(
-        F.split(normalized_text(col), " "), lambda w: F.length(w) > 0
+
+    def grams(words: Column) -> Column:
+        count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), count)
+        arr = F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i, n), " ")
+        )
+        return F.array_distinct(arr) if distinct else arr
+
+    return _let(
+        F.filter(F.split(normalized_text(col), " "), lambda w: F.length(w) > 0),
+        grams,
     )
-    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), count)
-    arr = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i, n), " ")
-    )
-    return F.array_distinct(arr) if distinct else arr
 
 
 def ngram_jaccard_pairs(
@@ -106,13 +127,15 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    widen: bool = True,
 ) -> DataFrame:
     """Word-n-gram Jaccard on candidate pairs (the token-level verify
     companion to ``jaccard_verify``'s character shingles; same
     semi-join + shared-shingle-table shape)."""
     candidates = candidates.persist()  # consumed 3× (two id sides + join)
     sh = _candidate_shingles(
-        candidates, df, text_col, id_col, word_ngrams(text_col, n=n)
+        candidates, df, text_col, id_col, word_ngrams(text_col, n=n),
+        widen=widen,
     )
     a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
     b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
@@ -162,6 +185,7 @@ def minhash_signatures_df(
     num_hashes: int = 32,
     seed: int = 42,
     shingle_k: int = 5,
+    widen: bool = True,
 ) -> DataFrame:
     """``(id, mh_0..mh_{n-1})`` signatures via explode + aggregate.
 
@@ -176,7 +200,9 @@ def minhash_signatures_df(
     Produces bit-identical signatures to ``minhash_signature``.
     """
     coeffs = _hash_coeffs(num_hashes, seed)
-    narrow = widen_if_narrow(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col))
+    if widen:
+        narrow = widen_if_narrow(narrow)
     exploded = narrow.select(
         "id",
         F.explode(char_shingles(text_col, k=shingle_k)).alias("__s"),
@@ -216,6 +242,7 @@ def banded_signatures(
     bands: int = 8,
     seed: int = 42,
     shingle_k: int = 5,
+    widen: bool = True,
 ) -> DataFrame:
     """``(id, band_idx, band_key)`` LSH band table — the persistable
     dedup index. Signature → melt to one row per band (narrow explode,
@@ -227,7 +254,8 @@ def banded_signatures(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(
-        df, text_col, id_col, num_hashes=num_hashes, seed=seed, shingle_k=shingle_k
+        df, text_col, id_col, num_hashes=num_hashes, seed=seed,
+        shingle_k=shingle_k, widen=widen,
     )
     # Downstream self-joins consume the band table twice; it is tiny
     # (|docs| × num_hashes longs) relative to the text it was derived
@@ -311,6 +339,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    widen: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -328,7 +357,7 @@ def minhash_lsh_candidates(
     """
     melted = banded_signatures(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        seed=seed, shingle_k=shingle_k,
+        seed=seed, shingle_k=shingle_k, widen=widen,
     )
 
     if max_bucket_size is not None:
@@ -356,6 +385,7 @@ def jaccard_verify(
     id_col: str,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    widen: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (the cheap,
     bounded verify step after LSH).
@@ -367,7 +397,8 @@ def jaccard_verify(
     """
     candidates = candidates.persist()  # consumed 3× (two id sides + join)
     sh = _candidate_shingles(
-        candidates, df, text_col, id_col, char_shingles(text_col, k=shingle_k)
+        candidates, df, text_col, id_col,
+        char_shingles(text_col, k=shingle_k), widen=widen,
     )
     a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
     b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
@@ -387,6 +418,7 @@ def _candidate_shingles(
     text_col: str,
     id_col: str,
     shingle_expr: Column,
+    widen: bool = True,
 ) -> DataFrame:
     """``(__jid, __jsh)`` shingle table for candidate-pair members only."""
     ids = (
@@ -394,9 +426,10 @@ def _candidate_shingles(
         .union(candidates.select(F.col("id_b").alias("__jid")))
         .distinct()
     )
-    narrow = widen_if_narrow(
-        df.select(F.col(id_col).alias("__jid"), F.col(text_col))
-    ).join(ids, "__jid", "left_semi")
+    narrow = df.select(F.col(id_col).alias("__jid"), F.col(text_col))
+    if widen:
+        narrow = widen_if_narrow(narrow)
+    narrow = narrow.join(ids, "__jid", "left_semi")
     return narrow.select("__jid", shingle_expr.alias("__jsh")).persist()
 
 

@@ -22,6 +22,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from traits_data_spark.operators.dedup import _let
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -176,6 +178,77 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "q_scale",
+    min_col: str = "q_min",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization of an embedding column.
+
+    ``q[i] = round((x[i] - min) / scale) - 128`` with
+    ``scale = (max - min) / 255`` — the standard 4× storage/bandwidth
+    cut for 100 TB embedding stores (shuffle and scan move int8, not
+    float64; exact rescoring dequantizes only the final candidates).
+    Constant vectors (max == min) quantize to all -128 with scale 0.
+
+    Pure projection (array_min/array_max/transform), no shuffle. The
+    arithmetic is plain IEEE double ops so any SQL engine reproduces
+    the exact codes; ``dequantize_int8`` inverts with reconstruction
+    error ≤ scale/2 per component.
+    """
+    v = F.col(vec_col).cast("array<double>")
+
+    def quant(x: Column) -> Column:
+        def with_stats(st: Column) -> Column:
+            lo = st.getField("lo")
+            scale = st.getField("scale")
+            codes = F.transform(
+                x,
+                lambda e: F.when(
+                    scale > 0, F.round((e - lo) / scale).cast("int")
+                ).otherwise(F.lit(0))
+                - F.lit(128),
+            )
+            return F.struct(
+                codes.alias("codes"), scale.alias("scale"), lo.alias("lo")
+            )
+
+        return _let(
+            F.struct(
+                F.array_min(x).alias("lo"),
+                ((F.array_max(x) - F.array_min(x)) / F.lit(255.0)).alias(
+                    "scale"
+                ),
+            ),
+            with_stats,
+        )
+
+    q = _let(v, quant)
+    return df.withColumns(
+        {
+            out_col: q.getField("codes"),
+            scale_col: q.getField("scale"),
+            min_col: q.getField("lo"),
+        }
+    )
+
+
+def dequantize_int8(
+    qvec: Column | str,
+    scale: Column | str,
+    vmin: Column | str,
+) -> Column:
+    """Inverse of ``quantize_int8``: ``x̂[i] = (q[i] + 128)·scale + min``."""
+    q = F.col(qvec) if isinstance(qvec, str) else qvec
+    s = F.col(scale) if isinstance(scale, str) else scale
+    m = F.col(vmin) if isinstance(vmin, str) else vmin
+    return F.transform(
+        q, lambda e: (e.cast("double") + F.lit(128.0)) * s + m
     )
 
 

@@ -85,12 +85,16 @@ def clean_corpus(
     # dups, which the exact pass above already collapsed. On corpora
     # where no bucket reaches the cap it is a no-op (the oracle relies
     # on that at test scale).
+    # widen=False: exact_kept is already partitioned by the dedup
+    # window's shuffle, so the probe-and-repartition would be a no-op
+    # that still pays a full plan→RDD conversion on the driver.
     cand = minhash_lsh_candidates(
         exact_kept, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, widen=False,
     )
     near = jaccard_verify(
-        cand, exact_kept, text_col, id_col, threshold=jaccard_threshold
+        cand, exact_kept, text_col, id_col, threshold=jaccard_threshold,
+        widen=False,
     ).select(F.col("id_b").alias(id_col))
     kept = exact_kept.join(near, id_col, "left_anti")
     return kept.select(id_col, "lang_pred", "n_words")
