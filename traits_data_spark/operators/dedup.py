@@ -556,6 +556,24 @@ def connected_components(
         labels = new_labels.select("id", "label")
         if not any_changed:
             break
+        # Path compression (pointer doubling): label <- label(label).
+        # Neighbour propagation alone advances one hop per round, so a
+        # chain of diameter d needs d rounds; jumping through the label
+        # node's own label halves remaining path lengths each round,
+        # giving O(log d) convergence. A label always points at a
+        # smaller id that is itself labelled, so the self-join is total
+        # (left join only for safety at the component minimum).
+        hop = labels.select(
+            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+        )
+        labels = (
+            labels.join(hop, labels["label"] == hop["__lid"], "left")
+            .select(
+                "id",
+                F.coalesce("__llabel", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 
