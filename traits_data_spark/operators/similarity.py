@@ -85,6 +85,16 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _bucket_expr(v: Column, dim: int, n_planes: int, seed: int) -> Column:
+    """Random-hyperplane signature expression: Σ 2^i·[v·p_i > 0]."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket: Column = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(v, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
 def with_lsh_bucket(
     df: DataFrame,
     vec_col: str,
@@ -94,13 +104,8 @@ def with_lsh_bucket(
     out_col: str = "bucket",
 ) -> DataFrame:
     """Random-hyperplane signature: bucket = Σ 2^i·[v·p_i > 0]."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucket: Column = F.lit(0).cast("long")
     v = F.col(vec_col).cast("array<double>")
-    for i, p in enumerate(planes):
-        proj = dot(v, F.array(*[F.lit(x) for x in p]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return df.withColumn(out_col, bucket)
+    return df.withColumn(out_col, _bucket_expr(v, dim, n_planes, seed))
 
 
 def ivf_topk(
@@ -381,17 +386,37 @@ def lsh_topk_multiprobe(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    cands = None
-    for t in range(n_tables):
-        cb = with_lsh_bucket(c_ids, "__cv", dim, n_planes, seed + t).select(
-            "neighbor_id", "bucket"
+
+    # melt: one (id, table_idx, bucket) row per table, then ONE join on
+    # the composite key — same candidate set as per-table joins+union,
+    # at one exchange instead of n_tables (the band-melt shape from
+    # minhash_lsh_candidates)
+    def melt(df: DataFrame, id_name: str, vec_name: str) -> DataFrame:
+        tables = [
+            F.struct(
+                F.lit(t).alias("table_idx"),
+                _bucket_expr(
+                    F.col(vec_name), dim, n_planes, seed + t
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+        return df.select(
+            id_name, F.explode(F.array(*tables)).alias("__t")
+        ).select(
+            id_name,
+            F.col("__t.table_idx").alias("table_idx"),
+            F.col("__t.bucket").alias("bucket"),
         )
-        qb = with_lsh_bucket(q_ids, "__qv", dim, n_planes, seed + t).select(
-            "query_id", "bucket"
-        )
-        pair = cb.join(qb, "bucket").select("query_id", "neighbor_id")
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+
+    cb = melt(c_ids, "neighbor_id", "__cv")
+    qb = melt(q_ids, "query_id", "__qv")
+    cands = (
+        cb.join(qb, ["table_idx", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
     scored = (
         cands.join(c_ids, "neighbor_id")
         .join(F.broadcast(q_ids), "query_id")
