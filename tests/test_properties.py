@@ -152,3 +152,46 @@ def test_kmv_exact_below_k_and_bounded_above(spark, values, k):
         assert row["distinct_est"] == n
     else:
         assert row["distinct_est"] >= 1
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@_settings
+def test_quantize_roundtrip_error_bound_property(spark, vecs):
+    """Every int8 code is in range and reconstruction lands within half
+    a quantization step of the original component."""
+    from traits_data_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    # pad ragged vectors to a fixed dim (quantization is per-row, the
+    # dim just has to be consistent within a row — it already is)
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qd = quantize_int8(df)
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            dequantize_int8("qvec", "q_scale", "q_min"),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    got = qd.select(
+        "q_scale",
+        err.alias("max_err"),
+        F.array_min("qvec").alias("cmin"),
+        F.array_max("qvec").alias("cmax"),
+    ).collect()
+    for r in got:
+        assert -128 <= r["cmin"] and r["cmax"] <= 127
+        assert r["max_err"] <= r["q_scale"] / 2 + 1e-9

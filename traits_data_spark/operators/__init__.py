@@ -19,6 +19,11 @@ from traits_data_spark.operators.dedup import (
     incremental_lsh_candidates,
     ngram_decontaminate,
 )
+from traits_data_spark.operators.similarity import (
+    dequantize_int8,
+    ivf_topk_hyperplane,
+    quantize_int8,
+)
 from traits_data_spark.operators.text import redact_pii, repetition_features
 from traits_data_spark.operators.sketches import kmv_distinct
 from traits_data_spark.operators.windows import (
@@ -54,6 +59,9 @@ __all__ = [
     "dedup_clusters",
     "incremental_lsh_candidates",
     "ngram_decontaminate",
+    "dequantize_int8",
+    "ivf_topk_hyperplane",
+    "quantize_int8",
     "redact_pii",
     "repetition_features",
     "kmv_distinct",
