@@ -421,10 +421,11 @@ def _candidate_shingles(
     widen: bool = True,
 ) -> DataFrame:
     """``(__jid, __jsh)`` shingle table for candidate-pair members only."""
+    # one scan of the candidate pairs instead of a 2-scan union
     ids = (
-        candidates.select(F.col("id_a").alias("__jid"))
-        .union(candidates.select(F.col("id_b").alias("__jid")))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias("__jid")
+        ).distinct()
     )
     narrow = df.select(F.col(id_col).alias("__jid"), F.col(text_col))
     if widen:
