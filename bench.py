@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "lsh_topk_multiprobe",
     "ivf_topk",
     "quantize_embeddings",
+    "knn_label_eval",
+    "char_entropy",
     "embedding_near_dups",
     "clean_corpus",
     "event_sessions",

@@ -219,3 +219,29 @@ def test_quantize_int8_constant_vector(spark):
     assert r["qvec"] == [-128] * 4
     assert r["q_scale"] == 0.0
     assert r["rec"] == [0.5] * 4  # (q+128)*0 + min == min exactly
+
+
+def test_knn_label_eval_planted_clusters(spark):
+    """Two well-separated label clusters: every query's kNN majority
+    label is its own label with full agreement."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import knn_label_eval
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        base = 10.0 if i % 2 == 0 else -10.0
+        rows.append(
+            (i, [base + rng.gauss(0, 0.1) for _ in range(8)], i % 2)
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = knn_label_eval(
+        df, df.filter(F.col("vec_id") < 4), dim=8, k=3
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["is_correct"]
+        assert r["agreement"] == 1.0

@@ -123,3 +123,29 @@ def test_redact_pii_classes_and_counts(spark):
     assert rows[2]["clean_text"] == "server at [IP] and [IP] up"
     assert rows[3]["clean_text"] == "no pii here"
     assert rows[3]["n_email"] == rows[3]["n_ip"] == rows[3]["n_phone"] == 0
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from traits_data_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),       # single symbol → 0 bits
+            (2, "abab"),       # two equiprobable → 1 bit
+            (3, "!!!"),        # skeleton empty → 0.0
+            (4, "abcd"),       # four equiprobable → 2 bits
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == 0.0
+    assert got[4] == 2.0
+    # a non-uniform case vs the closed form
+    df2 = spark.createDataFrame([(9, "aab")], ["doc_id", "text"])
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    got2 = char_entropy(df2).collect()[0]["char_entropy"]
+    assert abs(got2 - round(want, 4)) < 1e-9

@@ -72,12 +72,14 @@ from traits_data_spark.operators.similarity import (
     dequantize_int8,
     embedding_near_dups,
     ivf_topk_hyperplane,
+    knn_label_eval,
     lsh_bucketed_topk,
     lsh_topk_multiprobe,
     quantize_int8,
 )
 from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.operators.text import (
+    char_entropy,
     document_fingerprint,
     identify_language,
     quality_features,
@@ -1105,6 +1107,46 @@ SELECT query_id, neighbor_id, cosine + 0.0 AS cosine, rk FROM r WHERE rk <= {TOP
 """
 
 
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN probe eval of the embedding space: majority neighbour label
+    per query, agreement fraction, and own-label accuracy flag."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label_eval(
+        emb, emb.filter(F.expr(_QUERY_PRED)), dim=EMB_DIM, k=TOPK
+    )
+
+
+_KNN_EVAL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+           FROM embeddings WHERE {_QUERY_PRED}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, c.label AS nlabel,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+           AS cosine
+  FROM c, q WHERE neighbor_id != query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk FROM s),
+v AS (
+  SELECT query_id, nlabel, COUNT(*) AS votes
+  FROM r WHERE rk <= {TOPK} GROUP BY query_id, nlabel
+),
+m AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, nlabel) AS mrk
+  FROM v
+)
+SELECT m.query_id, m.nlabel AS knn_label,
+       CAST(m.votes AS DOUBLE) / {float(TOPK)} AS agreement,
+       m.nlabel = q.label AS is_correct
+FROM m JOIN q ON m.query_id = q.query_id
+WHERE m.mrk = 1
+"""
+
+
 def _bucket_sql(v: str, n_planes: int, seed: int = 42) -> str:
     planes = _hyperplanes(EMB_DIM, n_planes, seed)
     terms = []
@@ -1464,6 +1506,47 @@ WHERE doc_id NOT IN (SELECT id_b FROM near)
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 # ---------------------------------------------------------------------------
+
+
+_LN2 = 0.6931471805599453
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy (bits) — the cheap
+    perplexity proxy; entropy terms summed as scaled BIGINTs so the
+    cross-row sum is partitioning-independent."""
+    docs = _docs_wide(spark, sf_dir)
+    return char_entropy(docs)
+
+
+_CHAR_ENTROPY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS skel
+  FROM documents
+),
+ch AS (SELECT doc_id, unnest(string_split(skel, '')) AS ch FROM d),
+cc AS (
+  SELECT doc_id, ch, COUNT(*) AS cnt FROM ch
+  WHERE length(ch) > 0 GROUP BY doc_id, ch
+),
+t AS (
+  SELECT doc_id, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS total FROM cc
+),
+p AS (
+  SELECT doc_id, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS pd FROM t
+),
+s AS (
+  SELECT doc_id,
+         CAST(ROUND(-pd * ln(pd) / {_LN2} * 1e9) AS BIGINT) AS term
+  FROM p
+),
+e AS (
+  SELECT doc_id, CAST(SUM(term) AS DOUBLE) / 1e9 AS ent FROM s GROUP BY doc_id
+)
+SELECT b.doc_id, COALESCE(round(e.ent, 4), 0.0) AS char_entropy
+FROM (SELECT DISTINCT doc_id FROM documents) b
+LEFT JOIN e USING (doc_id)
+"""
 
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2466,6 +2549,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "ivf_topk": q_ivf_topk,
     "quantize_embeddings": q_quantize_embeddings,
+    "knn_label_eval": q_knn_label_eval,
+    "char_entropy": q_char_entropy,
     "clean_corpus": q_clean_corpus,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
@@ -2541,6 +2626,8 @@ def oracle_sqls() -> dict[str, str]:
         "lsh_topk_multiprobe": _lsh_multiprobe_sql(),
         "ivf_topk": _ivf_sql(),
         "quantize_embeddings": _QUANTIZE_SQL,
+        "knn_label_eval": _KNN_EVAL_SQL,
+        "char_entropy": _CHAR_ENTROPY_SQL,
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),

@@ -186,6 +186,62 @@ def ivf_topk(
     )
 
 
+def knn_label_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Embedding-quality probe: for each query vector, the majority
+    label among its k nearest corpus neighbours (exact cosine), the
+    agreement fraction, and whether it matches the query's own label.
+
+    The standard representation-quality eval (kNN probe accuracy)
+    as one plan: brute-force top-k (broadcast query side) → count
+    labels per query → majority via one more tiny aggregation.
+    Ties break on (count desc, label asc) — deterministic, so a SQL
+    oracle reproduces it. At 100 TB the top-k stage is the cost;
+    swap in the LSH/IVF candidate generators for approximate probes.
+    """
+    nn = cosine_topk_bruteforce(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nlabel"),
+    )
+    counts = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "__nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__nlabel").asc()
+    )
+    majority = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "query_id",
+            F.col("__nlabel").alias("knn_label"),
+            (F.col("votes").cast("double") / F.lit(float(k))).alias(
+                "agreement"
+            ),
+        )
+    )
+    own = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__qlabel")
+    )
+    return (
+        majority.join(F.broadcast(own), "query_id")
+        .withColumn("is_correct", F.col("knn_label") == F.col("__qlabel"))
+        .select("query_id", "knn_label", "agreement", "is_correct")
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -9,6 +9,7 @@ so correctness oracles can recompute them exactly.
 
 from __future__ import annotations
 
+import math
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -327,6 +328,51 @@ def repetition_features(
         F.col("id").alias(id_col),
         F.col(f"__total_{ns[0]}").alias(f"total_{_name(ns[0])}s"),
         *[c.alias(name) for name, c in out_cols.items()],
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "char_entropy",
+    round_to: int = 4,
+) -> DataFrame:
+    """Shannon entropy (bits) of the per-document character
+    distribution over the lowercased ``[a-z0-9 ]`` skeleton — the
+    cheap perplexity proxy (low entropy = repetitive/degenerate text,
+    near-uniform = random noise; both are quality-gate signals).
+
+    Scale shape: explode chars → count per (doc, char) → one integer
+    window for the doc total → sum. Each entropy term is rounded to
+    1e-9 and summed as a scaled BIGINT, so the cross-row sum is
+    order-independent — bit-identical on any engine/partitioning
+    (cross-row double sums are not). Docs whose skeleton is empty get
+    entropy 0.
+    """
+    skel = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    chars = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(skel, "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy("id"))
+    p = F.col("cnt").cast("double") / F.col("__total").cast("double")
+    term = F.round(-p * F.log(p) / F.lit(math.log(2)) * 1e9).cast("long")
+    per_doc = (
+        counts.withColumn("__total", total)
+        .withColumn("__term", term)
+        .groupBy("id")
+        .agg(F.sum("__term").alias("__tsum"))
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.col("__tsum").cast("double") / 1e9, round_to).alias(
+                out_col
+            ),
+        )
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(per_doc, id_col, "left").withColumn(
+        out_col, F.coalesce(out_col, F.lit(0.0))
     )
 
 
