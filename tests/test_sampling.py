@@ -150,3 +150,26 @@ def test_token_budget_deterministic_tiebreak(spark):
         ).collect()
     )
     assert kept == [10, 11]
+
+
+def test_cluster_split_no_near_dup_leakage(spark, documents):
+    """All members of a duplicate cluster share one split label."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_near_dups,
+    )
+    from traits_data_spark.operators.sampling import hash_split
+
+    docs = documents.select("doc_id", "text")
+    pairs = simhash_near_dups(docs, "text", "doc_id", bands=4, max_hamming=6)
+    clustered = dedup_clusters(docs, pairs, "doc_id")
+    out = hash_split(clustered, "component")
+    leaks = (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaks == 0

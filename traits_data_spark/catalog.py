@@ -846,6 +846,38 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the duplicate-CLUSTER
+    component, not the doc id, so near-duplicate documents can never
+    straddle splits (splitting by doc id leaks eval content whenever a
+    near-dup of a training doc lands in test — the cluster id is the
+    right unit of assignment)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(
+        docs, "text", "doc_id",
+        bands=SIMHASH_BANDS, max_hamming=SIMHASH_MAX_HAMMING,
+    )
+    clustered = dedup_clusters(docs, pairs, "doc_id")
+    return hash_split(clustered, "component").select(
+        "doc_id", "component", "split"
+    )
+
+
+def _cluster_split_sql() -> str:
+    return f"""
+WITH clustered AS ({_dup_clusters_sql()})
+SELECT doc_id, component,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component,
+         {_H60.format(x="CAST(component AS VARCHAR)")} % 10000 AS b
+  FROM clustered
+)
+"""
+
+
 DECON_N = 5
 DECON_BENCH_SOURCE = "src0"
 
@@ -2551,6 +2583,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "quantize_embeddings": q_quantize_embeddings,
     "knn_label_eval": q_knn_label_eval,
     "char_entropy": q_char_entropy,
+    "cluster_split": q_cluster_split,
     "clean_corpus": q_clean_corpus,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
@@ -2628,6 +2661,7 @@ def oracle_sqls() -> dict[str, str]:
         "quantize_embeddings": _QUANTIZE_SQL,
         "knn_label_eval": _KNN_EVAL_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
+        "cluster_split": _cluster_split_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),

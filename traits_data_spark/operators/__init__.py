@@ -24,7 +24,12 @@ from traits_data_spark.operators.similarity import (
     ivf_topk_hyperplane,
     quantize_int8,
 )
-from traits_data_spark.operators.text import redact_pii, repetition_features
+from traits_data_spark.operators.similarity import knn_label_eval
+from traits_data_spark.operators.text import (
+    char_entropy,
+    redact_pii,
+    repetition_features,
+)
 from traits_data_spark.operators.sketches import kmv_distinct
 from traits_data_spark.operators.windows import (
     cumcount,
@@ -59,8 +64,10 @@ __all__ = [
     "dedup_clusters",
     "incremental_lsh_candidates",
     "ngram_decontaminate",
+    "char_entropy",
     "dequantize_int8",
     "ivf_topk_hyperplane",
+    "knn_label_eval",
     "quantize_int8",
     "redact_pii",
     "repetition_features",
