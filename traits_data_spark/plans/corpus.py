@@ -27,7 +27,6 @@ from traits_data_spark.operators.dedup import (
     widen_if_narrow,
 )
 from traits_data_spark.operators.text import identify_language, quality_features
-from traits_data_spark.operators.windows import dedup_keep_best
 
 
 def clean_corpus(
@@ -58,23 +57,24 @@ def clean_corpus(
         & (F.col("lang_pred") != drop_lang)
     )
 
-    # Exact dedup: keep each content group's smallest id. The window
-    # form is one shuffle on the content hash; the equivalent
-    # exact_dedup + semi-join shape costs a groupBy shuffle AND a join
-    # back. The persist is the plan's one barrier: the exact-kept set
-    # feeds shingling, both jaccard sides, and the final anti-join —
-    # without it Catalyst re-derives the whole regex-heavy scoring
-    # subtree at every consumer (and the fused quality+langid+minhash
-    # projection overflows whole-stage codegen).
+    # Exact dedup: keep each content group's smallest id, as ONE
+    # min_by aggregation on the content hash — partial aggregation
+    # collapses duplicate groups map-side before the exchange, so the
+    # shuffle moves one row per distinct content even when the corpus
+    # is dup-heavy (the window form shuffles every row, then sorts).
+    # The persist is the plan's one barrier: the exact-kept set feeds
+    # shingling, both jaccard sides, and the final anti-join — without
+    # it Catalyst re-derives the whole regex-heavy scoring subtree at
+    # every consumer (and the fused quality+langid+minhash projection
+    # overflows whole-stage codegen).
+    row = F.struct(*[F.col(c) for c in filtered.columns])
     exact_kept = (
-        dedup_keep_best(
-            filtered.withColumn(
-                "__ch", portable_hash64(normalized_text(text_col))
-            ),
-            ["__ch"],
-            [F.col(id_col)],
+        filtered.withColumn(
+            "__ch", portable_hash64(normalized_text(text_col))
         )
-        .drop("__ch")
+        .groupBy("__ch")
+        .agg(F.min_by(row, F.col(id_col)).alias("__r"))
+        .select("__r.*")
         .persist()
     )
 
@@ -86,8 +86,8 @@ def clean_corpus(
     # where no bucket reaches the cap it is a no-op (the oracle relies
     # on that at test scale).
     # widen=False: exact_kept is already partitioned by the dedup
-    # window's shuffle, so the probe-and-repartition would be a no-op
-    # that still pays a full plan→RDD conversion on the driver.
+    # aggregation's shuffle, so the probe-and-repartition would be a
+    # no-op that still pays a full plan→RDD conversion on the driver.
     cand = minhash_lsh_candidates(
         exact_kept, text_col, id_col, num_hashes=num_hashes, bands=bands,
         max_bucket_size=max_bucket_size, widen=False,
