@@ -2014,6 +2014,40 @@ FROM (
 """
 
 
+def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (pre-aggregate on (key, salt),
+    merge per key) over lineitem — result-identical to the plain
+    GROUP BY the oracle runs, which is exactly the point: salting
+    changes the shuffle shape, never the answer. Partials are integer
+    (cents), so the merge is order-independent cross-engine."""
+    from traits_data_spark.operators.skew import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "qty_cents": F.sum(
+                F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+            ),
+            "n_rows": F.count(F.lit(1)),
+            "max_price_cents": F.max(
+                F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            ),
+        },
+        combiners={"max_price_cents": F.max},
+    )
+
+
+_SALTED_STATS_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       COUNT(1) AS n_rows,
+       MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS max_price_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles (A10 distribution sanity as data) —
     linear interpolation is bit-identical to DuckDB quantile_cont."""
@@ -2584,6 +2618,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "knn_label_eval": q_knn_label_eval,
     "char_entropy": q_char_entropy,
     "cluster_split": q_cluster_split,
+    "salted_stats": q_salted_stats,
     "clean_corpus": q_clean_corpus,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
@@ -2662,6 +2697,7 @@ def oracle_sqls() -> dict[str, str]:
         "knn_label_eval": _KNN_EVAL_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
         "cluster_split": _cluster_split_sql(),
+        "salted_stats": _SALTED_STATS_SQL,
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),
