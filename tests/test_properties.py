@@ -195,3 +195,47 @@ def test_quantize_roundtrip_error_bound_property(spark, vecs):
     for r in got:
         assert -128 <= r["cmin"] and r["cmax"] <= 127
         assert r["max_err"] <= r["q_scale"] / 2 + 1e-9
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    return {n: find(n) for n in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation + pointer doubling == union-find on random
+    graphs (self-loops and duplicate edges included)."""
+    from traits_data_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _uf_components(edges)
+    assert got == want
