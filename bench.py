@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "incremental_merge",
     "top_terms",
     "chunk_docs",
+    "cdc_chunks",
     "pack_sequences",
     "training_prep",
 ]

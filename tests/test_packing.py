@@ -102,3 +102,48 @@ def test_chunk_null_text_yields_no_chunks(spark):
     # null text drops the document (posexplode of a null sequence);
     # filter/repair nulls upstream if they must be kept
     assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_cdc_chunks_tile_documents(spark, documents):
+    """Chunks exactly tile [1, len(text)] with no gaps or overlaps."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.packing import cdc_chunks
+
+    docs = documents.select("doc_id", "text").limit(30)
+    rows = cdc_chunks(docs).orderBy("id", "chunk_idx").collect()
+    lens = {r["doc_id"]: len(r["text"]) for r in docs.collect()}
+    pos = {}
+    for r in rows:
+        expect = pos.get(r["id"], 1)
+        assert r["chunk_start"] == expect
+        assert r["chunk_len"] >= 1
+        pos[r["id"]] = r["chunk_start"] + r["chunk_len"]
+    for did, nxt in pos.items():
+        assert nxt - 1 == lens[did]
+
+
+def test_cdc_chunks_edit_resilience(spark):
+    """Inserting a prefix changes only the chunks up to the first
+    boundary past the edit — later chunk hashes re-align (the property
+    fixed-size chunking lacks)."""
+    import random
+
+    from traits_data_spark.operators.packing import cdc_chunks
+
+    rng = random.Random(11)
+    text = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000)
+    )
+    edited = "XYZ" + text
+    df = spark.createDataFrame(
+        [(1, text), (2, edited)], ["doc_id", "text"]
+    )
+    out = cdc_chunks(df).collect()
+    h1 = [r["chunk_hash"] for r in out if r["id"] == 1]
+    h2 = [r["chunk_hash"] for r in out if r["id"] == 2]
+    shared = set(h1) & set(h2)
+    # all but the first chunk(s) before the first boundary re-align
+    assert len(shared) >= len(h1) - 2
+    # and the tail is identical in order
+    assert h1[-3:] == h2[-3:]

@@ -109,7 +109,11 @@ from traits_data_spark.plans.silver import (
 )
 from traits_data_spark.operators.incremental import merge_aggregate_states
 from traits_data_spark.operators.layout import zvalue, zvalue_sql
-from traits_data_spark.operators.packing import chunk_documents, pack_contiguous
+from traits_data_spark.operators.packing import (
+    cdc_chunks,
+    chunk_documents,
+    pack_contiguous,
+)
 from traits_data_spark.operators.pivot import pivot_wide
 from traits_data_spark.operators.sampling import (
     hash_split,
@@ -2014,6 +2018,54 @@ FROM (
 """
 
 
+CDC_WINDOW = 8
+CDC_MODULUS = 64
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: hash-anchored boundaries so edits
+    shift only local chunks — the chunk-level-dedup companion to the
+    fixed-size ``chunk_docs``."""
+    docs = _docs_wide(spark, sf_dir)
+    return cdc_chunks(
+        docs, window=CDC_WINDOW, modulus=CDC_MODULUS
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _cdc_sql() -> str:
+    w, m = CDC_WINDOW, CDC_MODULUS
+    h28 = "CAST(('0x' || substring(md5({x}), 1, 7)) AS BIGINT)"
+    bexpr = h28.format(x=f"substring(text, p - {w - 1}, {w})")
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len FROM documents
+  WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, text, len, unnest(range({w}, len + 1)) AS p FROM d
+),
+b AS (
+  SELECT doc_id, p AS e FROM pos WHERE {bexpr} % {m} = 0
+),
+ends AS (
+  SELECT doc_id, e FROM b
+  UNION
+  SELECT doc_id, len AS e FROM d WHERE len >= 1
+),
+sp AS (
+  SELECT doc_id, e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx,
+         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+  FROM ends
+)
+SELECT sp.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(e - s + 1 AS BIGINT) AS chunk_len,
+       {_H60.format(x="substring(d.text, CAST(s AS INT), CAST(e - s + 1 AS INT))")} AS chunk_hash
+FROM sp JOIN d USING (doc_id)
+"""
+
+
 def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (pre-aggregate on (key, salt),
     merge per key) over lineitem — result-identical to the plain
@@ -2619,6 +2671,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "char_entropy": q_char_entropy,
     "cluster_split": q_cluster_split,
     "salted_stats": q_salted_stats,
+    "cdc_chunks": q_cdc_chunks,
     "clean_corpus": q_clean_corpus,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
@@ -2698,6 +2751,7 @@ def oracle_sqls() -> dict[str, str]:
         "char_entropy": _CHAR_ENTROPY_SQL,
         "cluster_split": _cluster_split_sql(),
         "salted_stats": _SALTED_STATS_SQL,
+        "cdc_chunks": _cdc_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),

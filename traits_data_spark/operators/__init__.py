@@ -2,7 +2,11 @@ from traits_data_spark.operators.any_union import union_with_coarse_group
 from traits_data_spark.operators.flatten import flatten_struct_columns, flattened_columns
 from traits_data_spark.operators.incremental import merge_aggregate_states
 from traits_data_spark.operators.layout import write_zordered, zvalue
-from traits_data_spark.operators.packing import chunk_documents, pack_contiguous
+from traits_data_spark.operators.packing import (
+    cdc_chunks,
+    chunk_documents,
+    pack_contiguous,
+)
 from traits_data_spark.operators.pivot import pivot_wide, unpivot_long
 from traits_data_spark.operators.sampling import (
     deterministic_sample,
@@ -49,6 +53,7 @@ __all__ = [
     "merge_aggregate_states",
     "write_zordered",
     "zvalue",
+    "cdc_chunks",
     "chunk_documents",
     "pack_contiguous",
     "pivot_wide",

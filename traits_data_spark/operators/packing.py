@@ -24,6 +24,95 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: boundaries where the hash of the
+    trailing ``window``-char substring ≡ 0 (mod ``modulus``).
+
+    Unlike fixed-size chunking, CDC boundaries are anchored to CONTENT,
+    so an insertion early in a document shifts only the chunks up to
+    the next boundary — every later chunk re-aligns and hashes
+    identically, which is what makes chunk-level dedup survive edits
+    (the rsync/LBFS principle). Expected chunk length ≈ ``modulus``.
+
+    Pure expressions: boundary positions via a let-bound
+    filter-over-sequence (one md5 per position — same cost class as
+    shingling), chunk spans assembled array-side, one ``posexplode``.
+    Deterministic and engine-portable (md5-derived hash), so a SQL
+    oracle reproduces every span. Documents shorter than ``window``
+    yield one chunk; null text is dropped.
+
+    Output: ``(id, chunk_idx, chunk_start, chunk_len, chunk_hash)``
+    with 1-based ``chunk_start`` and the portable 60-bit hash of the
+    chunk text (the chunk-level dedup key).
+    """
+    from traits_data_spark.functions.scalars import portable_hash64
+    from traits_data_spark.operators.dedup import _let
+
+    df = df.filter(F.col(text_col).isNotNull())
+
+    def spans(t: Column) -> Column:
+        length = F.length(t)
+        pos = F.when(
+            length >= window, F.sequence(F.lit(window), length)
+        ).otherwise(F.array().cast("array<int>"))
+        is_boundary = (
+            lambda p: F.conv(
+                F.substring(F.md5(t.substr(p - (window - 1), F.lit(window))), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % modulus
+            == 0
+        )
+        ends_expr = F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.filter(pos, is_boundary),
+                    F.when(length >= 1, F.array(length)).otherwise(
+                        F.array().cast("array<int>")
+                    ),
+                )
+            )
+        )
+
+        # let-bind the boundary array: the indexed lambda reads
+        # ends[i-1], and an unbound reference would recompute the
+        # whole O(len) boundary scan per chunk
+        def mk(ends: Column) -> Column:
+            return F.transform(
+                ends,
+                lambda e, i: F.struct(
+                    F.when(i == 0, F.lit(1))
+                    .otherwise(F.try_element_at(ends, i) + 1)
+                    .alias("start"),
+                    e.alias("end"),
+                ),
+            )
+
+        return _let(ends_expr, mk)
+
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        F.posexplode(_let(F.col(text_col), spans)).alias("chunk_idx", "__s"),
+    )
+    start = F.col("__s.start")
+    clen = F.col("__s.end") - start + 1
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("chunk_start"),
+        clen.cast("long").alias("chunk_len"),
+        portable_hash64(F.col("__t").substr(start, clen)).alias("chunk_hash"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
