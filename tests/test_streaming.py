@@ -125,3 +125,73 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM dd").collect()}
     assert set(got) == {1, 2}
     assert got[1] in ("a", "a-dup") and len(got) == 2
+
+
+def test_streaming_incremental_lsh_dedup(spark, tmp_path, documents):
+    """E2E: a file stream of new documents is near-dup-mined against a
+    persisted LSH band index inside foreachBatch — history is never
+    re-shingled, and the resulting candidate set matches a full batch
+    re-run over (history + new docs)."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.dedup import (
+        banded_signatures,
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+
+    docs = documents.select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") < 400)
+    new_docs = docs.filter(F.col("doc_id") >= 400).limit(50)
+
+    # persisted index for the existing corpus (the steady-state asset)
+    index_path = str(tmp_path / "band_index")
+    banded_signatures(history, "text", "doc_id", num_hashes=16, bands=4)\
+        .write.parquet(index_path)
+
+    # land the new docs as a JSON file stream
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    pdf = new_docs.toPandas()
+    (landing / "batch0.json").write_text(
+        pdf.to_json(orient="records", lines=True)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(landing))
+    )
+    out_path = str(tmp_path / "cands")
+
+    def _mine(batch_df, batch_id):
+        idx = batch_df.sparkSession.read.parquet(index_path)
+        cands = incremental_lsh_candidates(
+            batch_df, idx, "text", "doc_id", num_hashes=16, bands=4
+        )
+        cands.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_mine)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # ground truth: full batch re-run over history + new docs, keeping
+    # only pairs that touch a new doc (the increment a stream adds)
+    new_ids = {r["doc_id"] for r in new_docs.collect()}
+    full = minhash_lsh_candidates(
+        history.unionByName(new_docs), "text", "doc_id",
+        num_hashes=16, bands=4,
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == want and got

@@ -2066,6 +2066,53 @@ FROM sp JOIN d USING (doc_id)
 """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level dedup over CDC chunks: per document,
+    how many of its chunks also occur elsewhere (hash shared with ≥2
+    (doc, chunk) occurrences) — the boilerplate/quotation detector
+    that document-level dedup can't see, and the reason CDC boundaries
+    beat fixed-size ones (edits don't break the alignment)."""
+    docs = _docs_wide(spark, sf_dir)
+    ch = cdc_chunks(docs, window=CDC_WINDOW, modulus=CDC_MODULUS)
+    counts = ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    per_doc = (
+        ch.join(counts, "chunk_hash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__occ") >= 2, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        "n_chunks",
+        F.col("dup_chunks").cast("long").alias("dup_chunks"),
+        F.round(
+            F.col("dup_chunks").cast("double") / F.col("n_chunks"), 4
+        ).alias("dup_chunk_frac"),
+    )
+
+
+def _chunk_dedup_sql() -> str:
+    return f"""
+WITH ch AS ({_cdc_sql()}),
+occ AS (SELECT chunk_hash, COUNT(*) AS n_occ FROM ch GROUP BY chunk_hash),
+pd AS (
+  SELECT ch.doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN occ.n_occ >= 2 THEN 1 ELSE 0 END) AS dup_chunks
+  FROM ch JOIN occ USING (chunk_hash)
+  GROUP BY ch.doc_id
+)
+SELECT doc_id, n_chunks, CAST(dup_chunks AS BIGINT) AS dup_chunks,
+       round(CAST(dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_chunk_frac
+FROM pd
+"""
+
+
 def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (pre-aggregate on (key, salt),
     merge per key) over lineitem — result-identical to the plain
@@ -2672,6 +2719,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "cluster_split": q_cluster_split,
     "salted_stats": q_salted_stats,
     "cdc_chunks": q_cdc_chunks,
+    "chunk_dedup": q_chunk_dedup,
     "clean_corpus": q_clean_corpus,
     "quality_features": q_quality_features,
     "identify_language": q_identify_language,
@@ -2752,6 +2800,7 @@ def oracle_sqls() -> dict[str, str]:
         "cluster_split": _cluster_split_sql(),
         "salted_stats": _SALTED_STATS_SQL,
         "cdc_chunks": _cdc_sql(),
+        "chunk_dedup": _chunk_dedup_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "identify_language": _langid_sql(),
