@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition_features",
     "cosine_topk",
+    "cosine_topk_quantized",
     "lsh_topk",
     "lsh_topk_multiprobe",
     "ivf_topk",

@@ -245,3 +245,28 @@ def test_knn_label_eval_planted_clusters(spark):
     for r in out:
         assert r["is_correct"]
         assert r["agreement"] == 1.0
+
+
+def test_quantized_topk_high_recall_vs_exact(spark, embeddings):
+    """SQ8 scoring preserves the exact neighbourhood almost perfectly
+    on real embeddings: top-k overlap with float scoring stays high
+    and the top-1 neighbour matches for most queries."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+    )
+
+    emb = embeddings.limit(200).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=5)
+    quant = cosine_topk_quantized(emb, queries, dim=64, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qs = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    recall = len(e & qs) / len(e)
+    assert recall >= 0.9
+    e1 = {r["query_id"]: r["neighbor_id"] for r in exact.collect() if r["rk"] == 1}
+    q1 = {r["query_id"]: r["neighbor_id"] for r in quant.collect() if r["rk"] == 1}
+    top1 = sum(e1[q] == q1[q] for q in e1) / len(e1)
+    assert top1 >= 0.8

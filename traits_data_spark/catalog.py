@@ -69,6 +69,7 @@ from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk_bruteforce,
+    cosine_topk_quantized,
     dequantize_int8,
     embedding_near_dups,
     ivf_topk_hyperplane,
@@ -1140,6 +1141,69 @@ s AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, cosine + 0.0 AS cosine, rk FROM r WHERE rk <= {TOPK}
+"""
+
+
+def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-style top-k scored on int8 codes: one exact integer dot
+    product per pair + per-row scalar algebra — the 4× bandwidth cut
+    applied to the scoring loop itself, with an EXACT oracle because
+    integer sums are order-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_quantized(
+        emb, emb.filter(F.expr(_QUERY_PRED)), dim=EMB_DIM, k=TOPK
+    ).withColumn("rk", F.col("rk").cast("long"))
+
+
+_QUANT_TOPK_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+st AS (
+  SELECT vec_id, x, list_min(x) AS lo,
+         (list_max(x) - list_min(x)) / 255.0 AS s
+  FROM v
+),
+u AS (
+  SELECT vec_id, lo, s,
+         list_transform(
+           x, e -> CAST(CASE WHEN s > 0 THEN round((e - lo) / s)
+                        ELSE 0 END AS BIGINT)
+         ) AS uv
+  FROM st
+),
+m AS (
+  SELECT vec_id, lo, s, uv,
+         CAST(list_sum(uv) AS BIGINT) AS su,
+         CAST(list_sum(list_transform(uv, y -> y * y)) AS BIGINT) AS suu
+  FROM u
+),
+q AS (SELECT vec_id AS query_id, lo AS qlo, s AS qs, uv AS quv,
+             su AS qsu, suu AS qsuu
+      FROM m WHERE {_QUERY_PRED}),
+c AS (SELECT vec_id AS neighbor_id, lo, s, uv, su, suu FROM m),
+p AS (
+  SELECT query_id, neighbor_id,
+         {float(EMB_DIM)} * lo * qlo
+           + lo * qs * CAST(qsu AS DOUBLE)
+           + qlo * s * CAST(su AS DOUBLE)
+           + s * qs * CAST(list_dot_product(uv, quv) AS DOUBLE) AS dot_hat,
+         {float(EMB_DIM)} * lo * lo
+           + 2.0 * lo * s * CAST(su AS DOUBLE)
+           + s * s * CAST(suu AS DOUBLE) AS cn,
+         {float(EMB_DIM)} * qlo * qlo
+           + 2.0 * qlo * qs * CAST(qsu AS DOUBLE)
+           + qs * qs * CAST(qsuu AS DOUBLE) AS qn
+  FROM c, q WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         round(dot_hat / (sqrt(cn) * sqrt(qn)), 6) AS cosine_q
+  FROM p
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_q DESC, neighbor_id) AS rk
+       FROM r)
+SELECT query_id, neighbor_id, cosine_q, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= {TOPK}
 """
 
 
@@ -2715,6 +2779,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "ivf_topk": q_ivf_topk,
     "quantize_embeddings": q_quantize_embeddings,
     "knn_label_eval": q_knn_label_eval,
+    "cosine_topk_quantized": q_cosine_topk_quantized,
     "char_entropy": q_char_entropy,
     "cluster_split": q_cluster_split,
     "salted_stats": q_salted_stats,
@@ -2796,6 +2861,7 @@ def oracle_sqls() -> dict[str, str]:
         "ivf_topk": _ivf_sql(),
         "quantize_embeddings": _QUANTIZE_SQL,
         "knn_label_eval": _KNN_EVAL_SQL,
+        "cosine_topk_quantized": _QUANT_TOPK_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
         "cluster_split": _cluster_split_sql(),
         "salted_stats": _SALTED_STATS_SQL,

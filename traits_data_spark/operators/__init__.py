@@ -28,7 +28,10 @@ from traits_data_spark.operators.similarity import (
     ivf_topk_hyperplane,
     quantize_int8,
 )
-from traits_data_spark.operators.similarity import knn_label_eval
+from traits_data_spark.operators.similarity import (
+    cosine_topk_quantized,
+    knn_label_eval,
+)
 from traits_data_spark.operators.text import (
     char_entropy,
     redact_pii,
@@ -72,6 +75,7 @@ __all__ = [
     "char_entropy",
     "dequantize_int8",
     "ivf_topk_hyperplane",
+    "cosine_topk_quantized",
     "knn_label_eval",
     "quantize_int8",
     "redact_pii",

@@ -313,6 +313,98 @@ def dequantize_int8(
     )
 
 
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force top-k scored directly on int8 codes (SQ8-style):
+    the pairwise work is ONE integer dot product, and the float
+    reconstruction is algebra over per-row scalars.
+
+    With u = code+128 (so x̂ᵢ = lo + s·uᵢ):
+
+        x̂·ŷ  = d·lo_x·lo_y + lo_x·s_y·Σv + lo_y·s_x·Σu + s_x·s_y·(u·v)
+        ‖x̂‖² = d·lo² + 2·lo·s·Σu + s²·Σu²
+
+    Σu, Σu² are precomputed per row, so only the exact integer u·v
+    crosses the pair space — the shuffle and the O(|Q|·|C|) inner loop
+    move/process int8-derived ints, never float vectors. Integer sums
+    are order-independent, so the scores are bit-reproducible on any
+    engine — unlike float dot products, quantized scoring has an
+    EXACT oracle by construction.
+    """
+
+    def prep(df: DataFrame, id_name: str) -> DataFrame:
+        q = quantize_int8(df, vec_col=vec_col)
+        u = F.transform("qvec", lambda e: (e + F.lit(128)).cast("long"))
+        return q.select(
+            F.col(id_col).alias(id_name),
+            u.alias("__u"),
+            F.col("q_scale").alias("__s"),
+            F.col("q_min").alias("__lo"),
+            F.aggregate(u, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "__su"
+            ),
+            F.aggregate(
+                u, F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("__suu"),
+        )
+
+    c = prep(corpus, "neighbor_id")
+    q = prep(queries, "query_id").select(
+        "query_id",
+        F.col("__u").alias("__qu"),
+        F.col("__s").alias("__qs"),
+        F.col("__lo").alias("__qlo"),
+        F.col("__su").alias("__qsu"),
+        F.col("__suu").alias("__qsuu"),
+    )
+    d = float(dim)
+    uv = F.aggregate(
+        F.zip_with("__u", "__qu", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    dot_hat = (
+        F.lit(d) * F.col("__lo") * F.col("__qlo")
+        + F.col("__lo") * F.col("__qs") * F.col("__qsu").cast("double")
+        + F.col("__qlo") * F.col("__s") * F.col("__su").cast("double")
+        + F.col("__s") * F.col("__qs") * uv.cast("double")
+    )
+
+    def norm2(lo: Column, s: Column, su: Column, suu: Column) -> Column:
+        return (
+            F.lit(d) * lo * lo
+            + F.lit(2.0) * lo * s * su.cast("double")
+            + s * s * suu.cast("double")
+        )
+
+    cn = norm2(F.col("__lo"), F.col("__s"), F.col("__su"), F.col("__suu"))
+    qn = norm2(
+        F.col("__qlo"), F.col("__qs"), F.col("__qsu"), F.col("__qsuu")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_q", F.round(dot_hat / (F.sqrt(cn) * F.sqrt(qn)), round_to)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_q", "rk")
+    )
+
+
 def ivf_topk_hyperplane(
     corpus: DataFrame,
     queries: DataFrame,
