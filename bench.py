@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "pivot_stats",
     "zorder_values",
     "incremental_merge",
+    "continuous_rollup",
     "top_terms",
     "chunk_docs",
     "cdc_chunks",

@@ -53,3 +53,21 @@ def test_merge_rejects_unknown_fn(spark):
     a = spark.createDataFrame([(1, 1)], "k INT, v INT")
     with pytest.raises(ValueError, match="unknown merge"):
         merge_aggregate_states(a, a, ["k"], {"v": "avg"})
+
+
+def test_continuous_rollup_boundary_bucket_merges(spark):
+    """The mid-hour cutoff bucket must appear once with the merged
+    totals, equal to flat aggregation over all events."""
+    from traits_data_spark import catalog
+
+    out = catalog.q_continuous_rollup(spark, "/root/testdata/sf0.001")
+    flat = catalog.q_event_windows(spark, "/root/testdata/sf0.001")
+    o = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in out.collect()
+    }
+    f = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in flat.collect()
+    }
+    assert o == f

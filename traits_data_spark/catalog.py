@@ -2551,6 +2551,62 @@ def _incremental_merge_sql() -> str:
     return f"SELECT l_suppkey, {cols} FROM lineitem GROUP BY l_suppkey"
 
 
+# 2024-01-24 12:30:00 UTC — deliberately NOT hour-aligned, so the
+# boundary hour has partial state on both sides and the merge is real.
+_ROLLUP_CUTOFF_US = 1_706_099_400 * 1_000_000
+
+
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hours older than the
+    cutoff come from a pre-aggregated rollup (the materialized
+    'chunk' state), the hot tail is aggregated from raw events, and
+    the two partial-state tables merge per (hour, event_type) —
+    bit-identical to flat aggregation over everything, which is what
+    the oracle checks. The cutoff is mid-hour on purpose: the
+    boundary bucket exists in BOTH states, so the merge path is
+    exercised, not just a union."""
+    ev = _events(spark, sf_dir)
+    based = ev.select(
+        "event_type",
+        F.expr(f"({_TS_US}) DIV 3600000000 * 3600").cast("long").alias(
+            "window_start"
+        ),
+        F.expr(_TS_US).alias("__ts_us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__cents"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__cents").alias("value_cents"),
+        F.max("__cents").alias("max_single_cents"),
+    ]
+    cold = (
+        based.filter(F.col("__ts_us") < _ROLLUP_CUTOFF_US)
+        .groupBy("window_start", "event_type")
+        .agg(*aggs)
+    )
+    hot = (
+        based.filter(F.col("__ts_us") >= _ROLLUP_CUTOFF_US)
+        .groupBy("window_start", "event_type")
+        .agg(*aggs)
+    )
+    return merge_aggregate_states(
+        cold,
+        hot,
+        ["window_start", "event_type"],
+        {"n_events": "sum", "value_cents": "sum", "max_single_cents": "max"},
+    )
+
+
+_CONTINUOUS_ROLLUP_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(1) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_single_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 _TOP_TERMS_N = 20
 
 
@@ -2780,6 +2836,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "quantize_embeddings": q_quantize_embeddings,
     "knn_label_eval": q_knn_label_eval,
     "cosine_topk_quantized": q_cosine_topk_quantized,
+    "continuous_rollup": q_continuous_rollup,
     "char_entropy": q_char_entropy,
     "cluster_split": q_cluster_split,
     "salted_stats": q_salted_stats,
@@ -2862,6 +2919,7 @@ def oracle_sqls() -> dict[str, str]:
         "quantize_embeddings": _QUANTIZE_SQL,
         "knn_label_eval": _KNN_EVAL_SQL,
         "cosine_topk_quantized": _QUANT_TOPK_SQL,
+        "continuous_rollup": _CONTINUOUS_ROLLUP_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
         "cluster_split": _cluster_split_sql(),
         "salted_stats": _SALTED_STATS_SQL,
