@@ -92,6 +92,25 @@ def test_training_prep_no_split_leakage(spark, sf_dir):
     assert all(len(s) == 1 for s in by_doc.values())
 
 
+def test_training_prep_pack_window_is_bucketed(spark, sf_dir):
+    """The flagship's pack window must partition on (split, bucket),
+    never split alone — a split-only window serializes ~90% of the
+    corpus (the train split) into one running-sum task at scale."""
+    from traits_data_spark.catalog import _PREP_BUCKETS, q_training_prep
+
+    df = q_training_prep(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    pack_windows = [ln for ln in window_lines if "windowspecdefinition" in ln]
+    assert pack_windows, plan
+    assert any("bucket" in ln for ln in pack_windows), pack_windows
+    buckets = {
+        r["pack_id"].split("-")[1]
+        for r in df.select("pack_id").distinct().collect()
+    }
+    assert len(buckets) >= min(_PREP_BUCKETS, 8)
+
+
 def test_chunk_null_text_yields_no_chunks(spark):
     from traits_data_spark.operators.packing import chunk_documents
 

@@ -54,6 +54,7 @@ HEADLINE = [
     "top_terms",
     "chunk_docs",
     "pack_sequences",
+    "training_prep",
 ]
 
 

@@ -2700,7 +2700,7 @@ FROM documents
 """
 
 
-_PREP_BUDGET = 2000
+_PREP_BUDGET, _PREP_BUCKETS = 2000, 32
 
 
 def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2708,22 +2708,31 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality → langid → exact dedup → LSH near-dup) → overlapping
     chunking → document-level train/val/test split (all chunks of a
     doc share a split, so no near-duplicate leakage across splits) →
-    contiguous packing within each split."""
+    contiguous packing per (split, hash bucket).
+
+    The pack window partitions on ``(split, doc_id % 32)``, not just
+    ``split``: a split-only window puts ~90% of the corpus (the train
+    split) into ONE running-sum task at 100 TB. Buckets affect only
+    pack NUMBERING (ids are bucket-prefixed), never pack validity, so
+    the layout stays deterministic and the parallelism scales with the
+    bucket count."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     survivors = clean_corpus(docs).select("doc_id")
     with_text = docs.join(survivors, "doc_id", "left_semi")
     chunks = chunk_documents(
         widen_if_narrow(with_text), chunk_chars=_CHUNK, overlap=_OVERLAP
     )
-    labeled = hash_split(chunks, "doc_id").withColumn(
-        "chunk_chars", F.length("chunk_text").cast("long")
+    labeled = (
+        hash_split(chunks, "doc_id")
+        .withColumn("chunk_chars", F.length("chunk_text").cast("long"))
+        .withColumn("bucket", F.col("doc_id") % _PREP_BUCKETS)
     )
     packed = pack_contiguous(
         labeled,
         "chunk_chars",
         ["doc_id", "chunk_idx"],
         budget=_PREP_BUDGET,
-        partition_cols=["split"],
+        partition_cols=["split", "bucket"],
     )
     return packed.select(
         "doc_id",
@@ -2737,8 +2746,8 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _training_prep_sql() -> str:
     step = _CHUNK - _OVERLAP
     cum = (
-        "COALESCE(SUM(chunk_chars) OVER (PARTITION BY split "
-        "ORDER BY doc_id, chunk_idx "
+        f"COALESCE(SUM(chunk_chars) OVER (PARTITION BY split, "
+        f"doc_id % {_PREP_BUCKETS} ORDER BY doc_id, chunk_idx "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
     )
     return f"""
@@ -2767,7 +2776,7 @@ sp AS (
   )
 )
 SELECT doc_id, chunk_idx, split,
-       split || '-' ||
+       split || '-' || CAST(doc_id % {_PREP_BUCKETS} AS VARCHAR) || '-' ||
          CAST(CAST(FLOOR({cum} / {_PREP_BUDGET}) AS BIGINT) AS VARCHAR)
          AS pack_id,
        CAST(chunk_chars AS BIGINT) AS chunk_chars
