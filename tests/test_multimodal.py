@@ -71,3 +71,99 @@ def test_resize_plumbing_preserves_rows(spark):
     assert len(rows) == 6
     assert all(r["width"] == 128 and r["height"] == 96 for r in rows)
     assert all(r["payload"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Tiered decoders over real container bytes (stdlib-generated fixtures)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_real_png():
+    from traits_data_spark.operators.multimodal import decode_image, png_bytes
+
+    meta = decode_image(png_bytes(23, 11, seed=5))
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", 23, 11)
+    assert meta["decoder"] in ("pil", "native")  # 'pil' if deployed with PIL
+    assert meta["sha256"] and meta["byte_len"] > 24
+
+
+def test_decode_image_jpeg_and_gif_headers():
+    import struct
+
+    from traits_data_spark.operators.multimodal import decode_image
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x01\x11\x00"
+    )
+    jpeg = decode_image(b"\xff\xd8" + app0 + sof0 + b"\xff\xd9")
+    assert (jpeg["format"], jpeg["width"], jpeg["height"]) == ("jpeg", 640, 480)
+
+    gif = decode_image(
+        b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    )
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 320, 200)
+
+
+def test_decode_image_fallback_tiers():
+    from traits_data_spark.operators.multimodal import decode_image
+
+    garbage = decode_image(b"definitely not an image")
+    assert garbage["decoder"] == "stub"
+    assert garbage["width"] is None and garbage["sha256"] is not None
+
+    null = decode_image(None)
+    assert null["sha256"] is None and null["decoder"] is None
+
+
+def test_decode_audio_real_wav_exact_rms():
+    from traits_data_spark.operators.multimodal import decode_audio, wav_bytes
+
+    meta = decode_audio(wav_bytes(sample_rate=12_000, n_frames=57, amplitude=1_200))
+    assert meta["sample_rate"] == 12_000
+    assert meta["n_channels"] == 1
+    assert meta["n_frames"] == 57
+    assert meta["duration_s"] == 57 / 12_000
+    # square wave: every sample is ±amplitude, so RMS is exact
+    assert meta["rms"] == 1_200.0
+    assert meta["decoder"] in ("soundfile", "native")
+
+    assert decode_audio(b"junkjunkjunk")["decoder"] == "stub"
+    assert decode_audio(None)["decoder"] is None
+
+
+def test_extract_metadata_end_to_end(spark):
+    """Executor-side generation → tiered decode, through mapInPandas."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.multimodal import (
+        extract_audio_metadata,
+        extract_image_metadata,
+        synthetic_png_media,
+        synthetic_wav_media,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("media_id"))
+
+    img = {
+        r["media_id"]: r
+        for r in extract_image_metadata(synthetic_png_media(ids)).collect()
+    }
+    assert len(img) == 40
+    for i, r in img.items():
+        assert (r["format"], r["width"], r["height"]) == (
+            "png", 16 + i % 10, 8 + i % 7,
+        ), r
+
+    aud = {
+        r["media_id"]: r
+        for r in extract_audio_metadata(
+            synthetic_wav_media(ids).select("media_id", "payload")
+        ).collect()
+    }
+    assert len(aud) == 40
+    for i, r in aud.items():
+        assert r["sample_rate"] == 8_000 + (i % 3) * 4_000
+        assert r["n_frames"] == 50 + i % 20
+        assert r["rms"] == 1_000.0 + (i % 5) * 100

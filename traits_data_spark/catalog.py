@@ -60,9 +60,13 @@ from traits_data_spark.operators.joins import (
 )
 from traits_data_spark.operators.multimodal import (
     extract_audio_features,
+    extract_audio_metadata,
     extract_image_features,
+    extract_image_metadata,
     frame_sample_plan,
     synthetic_media_table,
+    synthetic_png_media,
+    synthetic_wav_media,
 )
 from traits_data_spark.operators.ratings import WeightsHierarchy
 from traits_data_spark.operators.sessions import sessionize
@@ -2320,6 +2324,62 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(media.select("media_id", "payload"))
 
 
+def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode, hash-checked: real PNG payloads are generated
+    executor-side with known parameters, parsed back by the tiered
+    decoder (native stdlib tier in this container), and the oracle
+    predicts width/height arithmetically — if the parser breaks, the
+    hash diverges. Unlike ``multimodal_features`` this is a FULL
+    correctness entry, not rows-only. Oracle assumes the native tier
+    (PIL absent); with PIL deployed the decoder column reads 'pil'."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("media_id")
+    )
+    media = synthetic_png_media(sup)
+    return extract_image_metadata(media).select(
+        "media_id", "format", "width", "height", "decoder"
+    )
+
+
+_IMAGE_META_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS media_id,
+       'png' AS format,
+       CAST(16 + s_suppkey % 10 AS INT) AS width,
+       CAST(8 + s_suppkey % 7 AS INT) AS height,
+       'native' AS decoder
+FROM supplier
+"""
+
+
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode, hash-checked: real 16-bit PCM WAVs (square
+    wave ⇒ RMS equals the amplitude exactly) generated executor-side,
+    decoded by the stdlib ``wave`` tier, oracle predicts every field
+    arithmetically. duration_s is the same double division on both
+    engines, so it hashes bit-exactly."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("media_id")
+    )
+    media = synthetic_wav_media(sup)
+    return extract_audio_metadata(media.select("media_id", "payload")).select(
+        "media_id", "sample_rate", "n_channels", "n_frames",
+        "duration_s", "rms", "decoder",
+    )
+
+
+_AUDIO_META_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS media_id,
+       CAST(8000 + (s_suppkey % 3) * 4000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(50 + s_suppkey % 20 AS BIGINT) AS n_frames,
+       CAST(50 + s_suppkey % 20 AS DOUBLE)
+         / (8000 + (s_suppkey % 3) * 4000) AS duration_s,
+       CAST(1000 + (s_suppkey % 5) * 100 AS DOUBLE) AS rms,
+       'native' AS decoder
+FROM supplier
+"""
+
+
 _FRAME_EVERY_N = 30
 
 
@@ -2850,6 +2910,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "audio_features": q_audio_features,
     "frame_samples": q_frame_samples,
     # -- newest / most complex operators -----------------------------------
+    "image_metadata": q_image_metadata,
+    "audio_metadata": q_audio_metadata,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
@@ -2980,4 +3042,6 @@ def oracle_sqls() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "training_prep": _training_prep_sql(),
         "frame_samples": _FRAME_SQL,
+        "image_metadata": _IMAGE_META_SQL,
+        "audio_metadata": _AUDIO_META_SQL,
     }
