@@ -34,10 +34,59 @@ def test_upsert_sql_mysql_dialect():
 
 
 def test_upsert_sql_merge_dialect():
+    # ANSI dialect: double-quoted identifiers, unqualified SET targets
+    # (Derby/Postgres reject a target-alias prefix in SET)
     sql = upsert_from_staging_sql("t", "s", ["id", "a"], ["id"], dialect="merge")
-    assert "MERGE INTO t t USING s s ON t.`id` = s.`id`" in sql
-    assert "WHEN MATCHED THEN UPDATE SET t.`a` = s.`a`" in sql
+    assert 'MERGE INTO t t USING s s ON t."id" = s."id"' in sql
+    assert 'WHEN MATCHED THEN UPDATE SET "a" = s."a"' in sql
     assert "WHEN NOT MATCHED THEN INSERT" in sql
+    assert "`" not in sql
+
+
+def test_ddl_ansi_dialect():
+    schema = T.StructType([T.StructField("k", T.LongType(), False)])
+    ddl = ddl_from_schema(
+        schema, "t", primary_key="k", dialect="ansi", if_not_exists=False
+    )
+    assert ddl.startswith("CREATE TABLE t")
+    assert '"k" BIGINT NOT NULL' in ddl and "`" not in ddl
+
+
+def test_upsert_jdbc_roundtrip_embedded_derby(spark):
+    """S11 integration: land staging via parallel JDBC writes, apply
+    one ANSI MERGE, read back — update-matched + insert-new semantics
+    against embedded Derby (on Spark's own classpath), the same
+    staging-then-merge path a MySQL/Aurora deployment runs."""
+    import pytest
+
+    from traits_data_spark.sinks.jdbc import _execute_on_db, upsert_jdbc
+
+    url = "jdbc:derby:memory:upsert_it;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    try:
+        _execute_on_db(spark, url, props, "VALUES 1")
+    except Exception:
+        pytest.skip("embedded Derby not available on this classpath")
+
+    df = spark.createDataFrame(
+        [(1, "new-name", 9.5), (3, "fresh", 3.0)],
+        "k BIGINT, name STRING, v DOUBLE",
+    )
+    ddl = ddl_from_schema(
+        df.schema, "target", primary_key="k", dialect="ansi", if_not_exists=False
+    )
+    _execute_on_db(spark, url, props, ddl)
+    _execute_on_db(
+        spark, url, props,
+        "INSERT INTO target VALUES (1, 'old', 1.0), (2, 'keep', 2.0)",
+    )
+    upsert_jdbc(
+        df, url, "target", keys=["k"], properties=props, dialect="merge",
+        staging_column_types="name VARCHAR(255)",
+    )
+    out = spark.read.jdbc(url, "target", properties=props)
+    rows = sorted((r["k"], r["name"], r["v"]) for r in out.collect())
+    assert rows == [(1, "new-name", 9.5), (2, "keep", 2.0), (3, "fresh", 3.0)]
 
 
 def test_distinct_dims(spark):

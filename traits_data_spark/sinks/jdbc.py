@@ -36,25 +36,36 @@ _SQL_TYPES: Mapping[type, str] = {
 }
 
 
+def _q(name: str, dialect: str) -> str:
+    """Identifier quoting: backticks for MySQL, double quotes (ANSI)
+    for everything else (Derby, Postgres, DuckDB...)."""
+    return f"`{name}`" if dialect == "mysql" else f'"{name}"'
+
+
 def ddl_from_schema(
     schema: T.StructType,
     table: str,
     primary_key: str | None = None,
     varchar_len: int = 255,
+    dialect: str = "mysql",
+    if_not_exists: bool = True,
 ) -> str:
     """S12: CREATE TABLE from a DataFrame schema — the reference's
     DDL bootstrap (GOLD-data-loader.py:593-632) minus the
     MySQL-specific FULLTEXT/charset clauses (serving-engine concerns,
-    not engine core)."""
+    not engine core). ``dialect='ansi'`` quotes with double quotes and
+    ``if_not_exists=False`` drops the clause for engines without it
+    (Derby)."""
     cols = []
     for f in schema.fields:
         sql_t = _SQL_TYPES.get(type(f.dataType), f"VARCHAR({varchar_len})")
         null = "" if f.nullable else " NOT NULL"
-        cols.append(f"  `{f.name}` {sql_t}{null}")
+        cols.append(f"  {_q(f.name, dialect)} {sql_t}{null}")
     if primary_key:
-        cols.append(f"  PRIMARY KEY (`{primary_key}`)")
+        cols.append(f"  PRIMARY KEY ({_q(primary_key, dialect)})")
     body = ",\n".join(cols)
-    return f"CREATE TABLE IF NOT EXISTS {table} (\n{body}\n)"
+    exists = "IF NOT EXISTS " if if_not_exists else ""
+    return f"CREATE TABLE {exists}{table} (\n{body}\n)"
 
 
 def upsert_from_staging_sql(
@@ -68,7 +79,7 @@ def upsert_from_staging_sql(
     load. MySQL dialect mirrors the reference's ON DUPLICATE KEY UPDATE
     (GOLD-data-loader.py:278-303); 'merge' emits ANSI MERGE for
     engines that support it."""
-    col_list = ", ".join(f"`{c}`" for c in columns)
+    col_list = ", ".join(_q(c, dialect) for c in columns)
     if dialect == "mysql":
         updates = ", ".join(
             f"`{c}` = VALUES(`{c}`)" for c in columns if c not in keys
@@ -79,9 +90,11 @@ def upsert_from_staging_sql(
             f"ON DUPLICATE KEY UPDATE {updates}"
         )
     if dialect == "merge":
-        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-        sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in columns if c not in keys)
-        src_cols = ", ".join(f"s.`{c}`" for c in columns)
+        # ANSI: double-quoted identifiers, unqualified SET targets
+        # (Derby and Postgres both reject a target-alias prefix there)
+        on = " AND ".join(f't."{k}" = s."{k}"' for k in keys)
+        sets = ", ".join(f'"{c}" = s."{c}"' for c in columns if c not in keys)
+        src_cols = ", ".join(f's."{c}"' for c in columns)
         return (
             f"MERGE INTO {table} t USING {staging_table} s ON {on} "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
@@ -99,17 +112,25 @@ def upsert_jdbc(
     staging_suffix: str = "_staging",
     dialect: str = "mysql",
     batchsize: int = 10_000,
+    staging_column_types: str | None = None,
 ) -> None:
     """S11 executor: land ``df`` in a staging table via parallel JDBC
     writes, then apply one set-based upsert statement.
 
-    Requires a JDBC driver on the classpath and a reachable database —
-    unit tests cover the generated SQL; integration is deploy-time.
+    Requires a JDBC driver on the classpath and a reachable database.
+    ``staging_column_types`` overrides Spark's default column mapping
+    for the staging CREATE TABLE (e.g. ``"name VARCHAR(255)"`` where
+    the dialect would otherwise emit CLOB/TEXT, which some engines
+    refuse to MERGE into a VARCHAR target). Integration-tested against
+    embedded Derby in tests/test_sinks.py; MySQL is deploy-time.
     """
     staging = table + staging_suffix
     props = dict(properties or {})
     props.setdefault("batchsize", str(batchsize))
-    df.write.jdbc(url, staging, mode="overwrite", properties=props)
+    writer = df.write
+    if staging_column_types:
+        writer = writer.option("createTableColumnTypes", staging_column_types)
+    writer.jdbc(url, staging, mode="overwrite", properties=props)
     sql = upsert_from_staging_sql(table, staging, df.columns, keys, dialect)
     _execute_on_db(df.sparkSession, url, props, sql)
 
