@@ -89,6 +89,49 @@ def test_upsert_jdbc_roundtrip_embedded_derby(spark):
     assert rows == [(1, "new-name", 9.5), (2, "keep", 2.0), (3, "fresh", 3.0)]
 
 
+def test_bootstrap_statements_match_reference_shape():
+    """S12 parity: schema → table → charset → normalized generated
+    columns → fulltext/secondary indexes, in the reference's order
+    (GOLD-data-loader.py:593-632)."""
+    from traits_data_spark.sinks.jdbc import bootstrap_statements
+
+    schema = T.StructType(
+        [
+            T.StructField("profileId", T.StringType(), False),
+            T.StructField("fullName", T.StringType()),
+            T.StructField("playerName", T.StringType()),
+            T.StructField("rating", T.DoubleType()),
+        ]
+    )
+    stmts = bootstrap_statements(
+        schema,
+        "id_42",
+        "Output",
+        primary_key="profileId",
+        normalize_cols=["fullName", "playerName"],
+        fulltext_index={
+            "playerFullTextIndex": ["fullNameNormalised", "playerNameNormalised"]
+        },
+        secondary_indexes={"idx_player_team": ["profileId", "fullName"]},
+    )
+    assert stmts[0] == "CREATE SCHEMA IF NOT EXISTS id_42"
+    assert stmts[1].startswith("CREATE TABLE IF NOT EXISTS id_42.Output")
+    assert "CONVERT TO CHARACTER SET utf8mb4" in stmts[2]
+    # ø→o normalized STORED generated columns, nested-REPLACE form
+    assert (
+        "ADD COLUMN fullNameNormalised TEXT GENERATED ALWAYS AS "
+        "(REPLACE(REPLACE(fullName, 'ø', 'o'), 'Ø', 'O')) STORED" in stmts[3]
+    )
+    assert "playerNameNormalised" in stmts[3]
+    assert stmts[4] == (
+        "CREATE FULLTEXT INDEX playerFullTextIndex ON id_42.Output "
+        "(fullNameNormalised, playerNameNormalised)"
+    )
+    assert stmts[5] == (
+        "CREATE INDEX idx_player_team ON id_42.Output (profileId, fullName)"
+    )
+
+
 def test_distinct_dims(spark):
     df = spark.createDataFrame(
         [(1, "AU", "x"), (2, "AU", "y"), (3, "NZ", "y")],

@@ -68,6 +68,74 @@ def ddl_from_schema(
     return f"CREATE TABLE {exists}{table} (\n{body}\n)"
 
 
+def normalized_column_sql(
+    source_col: str,
+    target_col: str | None = None,
+    char_map: Mapping[str, str] | None = None,
+) -> str:
+    """S12: a STORED generated column that strips locale-specific
+    characters for search (the reference materializes
+    ``fullNameNormalised`` as nested REPLACEs of ø→o / Ø→O,
+    GOLD-data-loader.py:597-599). Emitted as one nested-REPLACE
+    expression so it runs on MySQL verbatim."""
+    target_col = target_col or f"{source_col}Normalised"
+    expr = source_col
+    for src, dst in (char_map or {"ø": "o", "Ø": "O"}).items():
+        expr = f"REPLACE({expr}, '{src}', '{dst}')"
+    return (
+        f"ADD COLUMN {target_col} TEXT "
+        f"GENERATED ALWAYS AS ({expr}) STORED"
+    )
+
+
+def index_sql(
+    table: str,
+    name: str,
+    columns: Sequence[str],
+    fulltext: bool = False,
+) -> str:
+    """S12: secondary / FULLTEXT index DDL (the reference adds
+    ``FULLTEXT KEY playerFullTextIndex`` plus two prefix-length
+    secondary keys, GOLD-data-loader.py:601-604)."""
+    kind = "FULLTEXT INDEX" if fulltext else "INDEX"
+    return f"CREATE {kind} {name} ON {table} ({', '.join(columns)})"
+
+
+def bootstrap_statements(
+    schema: T.StructType,
+    database: str,
+    table: str,
+    primary_key: str | None = None,
+    normalize_cols: Sequence[str] = (),
+    fulltext_index: Mapping[str, Sequence[str]] | None = None,
+    secondary_indexes: Mapping[str, Sequence[str]] | None = None,
+    charset: str | None = "utf8mb4",
+) -> list[str]:
+    """S12: the full serving-table bootstrap sequence the reference
+    runs on first write (GOLD-data-loader.py:593-632): create schema,
+    create table, charset conversion, normalized generated columns,
+    and search indexes — as a list of statements for the caller to
+    execute in order (idempotent where the engine allows)."""
+    fq = f"{database}.{table}"
+    stmts = [
+        f"CREATE SCHEMA IF NOT EXISTS {database}",
+        ddl_from_schema(schema, fq, primary_key=primary_key),
+    ]
+    if charset:
+        stmts.append(
+            f"ALTER TABLE {fq} CONVERT TO CHARACTER SET {charset} "
+            f"COLLATE {charset}_unicode_ci"
+        )
+    if normalize_cols:
+        adds = ",\n  ".join(normalized_column_sql(c) for c in normalize_cols)
+        stmts.append(f"ALTER TABLE {fq}\n  {adds}")
+    for name, cols in (fulltext_index or {}).items():
+        stmts.append(index_sql(fq, name, cols, fulltext=True))
+    for name, cols in (secondary_indexes or {}).items():
+        stmts.append(index_sql(fq, name, cols))
+    return stmts
+
+
 def upsert_from_staging_sql(
     table: str,
     staging_table: str,
