@@ -48,6 +48,55 @@ def test_validate_accepts_real_fragments(spark):
     fs.validate(spark)  # should not raise
 
 
+class _ConnectLikeSession:
+    """Minimal stand-in for a Spark Connect session: no py4j gateway
+    (``_jsparkSession`` raises AttributeError), DataFrame API intact."""
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    @property
+    def _jsparkSession(self):
+        raise AttributeError("Connect sessions have no JVM gateway")
+
+    def range(self, n):
+        return self._spark.range(n)
+
+
+def test_validate_connect_fallback(spark):
+    """Without the py4j parser, validate must still accept real
+    fragments (unresolved columns are fine — they bind at use time)
+    and reject unparseable ones via the selectExpr probe."""
+    connect = _ConnectLikeSession(spark)
+    good = FeatureStore(
+        [
+            Feature("a", "SUM(goals)"),
+            Feature("b", "SUM(goals)*90/SUM(minutes)"),
+            Feature("c", "SUM(CASE WHEN type = 'Pass' THEN 1 ELSE 0 END)"),
+        ]
+    )
+    good.validate(connect)  # should not raise
+
+    with pytest.raises(FeatureDefinitionError):
+        FeatureStore([Feature("bad", "SUM(x FROM WHERE")]).validate(connect)
+    with pytest.raises(FeatureDefinitionError):
+        FeatureStore([Feature("bad", "SUM(x); DROP TABLE t")]).validate(connect)
+
+
+def test_execute_on_db_connect_boundary(spark):
+    """_execute_on_db must fail with a documented boundary error on
+    Connect-like sessions, not an AttributeError."""
+    from traits_data_spark.sinks.jdbc import _execute_on_db
+
+    class _NoJvm:
+        @property
+        def _jvm(self):
+            raise AttributeError
+
+    with pytest.raises(NotImplementedError, match="py4j JVM gateway"):
+        _execute_on_db(_NoJvm(), "jdbc:x", {}, "SELECT 1")
+
+
 def test_filter_where_rejects_compound_fragment():
     fs = FeatureStore([Feature("r", "SUM(a)*90/SUM(b)")])
     with pytest.raises(FeatureDefinitionError, match="single aggregate"):

@@ -64,6 +64,20 @@ def _is_single_call(fragment: str) -> bool:
     return False
 
 
+def _is_missing_column_error(exc: Exception) -> bool:
+    """The Connect-path validate probe runs against an empty frame, so
+    fragments that PARSE correctly still fail analysis with
+    unresolved-column / aggregation-context errors — those are fine
+    (columns bind at aggregation time)."""
+    msg = str(exc)
+    return (
+        "UNRESOLVED_COLUMN" in msg
+        or "cannot be resolved" in msg
+        or "MISSING_AGGREGATION" in msg
+        or "GROUP_BY" in msg
+    )
+
+
 class FeatureDefinitionError(ValueError):
     """A feature fragment failed validation."""
 
@@ -142,17 +156,35 @@ class FeatureStore:
 
         Uses Spark's SQL parser (parseExpression) so anything with
         statement separators, comments, or trailing garbage fails here
-        rather than inside a 1000-executor job.
+        rather than inside a 1000-executor job. On Spark Connect
+        sessions (no ``_jsparkSession``) it falls back to a driver-side
+        ``selectExpr`` probe on an empty frame — same rejection set,
+        parse errors surface from the analyzer instead of the parser.
         """
-        parser = spark._jsparkSession.sessionState().sqlParser()
+        try:
+            parser = spark._jsparkSession.sessionState().sqlParser()
+        except AttributeError:  # Spark Connect: no py4j gateway
+            parser = None
+        probe = None if parser is not None else spark.range(0)
         for f in self.features:
             if _FORBIDDEN.search(f.base_sql):
                 raise FeatureDefinitionError(
                     f"feature {f.name!r}: forbidden token in {f.base_sql!r}"
                 )
             try:
-                parser.parseExpression(f.base_sql)
+                if parser is not None:
+                    parser.parseExpression(f.base_sql)
+                else:
+                    # analyzer probe: parse failures throw eagerly; use
+                    # a dummy aggregate context so bare column refs in
+                    # the fragment resolve or fail as parse errors, not
+                    # missing-column errors
+                    probe.selectExpr(f"typeof(({f.base_sql}))")
+            except FeatureDefinitionError:
+                raise
             except Exception as exc:  # Py4J wraps ParseException
+                if _is_missing_column_error(exc):
+                    continue  # parsed fine; columns bind at use time
                 raise FeatureDefinitionError(
                     f"feature {f.name!r}: not a valid expression: {f.base_sql!r}"
                 ) from exc

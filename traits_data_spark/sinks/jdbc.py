@@ -205,8 +205,21 @@ def upsert_jdbc(
 
 def _execute_on_db(spark, url: str, props: Mapping[str, str], sql: str) -> None:
     """Run one statement over the JVM's DriverManager (same connection
-    machinery df.write.jdbc uses)."""
-    jvm = spark._jvm
+    machinery df.write.jdbc uses). Classic deployments only: Spark
+    Connect exposes no JVM gateway, so there the post-staging statement
+    must run through a DB driver on the client (e.g. mysql-connector) —
+    fail with a clear boundary error rather than an AttributeError."""
+    try:
+        jvm = spark._jvm
+        if jvm is None:
+            raise AttributeError
+    except AttributeError:
+        raise NotImplementedError(
+            "upsert_jdbc's post-staging statement needs the py4j JVM "
+            "gateway (classic Spark). On Spark Connect, run the "
+            "generated upsert_from_staging_sql() statement with a "
+            "client-side DB driver instead."
+        ) from None
     jprops = jvm.java.util.Properties()
     for k, v in props.items():
         jprops.setProperty(k, v)
