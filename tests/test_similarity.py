@@ -238,9 +238,7 @@ def test_knn_label_eval_planted_clusters(spark):
             (i, [base + rng.gauss(0, 0.1) for _ in range(8)], i % 2)
         )
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
-    out = knn_label_eval(
-        df, df.filter(F.col("vec_id") < 4), dim=8, k=3
-    ).collect()
+    out = knn_label_eval(df, df.filter(F.col("vec_id") < 4), k=3).collect()
     assert len(out) == 4
     for r in out:
         assert r["is_correct"]
@@ -270,3 +268,31 @@ def test_quantized_topk_high_recall_vs_exact(spark, embeddings):
     q1 = {r["query_id"]: r["neighbor_id"] for r in quant.collect() if r["rk"] == 1}
     top1 = sum(e1[q] == q1[q] for q in e1) / len(e1)
     assert top1 >= 0.8
+
+
+def test_zero_norm_vectors_dropped_not_poisoning(spark):
+    """An all-zero embedding must be dropped from cosine scoring (0/0
+    is NULL on Spark, NaN on IEEE engines — rankings would diverge),
+    never ranked or crashing."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import (
+        cosine_topk_quantized,
+        ivf_topk_hyperplane,
+    )
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(1, 6)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # degenerate
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id").isin(1, 99))
+
+    out = cosine_topk_quantized(df, q, dim=4, k=3).collect()
+    ids = {r["query_id"] for r in out}
+    neigh = {r["neighbor_id"] for r in out}
+    assert 99 not in ids and 99 not in neigh
+    assert all(r["cosine_q"] is not None for r in out)
+
+    out2 = ivf_topk_hyperplane(df, q, dim=4, k=3, n_planes=1, n_probe=2).collect()
+    assert all(r["cosine"] is not None for r in out2)
+    assert 99 not in {r["query_id"] for r in out2}
+    assert 99 not in {r["neighbor_id"] for r in out2}

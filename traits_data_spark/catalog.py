@@ -1201,7 +1201,7 @@ p AS (
 r AS (
   SELECT query_id, neighbor_id,
          round(dot_hat / (sqrt(cn) * sqrt(qn)), 6) AS cosine_q
-  FROM p
+  FROM p WHERE cn > 0 AND qn > 0
 ),
 rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                     ORDER BY cosine_q DESC, neighbor_id) AS rk
@@ -1215,9 +1215,7 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN probe eval of the embedding space: majority neighbour label
     per query, agreement fraction, and own-label accuracy flag."""
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_label_eval(
-        emb, emb.filter(F.expr(_QUERY_PRED)), dim=EMB_DIM, k=TOPK
-    )
+    return knn_label_eval(emb, emb.filter(F.expr(_QUERY_PRED)), k=TOPK)
 
 
 _KNN_EVAL_SQL = f"""
@@ -1376,6 +1374,8 @@ s AS (
                   * sqrt(list_dot_product(b.vec, b.vec))), 6) + 0.0 AS cosine
   FROM probe JOIN b USING (bucket)
   WHERE b.neighbor_id != probe.query_id
+    AND list_dot_product(b.vec, b.vec) > 0
+    AND list_dot_product(probe.qv, probe.qv) > 0
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rk
@@ -1758,13 +1758,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour rollup (batch form of the streaming windowed
     aggregate). The hour bucket is pure integer arithmetic on epoch
-    nanos — timezone-independent, so the oracle matches under any
-    session timezone."""
-    ev = _events(spark, sf_dir)
+    micros — timezone-independent, so the oracle matches under any
+    session timezone. Floor division is spelled ``(x - pmod(x, b))
+    DIV b`` (exact on longs) rather than bare ``DIV``, which truncates
+    toward zero and would diverge from the oracle's ``date_trunc``
+    (a floor) for pre-1970 timestamps."""
+    ev = _events(spark, sf_dir).withColumn("__us", F.expr(_TS_US))
     return (
         ev.withColumn(
             "window_start",
-            F.expr(f"({_TS_US}) DIV 3600000000 * 3600").cast("long"),
+            F.expr(
+                "(__us - pmod(__us, 3600000000)) DIV 3600000000 * 3600"
+            ).cast("long"),
         )
         .groupBy("window_start", "event_type")
         .agg(
@@ -2625,13 +2630,14 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle checks. The cutoff is mid-hour on purpose: the
     boundary bucket exists in BOTH states, so the merge path is
     exercised, not just a union."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).withColumn("__us", F.expr(_TS_US))
     based = ev.select(
         "event_type",
-        F.expr(f"({_TS_US}) DIV 3600000000 * 3600").cast("long").alias(
-            "window_start"
-        ),
-        F.expr(_TS_US).alias("__ts_us"),
+        # floor (not truncate-toward-zero) division — see q_event_windows
+        F.expr("(__us - pmod(__us, 3600000000)) DIV 3600000000 * 3600")
+        .cast("long")
+        .alias("window_start"),
+        F.col("__us").alias("__ts_us"),
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__cents"),
     )
     aggs = [

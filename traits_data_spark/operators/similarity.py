@@ -189,7 +189,6 @@ def ivf_topk(
 def knn_label_eval(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -388,8 +387,12 @@ def cosine_topk_quantized(
     qn = norm2(
         F.col("__qlo"), F.col("__qs"), F.col("__qsu"), F.col("__qsuu")
     )
+    # zero-norm vectors cannot be cosine-scored (0/0 is NULL on Spark
+    # but NaN on DuckDB/IEEE engines — rankings would diverge); drop
+    # them BEFORE the pair join so they also never inflate it
     scored = (
-        c.join(F.broadcast(q))
+        c.filter(cn > 0)
+        .join(F.broadcast(q.filter(qn > 0)))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_q", F.round(dot_hat / (F.sqrt(cn) * F.sqrt(qn)), round_to)
@@ -487,8 +490,17 @@ def ivf_topk_hyperplane(
         .filter(F.col("__prk") <= n_probe)
         .select("query_id", "__qv", "bucket")
     )
+    # zero-norm vectors cannot be cosine-scored (0/0: NULL on Spark,
+    # NaN on IEEE engines) — drop them before the pair join, mirrored
+    # by the oracle's norm guard
+    norm2_of = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x * x
+    )
     scored = (
-        c.join(q_probed, "bucket")
+        c.filter(norm2_of(F.col("__cv")) > 0)
+        .join(
+            q_probed.filter(norm2_of(F.col("__qv")) > 0), "bucket"
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
