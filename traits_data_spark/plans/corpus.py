@@ -48,9 +48,18 @@ def clean_corpus(
     # The scoring projection is regex-CPU-bound; a small input file
     # scans as one partition and would serialize it onto one core.
     base = widen_if_narrow(docs.select(id_col, text_col))
+    # Persist the scored projection BEFORE filtering. Without the
+    # barrier Catalyst substitutes the quality/langid expressions into
+    # the filter predicate and pushes it below the widening exchange —
+    # the full regex stack then evaluates at the scan (serially, on a
+    # single-row-group file) and AGAIN in the projection. The persist
+    # pins the regex pass to exactly one parallel evaluation (measured
+    # 6x on the sf0.1 bench); at cluster scale it also halves the
+    # dominant regex CPU in exchange for one corpus-sized
+    # MEMORY_AND_DISK cache alongside the exact-kept barrier below.
     scored = identify_language(
         quality_features(base, text_col=text_col), text_col=text_col
-    )
+    ).persist()
     filtered = scored.filter(
         (F.col("n_words") >= min_words)
         & (F.col("punct_ratio") < max_punct_ratio)
