@@ -887,6 +887,56 @@ FROM (
 """
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage AUDIT: the (split_a, split_b) matrix of verified
+    near-dup pairs under a naive per-document hash split. Off-diagonal
+    rows are eval-set contamination — near-dups of training docs
+    landing in val/test. ``cluster_split`` is the fix (assign whole
+    dup-cluster components); this query is the measurement a pipeline
+    runs to prove it needed it (and, re-run on the cluster split, to
+    prove the leak is gone). Scale shape: the verified-pair table is
+    tiny relative to the corpus, so both split attachments broadcast
+    the pair side — the corpus itself never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket_size=None,
+    )
+    pairs = jaccard_verify(cand, docs, "text", "doc_id", threshold=0.5)
+    sp = hash_split(docs.select("doc_id"), "doc_id")
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        F.broadcast(pairs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _split_contamination_sql() -> str:
+    return f"""
+WITH pairs AS ({_jaccard_sql()}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 9000 THEN 'train'
+              WHEN b < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 10000 AS b
+    FROM documents
+  )
+)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN sp a ON pairs.id_a = a.doc_id
+JOIN sp b ON pairs.id_b = b.doc_id
+GROUP BY 1, 2
+"""
+
+
 DECON_N = 5
 DECON_BENCH_SOURCE = "src0"
 
@@ -2918,6 +2968,7 @@ QUERIES: Mapping[str, QueryFn] = {
     # -- newest / most complex operators -----------------------------------
     "image_metadata": q_image_metadata,
     "audio_metadata": q_audio_metadata,
+    "split_contamination": q_split_contamination,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
@@ -3050,4 +3101,5 @@ def oracle_sqls() -> dict[str, str]:
         "frame_samples": _FRAME_SQL,
         "image_metadata": _IMAGE_META_SQL,
         "audio_metadata": _AUDIO_META_SQL,
+        "split_contamination": _split_contamination_sql(),
     }
