@@ -10,8 +10,9 @@ from traits_data_spark import catalog
 
 DRIVER_WINDOW = 50
 
-# Flagship pipelines + every query that ever failed a round's gate
-# (asof_join / range_join failed round 3's oracle before the timestamp fix).
+# Flagship pipelines, every query that ever failed a round's gate
+# (asof_join / range_join failed round 3's oracle before the timestamp
+# fix), and round-5 additions the driver has not yet attested.
 LOAD_BEARING = [
     "silver_e1",
     "gold_ratings",
@@ -21,6 +22,9 @@ LOAD_BEARING = [
     "training_prep",
     "asof_join",
     "range_join",
+    "image_metadata",
+    "audio_metadata",
+    "split_contamination",
 ]
 
 
