@@ -403,6 +403,15 @@ def jaccard_verify(
     a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
     b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
     joined = candidates.join(a, "id_a").join(b, "id_b")
+    # size-ratio prefilter (set-similarity-join standard): J(A,B) ≤
+    # min(|A|,|B|) / max(|A|,|B|), so pairs whose shingle-set sizes are
+    # too lopsided cannot reach the threshold — drop them BEFORE the
+    # O(|A|+|B|) intersect/union. Output-neutral by construction.
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    joined = joined.filter(
+        F.least(na, nb).cast("double")
+        >= F.lit(threshold) * F.greatest(na, nb).cast("double")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
