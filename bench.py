@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "pack_sequences",
     "training_prep",
+    "image_metadata",
+    "audio_metadata",
+    "split_contamination",
 ]
 
 

@@ -239,3 +239,47 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     want = _uf_components(edges)
     assert got == want
+
+
+@given(
+    width=st.integers(1, 64),
+    height=st.integers(1, 48),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_decodes_exact_dims(width, height, seed):
+    """Any generated PNG decodes (via whichever tier is available) to
+    exactly the dimensions it was built with."""
+    from traits_data_spark.operators.multimodal import decode_image, png_bytes
+
+    meta = decode_image(png_bytes(width, height, seed=seed))
+    assert (meta["format"], meta["width"], meta["height"]) == (
+        "png", width, height,
+    )
+    assert meta["decoder"] in ("pil", "native")
+
+
+@given(
+    rate=st.sampled_from([8_000, 16_000, 22_050, 44_100]),
+    n_frames=st.integers(1, 400),
+    amplitude=st.integers(0, 32_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_decodes_exact_meta(rate, n_frames, amplitude):
+    """Any generated square-wave WAV decodes to its exact sample rate,
+    frame count, duration, and RMS (== amplitude for a square wave)."""
+    from traits_data_spark.operators.multimodal import decode_audio, wav_bytes
+
+    meta = decode_audio(
+        wav_bytes(sample_rate=rate, n_frames=n_frames, amplitude=amplitude)
+    )
+    assert meta["sample_rate"] == rate
+    assert meta["n_channels"] == 1
+    assert meta["n_frames"] == n_frames
+    assert meta["duration_s"] == n_frames / rate
+    assert meta["decoder"] in ("soundfile", "native")
+    if meta["decoder"] == "native":
+        # integer PCM path: RMS of a ±A square wave is exactly A
+        assert meta["rms"] == float(amplitude)
+    else:  # soundfile normalizes int16 to [-1, 1]
+        assert abs(meta["rms"] - amplitude / 32768.0) < 1e-9
