@@ -134,6 +134,13 @@ def main() -> None:
     except ValueError:
         sf = None
     total = round(sum(timings.values()), 3)
+    # Record host load so a contended run is distinguishable from a
+    # regression when comparing rounds (wall clocks here swing ±30%
+    # when the host is loaded by other tenants).
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = None
     print(
         json.dumps(
             {
@@ -142,6 +149,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_avg_1m": load1,
             }
         )
     )
