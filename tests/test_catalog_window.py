@@ -25,6 +25,7 @@ LOAD_BEARING = [
     "image_metadata",
     "audio_metadata",
     "split_contamination",
+    "quality_classifier",
 ]
 
 

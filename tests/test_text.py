@@ -149,3 +149,59 @@ def test_char_entropy_hand_computed(spark):
     want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     got2 = char_entropy(df2).collect()[0]["char_entropy"]
     assert abs(got2 - round(want, 4)) < 1e-9
+
+
+def _weights(spark, pairs):
+    return spark.createDataFrame(pairs, "term string, weight long")
+
+
+def test_classifier_score_hand_computed(spark):
+    from traits_data_spark.operators.text import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "fast slow fast x"), (2, "zzz yyy"), (3, None), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    w = _weights(spark, [("fast", 100), ("slow", -50)])
+    rows = {
+        r["doc_id"]: r
+        for r in classifier_score(docs, w, bias=10, threshold=0).collect()
+    }
+    # null-text and whitespace-only docs drop (chunk_documents contract)
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    assert r1["matched"] == 3          # every occurrence counts
+    assert r1["logit_micro"] == 10 + 100 - 50 + 100
+    assert r1["score"] == round(160 / (1e6 * 4), 6)
+    assert r1["keep"] is True
+    r2 = rows[2]
+    assert r2["matched"] == 0
+    assert r2["logit_micro"] == 10     # bias only
+    assert r2["keep"] is True
+
+
+def test_classifier_score_threshold_and_negative(spark):
+    from traits_data_spark.operators.text import classifier_score
+
+    docs = spark.createDataFrame([(1, "bad bad good")], ["doc_id", "text"])
+    w = _weights(spark, [("bad", -300), ("good", 100)])
+    r = classifier_score(docs, w, bias=0, threshold=-400).collect()[0]
+    assert r["logit_micro"] == -500
+    assert r["keep"] is False
+
+
+def test_classifier_plan_broadcasts_and_single_shuffle(spark, documents):
+    """The 100 TB shape: vocabulary joins map-side (broadcast), and the
+    only shuffle is the per-document partial-aggregated group-by."""
+    from traits_data_spark.operators.text import classifier_score
+
+    w = _weights(spark, [("fast", 1), ("slow", -1)])
+    plan = (
+        classifier_score(documents, w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

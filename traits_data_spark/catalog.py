@@ -85,6 +85,7 @@ from traits_data_spark.operators.similarity import (
 from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.operators.text import (
     char_entropy,
+    classifier_score,
     document_fingerprint,
     identify_language,
     quality_features,
@@ -1729,6 +1730,64 @@ FROM d
 """
 
 
+# The "model artifact" for the classifier demo: a hand-set linear
+# vocabulary in integer micro-units (1e-6).  Real deployments load the
+# quantized weights of a trained fasttext/logistic model into the same
+# (term, weight) shape; the operator only assumes a small-enough-to-
+# broadcast vocabulary.
+CLASSIFIER_WEIGHTS: list[tuple[str, int]] = [
+    ("fast", 400_000),
+    ("vector", 250_000),
+    ("stream", 200_000),
+    ("spark", 300_000),
+    ("merge", 150_000),
+    ("window", 100_000),
+    ("slow", -500_000),
+    ("small", -150_000),
+    ("dup", -800_000),
+    ("the", -50_000),
+    ("a", -50_000),
+]
+CLASSIFIER_BIAS = 25_000
+CLASSIFIER_THRESHOLD = 0
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: score every document with a
+    broadcast linear bag-of-words classifier (fasttext-style), the
+    standard learned companion to the heuristic quality_features gate."""
+    docs = _docs_wide(spark, sf_dir)
+    weights = spark.createDataFrame(
+        CLASSIFIER_WEIGHTS, "term string, weight long"
+    )
+    return classifier_score(
+        docs, weights, bias=CLASSIFIER_BIAS, threshold=CLASSIFIER_THRESHOLD
+    )
+
+
+def _quality_classifier_sql() -> str:
+    values = ", ".join(f"('{t}', {w})" for t, w in CLASSIFIER_WEIGHTS)
+    bias = CLASSIFIER_BIAS
+    return f"""
+WITH w(term, weight) AS (VALUES {values}),
+d AS (SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS words
+      FROM documents WHERE text IS NOT NULL),
+t AS (SELECT doc_id, len(words) AS n_words, unnest(words) AS term
+      FROM d WHERE len(words) > 0),
+s AS (SELECT t.doc_id,
+             any_value(t.n_words)::BIGINT AS n_words,
+             count(w.weight) AS matched,
+             sum(coalesce(w.weight, 0))::BIGINT AS wsum
+      FROM t LEFT JOIN w USING (term) GROUP BY t.doc_id)
+SELECT doc_id, n_words, matched,
+       ({bias} + wsum)::BIGINT AS logit_micro,
+       round(({bias} + wsum) / (1e6 * n_words), 6) AS score,
+       ({bias} + wsum) >= {CLASSIFIER_THRESHOLD} AS keep
+FROM s
+"""
+
+
 def q_identify_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_wide(spark, sf_dir)
     return identify_language(docs).drop("text")
@@ -2969,6 +3028,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "image_metadata": q_image_metadata,
     "audio_metadata": q_audio_metadata,
     "split_contamination": q_split_contamination,
+    "quality_classifier": q_quality_classifier,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
@@ -3068,6 +3128,7 @@ def oracle_sqls() -> dict[str, str]:
         "chunk_dedup": _chunk_dedup_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
+        "quality_classifier": _quality_classifier_sql(),
         "identify_language": _langid_sql(),
         "token_counts": _TOKEN_SQL,
         "document_fingerprint": _FINGERPRINT_SQL,

@@ -160,6 +160,75 @@ def token_counts(
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    weight_col: str = "weight",
+    bias: int = 0,
+    threshold: int = 0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear bag-of-words classifier scoring — the fasttext-style
+    model-based quality-filter stage of an LLM data pipeline, applied
+    at corpus scale without leaving the JVM.
+
+    ``weights`` is the model artifact: one row per vocabulary term with
+    an integer weight in micro-units (1e-6), quantized so per-document
+    sums are exact LONG arithmetic — float summation is
+    order-dependent and a distributed sum would not reproduce
+    bit-identically across engines or runs. Output per document:
+    ``n_words``, ``matched`` (tokens found in the vocabulary),
+    ``logit_micro = bias + Σ weight[token]`` (every token occurrence
+    counts, as in a bag-of-words linear model), ``score`` (the
+    length-normalized logit in natural units, rounded), and ``keep``
+    (``logit_micro >= threshold``).
+
+    Scale shape (the plan that survives 100 TB): tokenize as a
+    projection, ``explode`` to one row per token, broadcast-hash-join
+    the vocabulary (map-side, no corpus shuffle), then ONE group-by on
+    the document id — partial aggregation collapses each document's
+    tokens to a single row before the exchange, so shuffle volume is
+    ~1 row per document, not per token. Empty/null-text documents are
+    dropped (same contract as chunk_documents).
+    """
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda w: F.length(w) > 0,
+    )
+    tokens = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.size(words).alias("n_words"), words.alias("__w"))
+        .filter(F.col("n_words") > 0)
+        .select(id_col, "n_words", F.explode("__w").alias(term_col))
+    )
+    scored = tokens.join(
+        F.broadcast(weights.select(term_col, weight_col)), on=term_col, how="left"
+    )
+    wsum = F.sum(F.coalesce(F.col(weight_col), F.lit(0))).cast("long")
+    logit = (F.lit(bias) + F.col("__wsum")).cast("long")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value("n_words").cast("long").alias("n_words"),
+            F.count(weight_col).alias("matched"),
+            wsum.alias("__wsum"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "matched",
+            logit.alias("logit_micro"),
+            F.round(logit / (F.lit(1e6) * F.col("n_words")), round_to).alias(
+                "score"
+            ),
+            (logit >= F.lit(threshold)).alias("keep"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",
