@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "event_sessions",
     "event_stats",
     "quality_features",
+    "quality_classifier",
+    "line_dedup",
     "identify_language",
     "token_counts",
     "document_fingerprint",

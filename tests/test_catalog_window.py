@@ -26,6 +26,7 @@ LOAD_BEARING = [
     "audio_metadata",
     "split_contamination",
     "quality_classifier",
+    "line_dedup",
 ]
 
 

@@ -228,3 +228,65 @@ def test_incremental_lsh_matches_full_rerun(spark):
     }
     assert old_pairs | inc == full
     assert old_pairs.isdisjoint(inc)
+
+
+def test_dedup_lines_keep_first(spark):
+    from traits_data_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared\nbeta"),
+            (2, "shared\ngamma"),      # 'shared' already seen in doc 1
+            (3, "shared"),             # loses its only line → drops out
+            (4, None),                 # null text drops up front
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_lines"] == 3
+    assert rows[1]["kept_lines"] == 3
+    assert rows[1]["clean_text"] == "alpha\nshared\nbeta"
+    assert rows[2]["n_lines"] == 2
+    assert rows[2]["kept_lines"] == 1
+    assert rows[2]["clean_text"] == "gamma"
+
+
+def test_dedup_lines_drop_frequent(spark):
+    from traits_data_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "boiler\nunique1"),
+            (2, "boiler\nunique2"),
+            (3, "boiler\nunique3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup_lines(docs, mode="drop_frequent", max_occurrences=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 'boiler' occurs 3 > 2 times → removed from ALL documents
+    assert all(rows[i]["clean_text"] == f"unique{i}" for i in (1, 2, 3))
+    assert all(rows[i]["kept_lines"] == 1 for i in (1, 2, 3))
+
+
+def test_dedup_lines_preserves_order_and_duplicate_lines_within_doc(spark):
+    from traits_data_spark.operators.dedup import dedup_lines
+
+    # the SAME line twice inside one doc: keep_first keeps only the
+    # earliest occurrence corpus-wide, even within a document
+    docs = spark.createDataFrame([(7, "x\ny\nx\nz")], ["doc_id", "text"])
+    r = dedup_lines(docs).collect()[0]
+    assert r["clean_text"] == "x\ny\nz"
+    assert r["n_lines"] == 4
+    assert r["kept_lines"] == 3
+
+
+def test_dedup_lines_bad_mode(spark):
+    import pytest as _pytest
+
+    from traits_data_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        dedup_lines(docs, mode="nope")

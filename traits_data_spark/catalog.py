@@ -41,6 +41,7 @@ from traits_data_spark.operators.dedup import (
     MINHASH_PRIME,
     _hash_coeffs,
     dedup_clusters,
+    dedup_lines,
     exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,
@@ -1788,6 +1789,47 @@ FROM s
 """
 
 
+# The demo corpus is single-line, so the line-dedup query derives
+# lines by wrapping every 5 words; the operator's semantics don't
+# depend on how the line boundaries arose.  Same regex subset in Java
+# (Spark) and RE2 (DuckDB): \w runs over ASCII words.
+LINE_WRAP_RE = r"((\w+ ){4}\w+) "
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup: every duplicated line keeps only its
+    first occurrence in corpus order, documents reassembled from the
+    surviving lines — the boilerplate-removal step document-level
+    dedup can't see."""
+    docs = _docs_wide(spark, sf_dir)
+    wrapped = docs.withColumn(
+        "text", F.regexp_replace("text", LINE_WRAP_RE, "$1\n")
+    )
+    return dedup_lines(wrapped, mode="keep_first")
+
+
+def _line_dedup_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\w+ ){{4}}\\w+) ', '\\1' || chr(10), 'g') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, len(ls)::BIGINT AS n_lines, unnest(ls) AS line,
+             unnest(range(0, len(ls))) AS line_idx
+      FROM s),
+r AS (SELECT *, row_number()
+               OVER (PARTITION BY {_H60.format(x="line")}
+                     ORDER BY doc_id, line_idx) AS rn
+      FROM l)
+SELECT doc_id, any_value(n_lines) AS n_lines, count(*) AS kept_lines,
+       string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+FROM r WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
 def q_identify_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_wide(spark, sf_dir)
     return identify_language(docs).drop("text")
@@ -3029,6 +3071,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "audio_metadata": q_audio_metadata,
     "split_contamination": q_split_contamination,
     "quality_classifier": q_quality_classifier,
+    "line_dedup": q_line_dedup,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
@@ -3129,6 +3172,7 @@ def oracle_sqls() -> dict[str, str]:
         "clean_corpus": _clean_corpus_sql(),
         "quality_features": _QUALITY_SQL,
         "quality_classifier": _quality_classifier_sql(),
+        "line_dedup": _line_dedup_sql(),
         "identify_language": _langid_sql(),
         "token_counts": _TOKEN_SQL,
         "document_fingerprint": _FINGERPRINT_SQL,

@@ -721,3 +721,71 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_pattern: str = "\n",
+    join_delim: str = "\n",
+    mode: str = "keep_first",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Line-level dedup across the whole corpus — the C4/Gopher
+    boilerplate-removal step that document-level dedup can't see
+    (navigation chrome, license headers, quoted passages repeated
+    across otherwise-distinct pages).
+
+    ``mode="keep_first"`` (C4): every duplicated line keeps only its
+    first occurrence in corpus order (``(id, line_idx)``).
+    ``mode="drop_frequent"`` (Gopher): ALL occurrences of lines
+    appearing more than ``max_occurrences`` times are removed.
+    Surviving lines are reassembled in original order; documents whose
+    lines are all removed drop from the output, and null-text
+    documents are dropped up front (chunk_documents contract).
+    ``split_pattern`` is a regex (Java/RE2-common subset keeps SQL
+    oracles portable); ``join_delim`` is the literal reassembly glue.
+
+    Scale shape: explode is a projection; the occurrence count /
+    first-occurrence rank is one shuffle on the 60-bit line hash
+    (heavy-hitter lines skew a hash partition only until the partial
+    aggregate collapses them map-side in drop_frequent mode; in
+    keep_first mode the per-hash window sees all occurrences — for
+    pathological boilerplate-dominated corpora prefer drop_frequent);
+    reassembly is one more shuffle on the document id with ~1 row per
+    surviving line. Returns ``(id, n_lines, kept_lines, clean_text)``.
+    """
+    parts = F.split(F.col(text_col), split_pattern)
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.size(parts).alias("n_lines"),
+            F.posexplode(parts).alias("line_idx", "line"),
+        )
+        .withColumn("__h", portable_hash64(F.col("line")))
+    )
+    if mode == "keep_first":
+        w = Window.partitionBy("__h").orderBy(id_col, "line_idx")
+        surviving = (
+            lines.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+    elif mode == "drop_frequent":
+        occ = lines.groupBy("__h").agg(F.count(F.lit(1)).alias("__occ"))
+        surviving = lines.join(occ, "__h").filter(
+            F.col("__occ") <= max_occurrences
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("line_idx"), F.col("line")))
+    )
+    return surviving.groupBy(id_col).agg(
+        F.any_value("n_lines").cast("long").alias("n_lines"),
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["line"]), join_delim
+        ).alias("clean_text"),
+    )
