@@ -33,6 +33,8 @@ HEADLINE = [
     "redact_pii",
     "temperature_sample",
     "token_budget",
+    "quality_classifier",
+    "line_dedup",
     "lsh_candidates",
     "jaccard_verify",
     "simhash",
