@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "quality_features",
     "quality_classifier",
     "line_dedup",
+    "semantic_dedup",
     "identify_language",
     "token_counts",
     "document_fingerprint",

@@ -27,6 +27,7 @@ LOAD_BEARING = [
     "split_contamination",
     "quality_classifier",
     "line_dedup",
+    "semantic_dedup",
 ]
 
 

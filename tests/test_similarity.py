@@ -296,3 +296,29 @@ def test_zero_norm_vectors_dropped_not_poisoning(spark):
     assert all(r["cosine"] is not None for r in out2)
     assert 99 not in {r["query_id"] for r in out2}
     assert 99 not in {r["neighbor_id"] for r in out2}
+
+
+def test_semantic_dedup_composition_planted_clusters(spark):
+    """SemDeDup composition: scaled copies of one direction collapse to
+    one canonical vector; unrelated directions stay singletons."""
+    from traits_data_spark.operators.dedup import dedup_clusters
+    from traits_data_spark.operators.similarity import embedding_near_dups
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [2.0, 4.0, 6.0, 8.0]),     # same direction as 1 (cos = 1)
+        (3, [0.5, 1.0, 1.5, 2.0]),     # same direction again
+        (4, [4.0, -3.0, 2.0, -1.0]),   # unrelated
+        (5, [-1.0, 2.0, -3.0, 4.0]),   # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dups(emb, dim=4, threshold=0.99, n_planes=3)
+    out = {
+        r["vec_id"]: r
+        for r in dedup_clusters(emb, pairs.select("id_a", "id_b"), "vec_id").collect()
+    }
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert out[1]["is_canonical"] is True
+    assert out[2]["is_canonical"] is False and out[3]["is_canonical"] is False
+    assert out[4]["component"] == 4 and out[4]["is_canonical"] is True
+    assert out[5]["component"] == 5 and out[5]["is_canonical"] is True

@@ -1524,6 +1524,47 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= {NEAR_DUP_THRESHOLD}
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-space near-dup
+    pairs (LSH-bucketed cosine, never all-pairs) → transitive
+    connected components → one canonical representative per semantic
+    cluster. The embedding analogue of `dup_clusters`: keeps exactly
+    one member of every group of semantically-equivalent items even
+    when not all pairs were direct candidates. Iteration runs on the
+    (small) edge subgraph only; the full embedding table is touched by
+    ONE left join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(
+        emb,
+        dim=EMB_DIM,
+        threshold=NEAR_DUP_THRESHOLD,
+        n_planes=NEAR_DUP_PLANES,
+    )
+    return dedup_clusters(emb, pairs.select("id_a", "id_b"), "vec_id")
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ({_near_dups_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM cc JOIN edges e ON cc.id = e.dst
+),
+comp AS (SELECT id, MIN(label) AS component FROM cc GROUP BY id)
+SELECT emb.vec_id,
+       COALESCE(c.component, emb.vec_id) AS component,
+       COALESCE(c.component, emb.vec_id) = emb.vec_id AS is_canonical
+FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.id
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = lsh_bucketed_topk(
@@ -3072,6 +3113,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "split_contamination": q_split_contamination,
     "quality_classifier": q_quality_classifier,
     "line_dedup": q_line_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
@@ -3173,6 +3215,7 @@ def oracle_sqls() -> dict[str, str]:
         "quality_features": _QUALITY_SQL,
         "quality_classifier": _quality_classifier_sql(),
         "line_dedup": _line_dedup_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "identify_language": _langid_sql(),
         "token_counts": _TOKEN_SQL,
         "document_fingerprint": _FINGERPRINT_SQL,
