@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "chunk_docs",
     "cdc_chunks",
     "pack_sequences",
+    "pack_best_fit",
     "training_prep",
     "image_metadata",
     "audio_metadata",

@@ -28,6 +28,7 @@ LOAD_BEARING = [
     "quality_classifier",
     "line_dedup",
     "semantic_dedup",
+    "pack_best_fit",
 ]
 
 
@@ -45,7 +46,11 @@ def test_every_query_has_oracle_or_declared_rows_only():
     rows_only = {name for name in catalog.QUERIES if name not in oracles}
     # Binary-payload queries are rows-only by declared contract; anything
     # else missing an oracle is an accidental gap.
-    assert rows_only == {"multimodal_features", "audio_features"}
+    assert rows_only == {
+        "multimodal_features",
+        "audio_features",
+        "pack_best_fit",  # sequential FFD fill order: no SQL oracle
+    }
 
 
 def test_no_orphan_oracles():

@@ -166,3 +166,81 @@ def test_cdc_chunks_edit_resilience(spark):
     assert len(shared) >= len(h1) - 2
     # and the tail is identical in order
     assert h1[-3:] == h2[-3:]
+
+
+def test_pack_best_fit_invariants_and_determinism(spark):
+    from traits_data_spark.operators.packing import pack_best_fit
+
+    rows = [(i, w) for i, w in enumerate([60, 50, 40, 30, 20, 10, 10, 90])]
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    out = pack_best_fit(df, "wt", budget=100, id_order=("doc_id",))
+    got = out.collect()
+    assert len(got) == len(rows)
+    by_pack = {}
+    for r in got:
+        by_pack.setdefault(r["pack_id"], []).append(r["wt"])
+    # every pack fits the budget (no oversize rows in this input)
+    assert all(sum(ws) <= 100 for ws in by_pack.values())
+    # FFD: [90,10] [60,40] [50,30,20] [10] — 4 packs, which is optimal
+    # here (total 310 > 3 × 100)
+    assert len(by_pack) == 4
+    # deterministic across runs
+    again = pack_best_fit(df, "wt", budget=100, id_order=("doc_id",)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pack_best_fit_within_theoretical_bounds(spark):
+    """FFD never exceeds the budget (unlike contiguous fill, which lets
+    a row straddle the boundary) and stays within the classic
+    11/9·OPT + 1 pack-count guarantee."""
+    import math
+    import random
+
+    from traits_data_spark.operators.packing import pack_best_fit
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(10, 90)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+
+    out = pack_best_fit(df, "wt", budget=100, id_order=("doc_id",))
+    sums = {}
+    for r in out.collect():
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["wt"]
+    assert all(v <= 100 for v in sums.values())
+    lower = math.ceil(sum(w for _, w in rows) / 100)
+    assert lower <= len(sums) <= 11 * lower / 9 + 1
+
+
+def test_pack_best_fit_oversize_row_isolated(spark):
+    from traits_data_spark.operators.packing import pack_best_fit
+
+    df = spark.createDataFrame(
+        [(1, 250), (2, 40), (3, 40)], ["doc_id", "wt"]
+    )
+    got = pack_best_fit(df, "wt", budget=100, id_order=("doc_id",)).collect()
+    packs = {r["doc_id"]: r["pack_id"] for r in got}
+    assert packs[1] not in (packs[2], packs[3])
+    assert packs[2] == packs[3]
+
+
+def test_pack_best_fit_bucketed_ids_globally_unique(spark):
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.packing import pack_best_fit
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 10 + 10).alias("wt"),
+        (F.col("id") % 4).alias("bucket"),
+    )
+    out = pack_best_fit(
+        df, "wt", budget=120, partition_cols=["bucket"], id_order=("doc_id",)
+    )
+    rows = out.collect()
+    # pack ids are bucket-prefixed strings; sums per pack respect budget
+    by_pack = {}
+    for r in rows:
+        assert r["pack_id"].startswith(f"{r['bucket']}-")
+        by_pack.setdefault(r["pack_id"], 0)
+        by_pack[r["pack_id"]] += r["wt"]
+    assert all(v <= 120 for v in by_pack.values())

@@ -119,6 +119,7 @@ from traits_data_spark.operators.layout import zvalue, zvalue_sql
 from traits_data_spark.operators.packing import (
     cdc_chunks,
     chunk_documents,
+    pack_best_fit,
     pack_contiguous,
 )
 from traits_data_spark.operators.pivot import pivot_wide
@@ -2944,6 +2945,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing first-fit-decreasing packs per hash bucket.
+    Rows-only correctness check by declared contract: the FFD fill
+    order is inherently sequential (each placement depends on all
+    previous ones), so no SQL oracle can recompute it; budget-respect,
+    determinism, and the 11/9·OPT+1 bound are pytest-asserted in
+    test_packing.py instead."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucketed = docs.withColumn("bucket", F.col("doc_id") % _PACK_BUCKETS)
+    return pack_best_fit(
+        bucketed,
+        "n_chars",
+        budget=_PACK_BUDGET,
+        partition_cols=["bucket"],
+        id_order=("doc_id",),
+    )
+
+
 def _pack_sql() -> str:
     cum = (
         "COALESCE(SUM(n_chars) OVER (PARTITION BY doc_id % {b} ORDER BY doc_id "
@@ -3114,6 +3133,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "quality_classifier": q_quality_classifier,
     "line_dedup": q_line_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "pack_best_fit": q_pack_best_fit,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,

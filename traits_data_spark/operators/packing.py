@@ -182,3 +182,77 @@ def pack_contiguous(
             pack.cast("string"),
         )
     return df.withColumn(pack_col, pack)
+
+
+def pack_best_fit(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    partition_cols: Sequence[str] = (),
+    id_order: Sequence[str] = ("doc_id",),
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """First-fit-decreasing bin packing: within each partition group,
+    rows are sorted heaviest-first and each is placed in the FIRST
+    open pack with room, opening a new pack only when none fits.
+    Classic FFD guarantees ≤ 11/9·OPT + 1 packs — materially less
+    padding waste than contiguous fill when weights vary, and padding
+    is wasted FLOPs at training time.
+
+    The fill order is inherently sequential, so this is the legitimate
+    Python-kernel case: an Arrow-batched ``applyInPandas`` per group.
+    Pass ``partition_cols`` (e.g. ``pmod(hash(id), B)``) to bound group
+    size — each group is ONE task holding its rows in memory, exactly
+    like ``pack_contiguous``'s window partition, and bucketing costs
+    only pack numbering, never validity. With no ``partition_cols``
+    the whole input is a single task (fine for tests, wrong at scale).
+
+    Rows heavier than ``budget`` get a pack to themselves. Rows are
+    re-sorted by ``(weight desc, *id_order)`` inside the kernel, so
+    the result is deterministic regardless of shuffle arrival order.
+    ``weight_col`` must be non-null. Returns the input plus
+    ``pack_col`` (bucket-prefixed string when partitioned, else the
+    bin index as a long — the ``pack_contiguous`` contract).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    keys = list(partition_cols)
+    ids = [c for c in id_order if c not in keys]
+    out_schema = StructType(
+        df.schema.fields + [StructField("__bin", LongType(), False)]
+    )
+
+    def _ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [weight_col, *ids],
+            ascending=[False] + [True] * len(ids),
+            kind="mergesort",
+        ).reset_index(drop=True)
+        caps: list[int] = []
+        assign: list[int] = []
+        for wt in pdf[weight_col]:
+            placed = -1
+            for i, cap in enumerate(caps):
+                if cap >= wt:
+                    placed = i
+                    caps[i] = cap - wt
+                    break
+            if placed < 0:
+                caps.append(budget - wt)
+                placed = len(caps) - 1
+            assign.append(placed)
+        pdf["__bin"] = pd.array(assign, dtype="int64")
+        return pdf
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    out = grouped.applyInPandas(_ffd, schema=out_schema)
+    if keys:
+        pack = F.concat_ws(
+            "-",
+            *[F.col(c).cast("string") for c in keys],
+            F.col("__bin").cast("string"),
+        )
+    else:
+        pack = F.col("__bin")
+    return out.withColumn(pack_col, pack).drop("__bin")
