@@ -283,3 +283,77 @@ def test_wav_roundtrip_decodes_exact_meta(rate, n_frames, amplitude):
         assert meta["rms"] == float(amplitude)
     else:  # soundfile normalizes int16 to [-1, 1]
         assert abs(meta["rms"] - amplitude / 32768.0) < 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz ", min_size=0, max_size=8),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_dedup_lines_matches_python_reference(spark, docs):
+    """keep_first against a sequential reference: one pass in
+    (doc_id, line_idx) order keeping the first occurrence of each
+    exact line corpus-wide."""
+    from traits_data_spark.operators.dedup import dedup_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r for r in dedup_lines(df, mode="keep_first").collect()
+    }
+
+    seen: set[str] = set()
+    expect: dict[int, list[str]] = {}
+    for i, text in rows:
+        kept = []
+        for line in text.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            expect[i] = kept
+    assert set(got) == set(expect)
+    for i, kept in expect.items():
+        assert got[i]["clean_text"] == "\n".join(kept)
+        assert got[i]["kept_lines"] == len(kept)
+        assert got[i]["n_lines"] == len(docs[i])
+
+
+@given(
+    ffd_weights=st.lists(st.integers(1, 120), min_size=1, max_size=25),
+    ffd_budget=st.integers(50, 300),
+)
+@_settings
+def test_pack_best_fit_matches_python_ffd_reference(spark, ffd_weights, ffd_budget):
+    from traits_data_spark.operators.packing import pack_best_fit
+
+    rows = [(i, w) for i, w in enumerate(ffd_weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_best_fit(
+            df, "w", budget=ffd_budget, id_order=("doc_id",)
+        ).collect()
+    }
+
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    caps: list[int] = []
+    expect: dict[int, int] = {}
+    for i, w in order:
+        placed = -1
+        for b, cap in enumerate(caps):
+            if cap >= w:
+                placed, caps[b] = b, cap - w
+                break
+        if placed < 0:
+            caps.append(ffd_budget - w)
+            placed = len(caps) - 1
+        expect[i] = placed
+    assert got == expect
