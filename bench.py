@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "document_fingerprint",
     "redact_pii",
     "event_windows",
+    "funnel_steps",
+    "cohort_retention",
+    "decayed_engagement",
+    "hll_distinct",
     "merge_upsert",
     "asof_join",
     "range_join",

@@ -29,6 +29,10 @@ LOAD_BEARING = [
     "line_dedup",
     "semantic_dedup",
     "pack_best_fit",
+    "funnel_steps",
+    "cohort_retention",
+    "decayed_engagement",
+    "hll_distinct",
 ]
 
 

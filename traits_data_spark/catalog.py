@@ -130,7 +130,16 @@ from traits_data_spark.operators.sampling import (
     temperature_weights,
     token_budget_filter,
 )
-from traits_data_spark.operators.sketches import kmv_distinct
+from traits_data_spark.operators.analytics import (
+    cohort_retention,
+    decayed_engagement,
+    funnel_steps,
+)
+from traits_data_spark.operators.sketches import (
+    hll_estimate,
+    hll_registers,
+    kmv_distinct,
+)
 from traits_data_spark.quality import null_zero_profile, percentile_profile
 from traits_data_spark.sinks.jdbc import distinct_dims
 from traits_data_spark.sinks.upsert import incremental_new_keys, merge_upsert
@@ -2013,6 +2022,127 @@ SELECT event_id, user_id, ts_us,
 FROM f
 """
 
+# ---------------------------------------------------------------------------
+# Product analytics: funnel / cohort retention / decayed engagement / HLL
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel counts over the event stream
+    (``operators.analytics.funnel_steps``): users reaching view →
+    click → purchase in order, each step strictly after the previous
+    step's earliest qualifying event. Integer-exact throughout."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr(_TS_US).alias("ts_us")
+    )
+    return funnel_steps(ev, list(_FUNNEL_STEPS))
+
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s0 AS (SELECT user_id, min(ts_us) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_us > s0.t GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s1.t GROUP BY 1)
+SELECT 0 AS step_idx, 'view' AS step, COUNT(1) AS n_users FROM s0
+UNION ALL SELECT 1, 'click', COUNT(1) FROM s1
+UNION ALL SELECT 2, 'purchase', COUNT(1) FROM s2
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle
+    (``operators.analytics.cohort_retention``): users bucketed by
+    first-activity week, counted per (cohort, week offset), with the
+    cohort size alongside so the rate stays integer-exact."""
+    ev = _events(spark, sf_dir).select("user_id", F.expr(_TS_US).alias("ts_us"))
+    return cohort_retention(ev)
+
+
+_COHORT_SQL = """
+WITH a AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS period FROM events),
+f AS (SELECT user_id, min(period) AS cohort FROM a GROUP BY 1),
+t AS (SELECT cohort AS cohort_period, period - cohort AS period_offset,
+             COUNT(1) AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+s AS (SELECT cohort AS cohort_period, COUNT(1) AS n_cohort FROM f GROUP BY 1)
+SELECT cohort_period, period_offset, n_active, n_cohort
+FROM t JOIN s USING (cohort_period)
+"""
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user half-life-decayed engagement score
+    (``operators.analytics.decayed_engagement``): cents shifted by
+    exact powers of two relative to each user's most recent event day
+    — one order-independent BIGINT sum, one final double division."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr(_TS_US).alias("ts_us"), "value"
+    )
+    return decayed_engagement(ev)
+
+
+_DECAYED_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+m AS (SELECT *, max(day) OVER (PARTITION BY user_id) AS ref FROM e),
+k AS (SELECT *, cents << CAST(30 - (ref - day) AS INT) AS term
+      FROM m WHERE ref - day < 30),
+g AS (SELECT user_id, MAX(ref) AS ref_day,
+             CAST(SUM(term) AS BIGINT) AS decayed_scaled
+      FROM k GROUP BY user_id)
+SELECT user_id, ref_day, decayed_scaled,
+       decayed_scaled::DOUBLE / 1073741824 AS decayed_score
+FROM g
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-doc_id estimate with portable
+    registers (``operators.sketches.hll_registers``/``hll_estimate``):
+    unlike approx_count_distinct's engine-private HLL++ bytes, the
+    register table is reproducible bit-for-bit by the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    regs = hll_registers(docs, ["source"], "doc_id")
+    return hll_estimate(regs, ["source"])
+
+
+_HLL_REM = 1 << 54
+
+
+def _hll_sql() -> str:
+    h = _H60.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT source, {h} // {_HLL_REM} AS bucket,
+         CASE WHEN {h} % {_HLL_REM} = 0 THEN 55
+              ELSE 54 - (length(bin({h} % {_HLL_REM})) - 1) END AS rho
+  FROM documents),
+regs AS (SELECT source, bucket, MAX(rho) AS register FROM r GROUP BY 1, 2),
+filled AS (
+  SELECT s.source, b.bucket, COALESCE(register, 0) AS register
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT range AS bucket FROM range(64)) b
+  LEFT JOIN regs USING (source, bucket)),
+agg AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_registers,
+         CAST(SUM(1::BIGINT << (48 - LEAST(register, 48))) AS BIGINT)
+           AS sum_scaled
+  FROM filled GROUP BY source)
+SELECT source, zero_registers, sum_scaled,
+       CAST(FLOOR(0.709::DOUBLE * 64 * 64 * 281474976710656::DOUBLE
+                  / sum_scaled) AS BIGINT) AS distinct_est
+FROM agg
+"""
+
+
 # A2: the stats-catalogue shape — conditional aggregates compiled from
 # metadata rows, deriving per-entity stats from an event stream
 # (STAGING/SILVER-adapter-statsbomb-notebook.ipynb:171 stats_catalogue.csv).
@@ -3134,6 +3264,10 @@ QUERIES: Mapping[str, QueryFn] = {
     "line_dedup": q_line_dedup,
     "semantic_dedup": q_semantic_dedup,
     "pack_best_fit": q_pack_best_fit,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+    "decayed_engagement": q_decayed_engagement,
+    "hll_distinct": q_hll_distinct,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
@@ -3144,6 +3278,9 @@ QUERIES: Mapping[str, QueryFn] = {
     "chunk_dedup": q_chunk_dedup,
     "salted_stats": q_salted_stats,
     "continuous_rollup": q_continuous_rollup,
+    # ---- driver window boundary (slot 50) --------------------------------
+    # Everything below is many-times-stable: driver-green in round 4
+    # (CORRECTNESS_r04.json) or earlier rounds.
     "cosine_topk": q_cosine_topk,
     "cosine_topk_quantized": q_cosine_topk_quantized,
     "lsh_topk": q_lsh_topk,
@@ -3153,8 +3290,6 @@ QUERIES: Mapping[str, QueryFn] = {
     "ngram_jaccard": q_ngram_jaccard,
     "event_sessions": q_event_sessions,
     "event_windows": q_event_windows,
-    # ---- driver window boundary (slot 50) --------------------------------
-    # Everything below is many-times-stable: driver-green in rounds 1-4.
     "group_zscores": q_group_zscores,
     "last_n_filter": q_last_n_filter,
     "with_group_rank": q_with_group_rank,
@@ -3240,6 +3375,10 @@ def oracle_sqls() -> dict[str, str]:
         "token_counts": _TOKEN_SQL,
         "document_fingerprint": _FINGERPRINT_SQL,
         "event_windows": _EVENT_WINDOWS_SQL,
+        "funnel_steps": _FUNNEL_SQL,
+        "cohort_retention": _COHORT_SQL,
+        "decayed_engagement": _DECAYED_SQL,
+        "hll_distinct": _hll_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,

@@ -37,7 +37,16 @@ from traits_data_spark.operators.text import (
     redact_pii,
     repetition_features,
 )
-from traits_data_spark.operators.sketches import kmv_distinct
+from traits_data_spark.operators.analytics import (
+    cohort_retention,
+    decayed_engagement,
+    funnel_steps,
+)
+from traits_data_spark.operators.sketches import (
+    hll_estimate,
+    hll_registers,
+    kmv_distinct,
+)
 from traits_data_spark.operators.windows import (
     cumcount,
     dedup_keep_best,

@@ -69,3 +69,106 @@ def kmv_distinct(
         .alias(est_col)
     )
     return agg.select(*group_cols, F.col(exact_col), est)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with portable registers
+# ---------------------------------------------------------------------------
+
+# Register max()s are order-independent, and the raw-estimate division
+# is computed from exact integers, so — unlike Spark's built-in
+# approx_count_distinct, whose HLL++ register layout is engine-private
+# — this sketch is reproducible bit-for-bit by any SQL engine
+# (merge-able too: max() over register tables unions sketches).
+_HLL_P = 6                       # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA_M = 0.709             # Flajolet et al. 2007, alpha for m=64
+_HLL_REM_BITS = HASH_BITS - _HLL_P   # 54 low bits feed the rho count
+_HLL_SCALE_BITS = 48             # sum(2^-reg) tracked as sum(2^(48-reg))
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    reg_col: str = "register",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-group HyperLogLog register table (64 registers of
+    leading-zero ranks from the portable 60-bit hash).
+
+    Output: ``group_cols + [bucket_col, reg_col]`` — exactly
+    ``2^p`` rows per group, zero-filled for empty buckets so register
+    tables from different partitions/engines union by ``max()``.
+
+    rho (the rank) is computed from the *bit length* of the low 54
+    hash bits via the engine-portable ``bin()`` string — no
+    floating-point log2, whose boundary rounding differs per libm.
+
+    Scale: one map-side-combined ``max`` aggregate on
+    ``(group, bucket)`` — fixed 64-rows-per-group state, the same
+    sketch shape approx_count_distinct maintains internally. The
+    zero-fill join is a broadcast of ``group × 64``.
+    """
+    h = portable_hash64(F.col(value_col).cast("string"))
+    rem = F.pmod(h, F.lit(1 << _HLL_REM_BITS))
+    rho = (
+        F.when(rem == 0, F.lit(_HLL_REM_BITS + 1))
+        .otherwise(F.lit(_HLL_REM_BITS) - (F.length(F.bin(rem)) - F.lit(1)))
+        .cast("int")
+    )
+    hashed = df.select(
+        *group_cols,
+        (h - rem).cast("long").alias("__top"),
+        rho.alias("__rho"),
+    ).withColumn(bucket_col, F.expr(f"__top DIV {1 << _HLL_REM_BITS}").cast("int"))
+    regs = hashed.groupBy(*group_cols, bucket_col).agg(
+        F.max("__rho").alias(reg_col)
+    )
+    groups = df.select(*group_cols).distinct()
+    buckets = groups.crossJoin(
+        F.broadcast(
+            regs.sparkSession.range(_HLL_M).select(
+                F.col("id").cast("int").alias(bucket_col)
+            )
+        )
+    )
+    return buckets.join(regs, [*group_cols, bucket_col], "left").select(
+        *group_cols,
+        bucket_col,
+        F.coalesce(F.col(reg_col), F.lit(0)).cast("int").alias(reg_col),
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    reg_col: str = "register",
+    est_col: str = "distinct_est",
+) -> DataFrame:
+    """Collapse a register table to the raw HLL estimate
+    ``alpha_m * m^2 / sum(2^-reg)``.
+
+    The harmonic sum is tracked as ``sum(2^(48-min(reg,48)))`` — an
+    exact BIGINT, order-independent — so the estimate is ONE division
+    of exact integers scaled by a literal constant: bit-identical on
+    every engine. The estimate floor()s to a BIGINT (matching
+    kmv_distinct's output contract). No small-range correction: that
+    needs ln(), which is libm-dependent; pair with kmv_distinct when
+    the cardinality is tiny.
+    """
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"{_HLL_SCALE_BITS} - least({reg_col}, {_HLL_SCALE_BITS}))"
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("__sum_scaled"),
+        F.sum(F.when(F.col(reg_col) == 0, 1).otherwise(0)).alias("zero_registers"),
+    )
+    num = F.lit(_HLL_ALPHA_M * _HLL_M * _HLL_M * float(1 << _HLL_SCALE_BITS))
+    return agg.select(
+        *group_cols,
+        "zero_registers",
+        F.col("__sum_scaled").alias("sum_scaled"),
+        F.floor(num / F.col("__sum_scaled")).cast("long").alias(est_col),
+    )
