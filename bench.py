@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "decayed_engagement",
     "hll_distinct",
+    "kmeans_clusters",
     "merge_upsert",
     "asof_join",
     "range_join",

@@ -33,6 +33,7 @@ LOAD_BEARING = [
     "cohort_retention",
     "decayed_engagement",
     "hll_distinct",
+    "kmeans_clusters",
 ]
 
 

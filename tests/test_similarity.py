@@ -322,3 +322,33 @@ def test_semantic_dedup_composition_planted_clusters(spark):
     assert out[2]["is_canonical"] is False and out[3]["is_canonical"] is False
     assert out[4]["component"] == 4 and out[4]["is_canonical"] is True
     assert out[5]["component"] == 5 and out[5]["is_canonical"] is True
+
+
+class TestKMeansClusters:
+    def test_deterministic_and_bounded(self, spark, embeddings):
+        from traits_data_spark.operators.similarity import kmeans_clusters
+
+        a = kmeans_clusters(embeddings, dim=64, k=8, n_iter=2).collect()
+        b = kmeans_clusters(embeddings, dim=64, k=8, n_iter=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        clusters = {r["cluster"] for r in a}
+        assert len(clusters) <= 8
+        assert len(a) == embeddings.count()
+        assert all(r["dist2"] >= 0 for r in a)
+
+    def test_lloyd_step_does_not_increase_sse(self, spark, embeddings):
+        from pyspark.sql import functions as F
+
+        from traits_data_spark.operators.similarity import kmeans_clusters
+
+        def sse(n_iter):
+            return (
+                kmeans_clusters(embeddings, dim=64, k=8, n_iter=n_iter)
+                .agg(F.sum("dist2"))
+                .collect()[0][0]
+            )
+
+        # each extra Lloyd step may only improve (or hold) the
+        # objective, up to the 1e-6 assignment rounding
+        s1, s2 = sse(1), sse(2)
+        assert s2 <= s1 + 1e-3

@@ -72,6 +72,7 @@ from traits_data_spark.operators.multimodal import (
 from traits_data_spark.operators.ratings import WeightsHierarchy
 from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
+    kmeans_clusters,
     _hyperplanes,
     cosine_topk_bruteforce,
     cosine_topk_quantized,
@@ -1396,6 +1397,76 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=IVF_SCALE,
     )
     return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+KMEANS_K = 8
+KMEANS_ITER = 2
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings table
+    (``operators.similarity.kmeans_clusters``): hash-seeded init,
+    fixed-point centroid means, identity-form L2² — each step exactly
+    reproducible by the SQL oracle, unlike Spark ML's KMeans."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, dim=EMB_DIM, k=KMEANS_K, n_iter=KMEANS_ITER)
+
+
+def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITER) -> str:
+    """CTE chain mirroring kmeans_clusters: seeds → (assign →
+    recompute) × n_iter → final assign."""
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+    scale = IVF_SCALE
+
+    def assign(src_cent: str, tag: str) -> str:
+        return f"""
+a{tag} AS (
+  SELECT v.vec_id, v.vec, c.cid,
+         round(list_dot_product(v.vec, v.vec)
+               - 2.0 * list_dot_product(v.vec, c.vec)
+               + list_dot_product(c.vec, c.vec), 6) AS d
+  FROM v CROSS JOIN {src_cent} c
+),
+m{tag} AS (
+  SELECT vec_id, vec, cid, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM a{tag}
+  ) WHERE rn = 1
+)"""
+
+    def recompute(tag: str, out: str) -> str:
+        return f"""
+comp{out} AS (
+  SELECT cid, gs.pos,
+         CAST(SUM(CAST(ROUND(vec[gs.pos] * {scale}) AS BIGINT)) AS DOUBLE)
+           / ({float(scale)} * COUNT(*)) AS comp
+  FROM m{tag} CROSS JOIN generate_series(1, {EMB_DIM}) AS gs(pos)
+  GROUP BY cid, gs.pos
+),
+cent{out} AS (
+  SELECT cid, array_agg(comp ORDER BY pos) AS vec FROM comp{out} GROUP BY cid
+)"""
+
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+seeds AS (
+  SELECT embedding AS vec,
+         CAST(row_number() OVER (ORDER BY {h}, vec_id) - 1 AS INT) AS cid
+  FROM embeddings ORDER BY {h}, vec_id LIMIT {k}
+),
+cent0 AS (SELECT cid, vec::DOUBLE[] AS vec FROM seeds)"""
+    ]
+    for i in range(n_iter):
+        parts.append(assign(f"cent{i}", str(i)))
+        parts.append(recompute(str(i), str(i + 1)))
+    parts.append(assign(f"cent{n_iter}", "f"))
+    return (
+        ",".join(parts)
+        + f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d + 0.0 AS dist2 FROM mf"""
+    )
 
 
 def _ivf_sql() -> str:
@@ -3268,6 +3339,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "decayed_engagement": q_decayed_engagement,
     "hll_distinct": q_hll_distinct,
+    "kmeans_clusters": q_kmeans_clusters,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
@@ -3277,10 +3349,10 @@ QUERIES: Mapping[str, QueryFn] = {
     "cdc_chunks": q_cdc_chunks,
     "chunk_dedup": q_chunk_dedup,
     "salted_stats": q_salted_stats,
-    "continuous_rollup": q_continuous_rollup,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is many-times-stable: driver-green in round 4
     # (CORRECTNESS_r04.json) or earlier rounds.
+    "continuous_rollup": q_continuous_rollup,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_quantized": q_cosine_topk_quantized,
     "lsh_topk": q_lsh_topk,
@@ -3379,6 +3451,7 @@ def oracle_sqls() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "decayed_engagement": _DECAYED_SQL,
         "hll_distinct": _hll_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,

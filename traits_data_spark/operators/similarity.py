@@ -689,3 +689,114 @@ def lsh_bucketed_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column, exactly
+    reproducible by a SQL oracle (unlike Spark ML's KMeans, whose
+    sampled init and float reduction order are engine-private).
+
+    Seeds are the ``k`` vectors with the smallest portable 60-bit hash
+    of their id (a deterministic stand-in for k-means++ sampling);
+    each Lloyd step assigns every vector to its nearest centroid
+    (L2², computed as v·v − 2 v·c + c·c so any engine folds the same
+    term order, rounded to 6 dp with the centroid id as tiebreak) and
+    recomputes centroids as fixed-point means (``round(x*scale)``
+    summed as BIGINT — order-independent). Output: one row per vector
+    with its final cluster and squared distance.
+
+    Scale shape (100 TB): seeding is a global top-k
+    (TakeOrderedAndProject — no full sort); each iteration is ONE
+    shuffle (the k·dim-row centroid rebuild) because assignment cross
+    joins a broadcast single-row centroid array and never moves the
+    corpus; k iterations = k small shuffles, corpus scanned k+1 times
+    (persist upstream if the input is an expensive plan). Empty
+    clusters drop out (both engines lose the id the same way).
+    """
+    from traits_data_spark.functions.scalars import portable_hash64
+
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    seeds = (
+        v.withColumn("__h", portable_hash64(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(k)
+    )
+    centroids = seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("__h", "__id")) - 1
+    ).select(F.col("cid").cast("int"), F.col("__v").alias("__centv"))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        packed = cent.agg(
+            F.collect_list(F.struct("cid", "__centv")).alias("__cs")
+        )
+        d2 = lambda c: (  # noqa: E731
+            dot(F.col("__v"), F.col("__v"))
+            - F.lit(2.0) * dot(F.col("__v"), c)
+            + dot(c, c)
+        )
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("__cs"),
+                    lambda s: F.struct(
+                        F.round(d2(s.getField("__centv")), 6).alias("d"),
+                        s.getField("cid").alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )
+        return (
+            v.crossJoin(F.broadcast(packed))
+            .withColumn("__best", best)
+            .select(
+                "__id",
+                "__v",
+                F.col("__best.cid").alias("cid"),
+                F.col("__best.d").alias("__d"),
+            )
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(centroids)
+        comp = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.round(F.col("x") * scale).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        centroids = comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (
+                                F.col("s").cast("double")
+                                / (F.lit(float(scale)) * F.col("n"))
+                            ).alias("comp"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("comp"),
+            ).alias("__centv")
+        )
+    final = assign(centroids)
+    return final.select(
+        F.col("__id").alias(id_col),
+        F.col("cid").cast("long").alias("cluster"),
+        (F.col("__d") + F.lit(0.0)).alias("dist2"),
+    )
