@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "decayed_engagement",
     "hll_distinct",
     "kmeans_clusters",
+    "ivf_topk_kmeans",
     "merge_upsert",
     "asof_join",
     "range_join",

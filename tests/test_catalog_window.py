@@ -34,6 +34,7 @@ LOAD_BEARING = [
     "decayed_engagement",
     "hll_distinct",
     "kmeans_clusters",
+    "ivf_topk_kmeans",
 ]
 
 

@@ -352,3 +352,38 @@ class TestKMeansClusters:
         # objective, up to the 1e-6 assignment rounding
         s1, s2 = sse(1), sse(2)
         assert s2 <= s1 + 1e-3
+
+
+def test_ivf_kmeans_full_probe_equals_bruteforce(spark, embeddings):
+    """Probing every k-means cell degenerates to exact search."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import ivf_topk_kmeans
+
+    emb = embeddings.limit(100).cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=5)
+    full = ivf_topk_kmeans(
+        emb, queries, dim=64, k=5, n_centroids=4, n_iter=1, n_probe=4
+    )
+    e = sorted(tuple(r) for r in exact.collect())
+    f = sorted(tuple(r) for r in full.collect())
+    assert e == f
+
+
+def test_ivf_kmeans_partial_probe_subset(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import ivf_topk_kmeans
+
+    emb = embeddings.limit(200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=200)
+    truth = {
+        (r["query_id"], r["neighbor_id"], r["cosine"]) for r in exact.collect()
+    }
+    approx = ivf_topk_kmeans(
+        emb, queries, dim=64, k=5, n_centroids=8, n_iter=2, n_probe=2
+    )
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in approx.collect()}
+    assert got and got <= truth  # genuine pairs, exact same scores

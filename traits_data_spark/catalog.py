@@ -72,6 +72,7 @@ from traits_data_spark.operators.multimodal import (
 from traits_data_spark.operators.ratings import WeightsHierarchy
 from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
+    ivf_topk_kmeans,
     kmeans_clusters,
     _hyperplanes,
     cosine_topk_bruteforce,
@@ -1412,14 +1413,8 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(emb, dim=EMB_DIM, k=KMEANS_K, n_iter=KMEANS_ITER)
 
 
-def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITER) -> str:
-    """CTE chain mirroring kmeans_clusters: seeds → (assign →
-    recompute) × n_iter → final assign."""
-    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
-    scale = IVF_SCALE
-
-    def assign(src_cent: str, tag: str) -> str:
-        return f"""
+def _kmeans_assign_cte(src_cent: str, tag: str) -> str:
+    return f"""
 a{tag} AS (
   SELECT v.vec_id, v.vec, c.cid,
          round(list_dot_product(v.vec, v.vec)
@@ -1433,6 +1428,13 @@ m{tag} AS (
     FROM a{tag}
   ) WHERE rn = 1
 )"""
+
+
+def _kmeans_cent_ctes(k: int, n_iter: int) -> str:
+    """WITH-chain mirroring kmeans_fit: hash-ranked seeds →
+    (assign → fixed-point recompute) × n_iter; ends at cent{n_iter}."""
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+    scale = IVF_SCALE
 
     def recompute(tag: str, out: str) -> str:
         return f"""
@@ -1459,13 +1461,82 @@ seeds AS (
 cent0 AS (SELECT cid, vec::DOUBLE[] AS vec FROM seeds)"""
     ]
     for i in range(n_iter):
-        parts.append(assign(f"cent{i}", str(i)))
+        parts.append(_kmeans_assign_cte(f"cent{i}", str(i)))
         parts.append(recompute(str(i), str(i + 1)))
-    parts.append(assign(f"cent{n_iter}", "f"))
+    return ",".join(parts)
+
+
+def _kmeans_sql(k: int = KMEANS_K, n_iter: int = KMEANS_ITER) -> str:
+    """CTE chain mirroring kmeans_clusters: seeds → (assign →
+    recompute) × n_iter → final assign."""
     return (
-        ",".join(parts)
-        + f"""
+        _kmeans_cent_ctes(k, n_iter)
+        + ","
+        + _kmeans_assign_cte(f"cent{n_iter}", "f")
+        + """
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d + 0.0 AS dist2 FROM mf"""
+    )
+
+
+IVF_KMEANS_PROBE = 2
+
+
+def q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-k with the deterministic k-means coarse quantizer
+    (``operators.similarity.ivf_topk_kmeans``): the classic FAISS IVF
+    shape, fully oracle-checkable because the index build is
+    ``kmeans_fit`` rather than Spark ML's engine-private KMeans."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk_kmeans(
+        emb,
+        emb.filter(F.expr(_QUERY_PRED)),
+        dim=EMB_DIM,
+        k=TOPK,
+        n_centroids=KMEANS_K,
+        n_iter=KMEANS_ITER,
+        n_probe=IVF_KMEANS_PROBE,
+        scale=IVF_SCALE,
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _ivf_kmeans_sql(
+    k: int = KMEANS_K, n_iter: int = KMEANS_ITER, n_probe: int = IVF_KMEANS_PROBE
+) -> str:
+    return (
+        _kmeans_cent_ctes(k, n_iter)
+        + ","
+        + _kmeans_assign_cte(f"cent{n_iter}", "f")
+        + f""",
+q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE {_QUERY_PRED}),
+pd AS (
+  SELECT q.query_id, q.qv, c.cid,
+         round(list_dot_product(q.qv, q.qv)
+               - 2.0 * list_dot_product(q.qv, c.vec)
+               + list_dot_product(c.vec, c.vec), 6) AS d2
+  FROM q CROSS JOIN cent{n_iter} c
+),
+pr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, cid) AS prk
+  FROM pd
+),
+probe AS (SELECT query_id, qv, cid FROM pr WHERE prk <= {n_probe}),
+s AS (
+  SELECT probe.query_id, m.vec_id AS neighbor_id,
+         round(list_dot_product(probe.qv, m.vec)
+               / (sqrt(list_dot_product(probe.qv, probe.qv))
+                  * sqrt(list_dot_product(m.vec, m.vec))), 6) + 0.0 AS cosine
+  FROM probe JOIN mf m USING (cid)
+  WHERE m.vec_id != probe.query_id
+    AND list_dot_product(m.vec, m.vec) > 0
+    AND list_dot_product(probe.qv, probe.qv) > 0
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {TOPK}"""
     )
 
 
@@ -3340,6 +3411,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "decayed_engagement": q_decayed_engagement,
     "hll_distinct": q_hll_distinct,
     "kmeans_clusters": q_kmeans_clusters,
+    "ivf_topk_kmeans": q_ivf_topk_kmeans,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
@@ -3348,10 +3420,10 @@ QUERIES: Mapping[str, QueryFn] = {
     "cluster_split": q_cluster_split,
     "cdc_chunks": q_cdc_chunks,
     "chunk_dedup": q_chunk_dedup,
-    "salted_stats": q_salted_stats,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is many-times-stable: driver-green in round 4
     # (CORRECTNESS_r04.json) or earlier rounds.
+    "salted_stats": q_salted_stats,
     "continuous_rollup": q_continuous_rollup,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_quantized": q_cosine_topk_quantized,
@@ -3452,6 +3524,7 @@ def oracle_sqls() -> dict[str, str]:
         "decayed_engagement": _DECAYED_SQL,
         "hll_distinct": _hll_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "ivf_topk_kmeans": _ivf_kmeans_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,

@@ -691,27 +691,61 @@ def lsh_bucketed_topk(
     )
 
 
-def kmeans_clusters(
+def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment against a broadcast single-row
+    centroid array: zero-shuffle — the corpus never moves. L2² in the
+    v·v − 2 v·c + c·c identity form (same fold order on any engine),
+    rounded to 6 dp with the centroid id as tiebreak."""
+    packed = centroids.agg(
+        F.collect_list(F.struct("cid", "__centv")).alias("__cs")
+    )
+    d2 = lambda c: (  # noqa: E731
+        dot(F.col("__v"), F.col("__v"))
+        - F.lit(2.0) * dot(F.col("__v"), c)
+        + dot(c, c)
+    )
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("__cs"),
+                lambda s: F.struct(
+                    F.round(d2(s.getField("__centv")), 6).alias("d"),
+                    s.getField("cid").alias("cid"),
+                ),
+            )
+        ),
+        1,
+    )
+    return (
+        v.crossJoin(F.broadcast(packed))
+        .withColumn("__best", best)
+        .select(
+            "__id",
+            "__v",
+            F.col("__best.cid").alias("cid"),
+            F.col("__best.d").alias("__d"),
+        )
+    )
+
+
+def kmeans_fit(
     df: DataFrame,
-    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 2,
     scale: int = 1_000_000,
 ) -> DataFrame:
-    """Deterministic Lloyd k-means over an embedding column, exactly
-    reproducible by a SQL oracle (unlike Spark ML's KMeans, whose
-    sampled init and float reduction order are engine-private).
+    """Deterministic Lloyd k-means fit → ``(cid, __centv)`` centroid
+    table, exactly reproducible by a SQL oracle (unlike Spark ML's
+    KMeans, whose sampled init and float reduction order are
+    engine-private).
 
     Seeds are the ``k`` vectors with the smallest portable 60-bit hash
     of their id (a deterministic stand-in for k-means++ sampling);
-    each Lloyd step assigns every vector to its nearest centroid
-    (L2², computed as v·v − 2 v·c + c·c so any engine folds the same
-    term order, rounded to 6 dp with the centroid id as tiebreak) and
+    each Lloyd step assigns every vector to its nearest centroid and
     recomputes centroids as fixed-point means (``round(x*scale)``
-    summed as BIGINT — order-independent). Output: one row per vector
-    with its final cluster and squared distance.
+    summed as BIGINT — order-independent).
 
     Scale shape (100 TB): seeding is a global top-k
     (TakeOrderedAndProject — no full sort); each iteration is ONE
@@ -736,40 +770,8 @@ def kmeans_clusters(
         "cid", F.row_number().over(Window.orderBy("__h", "__id")) - 1
     ).select(F.col("cid").cast("int"), F.col("__v").alias("__centv"))
 
-    def assign(cent: DataFrame) -> DataFrame:
-        packed = cent.agg(
-            F.collect_list(F.struct("cid", "__centv")).alias("__cs")
-        )
-        d2 = lambda c: (  # noqa: E731
-            dot(F.col("__v"), F.col("__v"))
-            - F.lit(2.0) * dot(F.col("__v"), c)
-            + dot(c, c)
-        )
-        best = F.element_at(
-            F.array_sort(
-                F.transform(
-                    F.col("__cs"),
-                    lambda s: F.struct(
-                        F.round(d2(s.getField("__centv")), 6).alias("d"),
-                        s.getField("cid").alias("cid"),
-                    ),
-                )
-            ),
-            1,
-        )
-        return (
-            v.crossJoin(F.broadcast(packed))
-            .withColumn("__best", best)
-            .select(
-                "__id",
-                "__v",
-                F.col("__best.cid").alias("cid"),
-                F.col("__best.d").alias("__d"),
-            )
-        )
-
     for _ in range(n_iter):
-        assigned = assign(centroids)
+        assigned = _kmeans_assign(v, centroids)
         comp = (
             assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -794,9 +796,120 @@ def kmeans_clusters(
                 lambda s: s.getField("comp"),
             ).alias("__centv")
         )
-    final = assign(centroids)
+    return centroids
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column: one row
+    per vector with its final cluster and squared distance. See
+    ``kmeans_fit`` for the determinism and scale contract."""
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    centroids = kmeans_fit(
+        df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter, scale=scale
+    )
+    final = _kmeans_assign(v, centroids)
     return final.select(
         F.col("__id").alias(id_col),
         F.col("cid").cast("long").alias("cluster"),
         (F.col("__d") + F.lit(0.0)).alias("dist2"),
+    )
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF approximate top-k with a *deterministic k-means* coarse
+    quantizer — the classic FAISS IVF-Flat shape, but oracle-checkable:
+    cells come from ``kmeans_fit`` (hash-seeded Lloyd, fixed-point
+    means), so the whole index build + probe + score pipeline is
+    reproducible bit-for-bit by a SQL engine, unlike the Spark ML
+    variant (``ivf_topk``).
+
+    Scale shape (100 TB): the centroid fit never shuffles the corpus
+    (see ``kmeans_fit``); cell assignment is the same broadcast map;
+    queries rank the broadcast centroid table and probe their
+    ``n_probe`` nearest cells, so the only corpus-sized shuffle is the
+    cell-id join. ``n_probe == n_centroids`` degenerates to exact
+    brute force.
+    """
+    centroids = kmeans_fit(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=n_centroids,
+        n_iter=n_iter,
+        scale=scale,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    assigned = _kmeans_assign(
+        c.select(F.col("neighbor_id").alias("__id"), F.col("__cv").alias("__v")),
+        centroids,
+    ).select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        F.col("cid").alias("__cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # rank centroids per query on the same rounded L2², probe the
+    # n_probe nearest cells
+    d2 = (
+        dot(F.col("__qv"), F.col("__qv"))
+        - F.lit(2.0) * dot(F.col("__qv"), F.col("__centv"))
+        + dot(F.col("__centv"), F.col("__centv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("__cid").asc()
+    )
+    q_probed = (
+        q.join(F.broadcast(centroids.withColumnRenamed("cid", "__cid")))
+        .withColumn("__d2", F.round(d2, 6))
+        .withColumn("__prk", F.row_number().over(wp))
+        .filter(F.col("__prk") <= n_probe)
+        .select("query_id", "__qv", "__cid")
+    )
+    norm2_of = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    scored = (
+        assigned.filter(norm2_of(F.col("__cv")) > 0)
+        .join(q_probed.filter(norm2_of(F.col("__qv")) > 0), "__cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6) + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
     )
