@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "kmeans_clusters",
     "ivf_topk_kmeans",
+    "cms_top_terms",
     "merge_upsert",
     "asof_join",
     "range_join",

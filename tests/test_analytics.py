@@ -183,3 +183,61 @@ class TestHLL:
             expected[bucket] = max(expected.get(bucket, 0), rho)
         for b in range(64):
             assert regs[b] == expected.get(b, 0)
+
+
+class TestCountMin:
+    def test_overestimate_invariant(self, spark, documents):
+        from traits_data_spark.operators.sketches import (
+            cms_estimate,
+            count_min_sketch,
+        )
+        from traits_data_spark.operators.text import word_array
+
+        words = documents.select(
+            F.explode(word_array("text")).alias("__w")
+        ).select(F.lower(F.col("__w")).alias("term"))
+        sketch = count_min_sketch(words, "term", depth=4, width=128)
+        exact = words.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        est = cms_estimate(sketch, exact, "term", depth=4, width=128)
+        rows = est.collect()
+        assert rows and all(r["est_count"] >= r["n"] for r in rows)
+
+    def test_exact_when_width_ample(self, spark):
+        from traits_data_spark.operators.sketches import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        # few distinct values + wide sketch -> no collisions -> exact
+        df = spark.range(1000).select((F.col("id") % 5).alias("v"))
+        sketch = count_min_sketch(df, "v", depth=4, width=4096)
+        probes = df.distinct()
+        est = cms_estimate(sketch, probes, "v", depth=4, width=4096)
+        assert {(r["v"], r["est_count"]) for r in est.collect()} == {
+            (i, 200) for i in range(5)
+        }
+
+    def test_merge_by_sum(self, spark):
+        from pyspark.sql import functions as SF
+
+        from traits_data_spark.operators.sketches import count_min_sketch
+
+        a = spark.range(500).select((F.col("id") % 7).alias("v"))
+        b = spark.range(300).select((F.col("id") % 3).alias("v"))
+        whole = count_min_sketch(a.unionByName(b), "v", depth=2, width=64)
+        merged = (
+            count_min_sketch(a, "v", depth=2, width=64)
+            .unionByName(count_min_sketch(b, "v", depth=2, width=64))
+            .groupBy("row", "bucket")
+            .agg(SF.sum("cnt").alias("cnt"))
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_validation(self, spark):
+        from traits_data_spark.operators.sketches import count_min_sketch
+
+        df = spark.range(1).select(F.col("id").alias("v"))
+        with pytest.raises(ValueError):
+            count_min_sketch(df, "v", depth=0)

@@ -35,6 +35,7 @@ LOAD_BEARING = [
     "hll_distinct",
     "kmeans_clusters",
     "ivf_topk_kmeans",
+    "cms_top_terms",
 ]
 
 

@@ -30,6 +30,9 @@ from traits_data_spark.operators.similarity import (
 )
 from traits_data_spark.operators.similarity import (
     cosine_topk_quantized,
+    ivf_topk_kmeans,
+    kmeans_clusters,
+    kmeans_fit,
     knn_label_eval,
 )
 from traits_data_spark.operators.text import (
@@ -43,6 +46,8 @@ from traits_data_spark.operators.analytics import (
     funnel_steps,
 )
 from traits_data_spark.operators.sketches import (
+    cms_estimate,
+    count_min_sketch,
     hll_estimate,
     hll_registers,
     kmv_distinct,

@@ -172,3 +172,94 @@ def hll_estimate(
         F.col("__sum_scaled").alias("sum_scaled"),
         F.floor(num / F.col("__sum_scaled")).cast("long").alias(est_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch
+# ---------------------------------------------------------------------------
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a value
+    column: a ``depth × width`` counter grid where row ``i`` buckets
+    each value by the portable 60-bit hash of ``"i:value"``.
+
+    Returns ``(row, bucket, cnt)`` — only occupied cells (missing
+    cells are zero). Counters are BIGINT sums, so sketches merge by
+    adding cells and the whole structure is order-independent and
+    engine-portable (same reproducibility contract as
+    ``hll_registers`` / ``kmv_distinct``).
+
+    Scale: ONE map-side-combined aggregate with at most
+    ``depth · width`` cells of state per partition — frequency
+    estimation over a 100 TB corpus without shuffling its distinct
+    values (exact heavy-hitter counting shuffles every distinct term;
+    this shuffles ≤ depth·width rows per partition, with the skew of
+    the hottest terms absorbed by the partial aggregation).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    v = F.col(value_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    portable_hash64(F.concat(F.lit(f"{i}:"), v)), F.lit(width)
+                ).cast("int").alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        df.select(F.explode(rows).alias("__c"), w.alias("__w"))
+        .groupBy(F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Estimate each probe value's frequency from a count-min sketch:
+    ``min`` over the depth rows of the counter each row hashes the
+    value into. Guarantees ``estimate >= true count`` (one-sided
+    error); the sketch is broadcast, so probing never shuffles the
+    probe side.
+    """
+    v = F.col(value_col).cast("string")
+    melted = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            portable_hash64(F.concat(F.lit(f"{i}:"), v)),
+                            F.lit(width),
+                        ).cast("int").alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__c"),
+    ).select("*", F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
+    joined = melted.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    keys = [c for c in probes.columns]
+    return (
+        joined.groupBy(*keys)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
+    )
