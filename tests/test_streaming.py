@@ -195,3 +195,71 @@ def test_streaming_incremental_lsh_dedup(spark, tmp_path, documents):
         if r["id_a"] in new_ids or r["id_b"] in new_ids
     }
     assert got == want and got
+
+
+def test_streaming_cms_sketch_matches_batch(spark, tmp_path, documents):
+    """E2E: a count-min sketch maintained incrementally over a file
+    stream (foreachBatch add-merges each micro-batch's cells into the
+    persisted sketch) equals the sketch built in one batch pass — the
+    add-merge property is what makes the sketch a streaming-safe
+    aggregate at 100 TB (fixed state, no re-scan of history)."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.sketches import count_min_sketch
+    from traits_data_spark.operators.text import word_array
+
+    docs = documents.select("doc_id", "text").filter(F.col("doc_id") < 120)
+
+    landing = tmp_path / "cms_landing"
+    landing.mkdir()
+    # two files -> two micro-batches under availableNow with
+    # maxFilesPerTrigger=1
+    for i, pred in enumerate(
+        [F.col("doc_id") < 60, F.col("doc_id") >= 60]
+    ):
+        pdf = docs.filter(pred).toPandas()
+        (landing / f"batch{i}.json").write_text(
+            pdf.to_json(orient="records", lines=True)
+        )
+
+    sketch_path = str(tmp_path / "cms_sketch")
+
+    def _update(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        words = batch_df.select(
+            F.explode(word_array("text")).alias("__w")
+        ).select(F.lower(F.col("__w")).alias("term"))
+        delta = count_min_sketch(words, "term", depth=2, width=64)
+        try:
+            prev = ss.read.parquet(sketch_path)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception:
+            merged = delta
+        merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    batch_words = docs.select(
+        F.explode(word_array("text")).alias("__w")
+    ).select(F.lower(F.col("__w")).alias("term"))
+    expected = sorted(
+        map(tuple, count_min_sketch(batch_words, "term", depth=2, width=64).collect())
+    )
+    got = sorted(map(tuple, spark.read.parquet(sketch_path).collect()))
+    assert got == expected
