@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "ivf_topk_kmeans",
     "cms_top_terms",
+    "sampled_quantiles",
     "merge_upsert",
     "asof_join",
     "range_join",

@@ -241,3 +241,70 @@ class TestCountMin:
         df = spark.range(1).select(F.col("id").alias("v"))
         with pytest.raises(ValueError):
             count_min_sketch(df, "v", depth=0)
+
+
+class TestSampledQuantiles:
+    def test_rank_selection_hand_computed(self, spark):
+        from traits_data_spark.operators.sketches import sampled_quantiles
+
+        # rate 100% -> the "sample" is the full frame; ranks are exact
+        df = spark.createDataFrame(
+            [(1, "g", float(v)) for v in range(1, 102)],
+            "k long, g string, v double",
+        )
+        row = sampled_quantiles(
+            df, ["g"], "v", "k", quantiles=(0.5, 0.9), rate_bp=10_000
+        ).collect()[0]
+        # n=101: p50 rank floor(.5*100)+1 = 51 -> value 51; p90 -> 91
+        assert row["n_sample"] == 101
+        assert row["p50"] == 51.0
+        assert row["p90"] == 91.0
+
+    def test_sample_median_near_true_median(self, spark, lineitem):
+        from pyspark.sql import functions as F
+
+        from traits_data_spark.operators.sketches import sampled_quantiles
+
+        li = lineitem.withColumn(
+            "__key",
+            F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")),
+        )
+        out = {
+            r["l_returnflag"]: r
+            for r in sampled_quantiles(
+                li, ["l_returnflag"], "l_extendedprice", "__key", rate_bp=2000
+            ).collect()
+        }
+        exact = {
+            r["l_returnflag"]: r["m"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+            .collect()
+        }
+        for flag, r in out.items():
+            # 20% uniform sample of thousands of rows: the sample
+            # median lands well within +-15% of the true median
+            assert abs(r["p50"] - exact[flag]) / exact[flag] < 0.15
+            assert r["p50"] <= r["p90"] <= r["p99"]
+
+    def test_merge_by_union(self, spark):
+        from traits_data_spark.operators.sketches import sampled_quantiles
+
+        df = spark.range(10_000).selectExpr(
+            "id AS k", "'g' AS g", "CAST(id % 997 AS DOUBLE) AS v"
+        )
+        a, b = df.filter("id < 5000"), df.filter("id >= 5000")
+        whole = sampled_quantiles(df, ["g"], "v", "k", rate_bp=1500).collect()
+        via_union = sampled_quantiles(
+            a.unionByName(b), ["g"], "v", "k", rate_bp=1500
+        ).collect()
+        assert sorted(map(tuple, whole)) == sorted(map(tuple, via_union))
+
+    def test_validation(self, spark):
+        from traits_data_spark.operators.sketches import sampled_quantiles
+
+        df = spark.range(1).selectExpr("id AS k", "'g' AS g", "1.0 AS v")
+        with pytest.raises(ValueError):
+            sampled_quantiles(df, ["g"], "v", "k", quantiles=())
+        with pytest.raises(ValueError):
+            sampled_quantiles(df, ["g"], "v", "k", rate_bp=0)

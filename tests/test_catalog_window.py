@@ -36,6 +36,7 @@ LOAD_BEARING = [
     "kmeans_clusters",
     "ivf_topk_kmeans",
     "cms_top_terms",
+    "sampled_quantiles",
 ]
 
 

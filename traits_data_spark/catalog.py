@@ -140,6 +140,7 @@ from traits_data_spark.operators.analytics import (
 from traits_data_spark.operators.sketches import (
     cms_estimate,
     count_min_sketch,
+    sampled_quantiles,
     hll_estimate,
     hll_registers,
     kmv_distinct,
@@ -2882,6 +2883,50 @@ FROM supplier
 # ---------------------------------------------------------------------------
 
 _KMV_K = 64
+_SQ_RATE_BP = 1000
+
+
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles from a deterministic 10% hash sample
+    (``operators.sketches.sampled_quantiles``): the engine-portable
+    alternative to ``approx_percentile``, whose GK/KLL state is
+    engine-private. Discrete rank selection of actual data values —
+    no interpolation arithmetic to diverge cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__key", F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    return sampled_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "__key",
+        quantiles=(0.5, 0.9, 0.99),
+        rate_bp=_SQ_RATE_BP,
+    )
+
+
+def _sampled_quantiles_sql() -> str:
+    key = "l_orderkey || ':' || l_linenumber"
+    h = _H60.format(x=key)
+    picks = ",\n  ".join(
+        f"MAX(CASE WHEN rn = CAST(FLOOR({q} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN v END) AS p{int(round(q * 100))}"
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"""
+WITH s AS (
+  SELECT l_returnflag, l_extendedprice AS v, {key} AS k
+  FROM lineitem WHERE {h} % 10000 < {_SQ_RATE_BP}
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY v, k) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM s
+)
+SELECT l_returnflag, COUNT(*) AS n_sample,
+  {picks}
+FROM r GROUP BY l_returnflag
+"""
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3470,16 +3515,17 @@ QUERIES: Mapping[str, QueryFn] = {
     "kmeans_clusters": q_kmeans_clusters,
     "ivf_topk_kmeans": q_ivf_topk_kmeans,
     "cms_top_terms": q_cms_top_terms,
+    "sampled_quantiles": q_sampled_quantiles,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
     "simhash_near_dups": q_simhash_near_dups,
     "decontaminate": q_decontaminate,
     "cluster_split": q_cluster_split,
-    "cdc_chunks": q_cdc_chunks,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is many-times-stable: driver-green in round 4
     # (CORRECTNESS_r04.json) or earlier rounds.
+    "cdc_chunks": q_cdc_chunks,
     "chunk_dedup": q_chunk_dedup,
     "salted_stats": q_salted_stats,
     "continuous_rollup": q_continuous_rollup,
@@ -3584,6 +3630,7 @@ def oracle_sqls() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(),
         "ivf_topk_kmeans": _ivf_kmeans_sql(),
         "cms_top_terms": _cms_sql(),
+        "sampled_quantiles": _sampled_quantiles_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,

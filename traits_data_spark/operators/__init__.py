@@ -49,8 +49,10 @@ from traits_data_spark.operators.sketches import (
     cms_estimate,
     count_min_sketch,
     hll_estimate,
+    sampled_quantiles,
     hll_registers,
     kmv_distinct,
+    sampled_quantiles,
 )
 from traits_data_spark.operators.windows import (
     cumcount,

@@ -263,3 +263,67 @@ def cms_estimate(
         joined.groupBy(*keys)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-sampled quantiles
+# ---------------------------------------------------------------------------
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    rate_bp: int = 1000,
+    prefix: str = "p",
+) -> DataFrame:
+    """Per-group discrete quantiles from a deterministic hash sample —
+    the engine-portable alternative to ``approx_percentile``, whose
+    GK/KLL sketch state (like HLL++'s registers) is engine-private and
+    non-reproducible.
+
+    Rows whose ``portable_hash64(key) % 10000 < rate_bp`` survive (a
+    deterministic uniform sample keyed on ``key_col``; basis points,
+    so ``rate_bp=1000`` keeps 10%). Each requested quantile ``q`` is
+    the sample value at 1-based rank ``floor(q*(n-1)) + 1`` under
+    ``(value, key)`` ordering — discrete selection of an actual data
+    value, so no interpolation arithmetic can diverge across engines.
+    Samples merge by union (the hash predicate is stable), so sketches
+    from different days/partitions compose.
+
+    Scale: the corpus-sized stage is a scan + hash filter (no
+    shuffle); only the sample (rate_bp/10000 of the data) shuffles
+    into the per-group sort window. ``n_sample`` is emitted so
+    downstream can judge estimate quality per group.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    if not 0 < rate_bp <= 10_000:
+        raise ValueError("rate_bp must be in (0, 10000]")
+    h = F.pmod(portable_hash64(F.col(key_col).cast("string")), F.lit(10_000))
+    sample = df.filter(h < rate_bp).select(
+        *group_cols, F.col(value_col).alias("__v"), F.col(key_col).alias("__k")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__v", "__k")
+    ranked = sample.withColumn("__rn", F.row_number().over(w))
+    # rank selection needs the group size alongside each row; the
+    # unordered count window rides the same partitioning as the sort
+    # window (one exchange total)
+    counted = ranked.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    sel = [
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.floor(F.lit(float(q)) * (F.col("__n") - 1)).cast("long") + 1,
+                F.col("__v"),
+            )
+        ).alias(f"{prefix}{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    return counted.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"), *sel
+    )
