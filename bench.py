@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "ivf_topk_kmeans",
     "cms_top_terms",
     "sampled_quantiles",
+    "substring_dups",
     "merge_upsert",
     "asof_join",
     "range_join",

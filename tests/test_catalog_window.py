@@ -37,6 +37,7 @@ LOAD_BEARING = [
     "ivf_topk_kmeans",
     "cms_top_terms",
     "sampled_quantiles",
+    "substring_dups",
 ]
 
 

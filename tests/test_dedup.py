@@ -290,3 +290,41 @@ def test_dedup_lines_bad_mode(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         dedup_lines(docs, mode="nope")
+
+
+def test_substring_dup_profile_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from traits_data_spark.operators.dedup import substring_dup_profile
+
+    quote = " ".join(f"q{i}" for i in range(20))  # 20-word shared passage
+    a = quote + " " + " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10)) + " " + quote
+    c = " ".join(f"c{i}" for i in range(30))
+    short = "too short"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b),
+         Row(doc_id=3, text=c), Row(doc_id=4, text=short)]
+    )
+    out = {r["doc_id"]: r for r in substring_dup_profile(df, window=16).collect()}
+    assert 4 not in out  # below the window size
+    assert out[3]["dup_windows"] == 0
+    # the shared 20-word passage contributes exactly 20-16+1 = 5
+    # duplicated windows to each of A and B
+    assert out[1]["dup_windows"] == 5
+    assert out[2]["dup_windows"] == 5
+    assert out[1]["n_windows"] == 30 - 16 + 1
+    assert out[1]["dup_bp"] == 5 * 10000 // 15
+
+
+def test_substring_dup_profile_same_doc_repeat(spark):
+    from pyspark.sql import Row
+
+    from traits_data_spark.operators.dedup import substring_dup_profile
+
+    passage = " ".join(f"w{i}" for i in range(16))
+    doc = passage + " sep " + passage  # verbatim self-repeat
+    df = spark.createDataFrame([Row(doc_id=1, text=doc)])
+    row = substring_dup_profile(df, window=16).collect()[0]
+    # both copies of the 16-word window hash identically
+    assert row["dup_windows"] >= 2

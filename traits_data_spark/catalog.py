@@ -38,6 +38,7 @@ from traits_data_spark.operators.any_union import (
     union_with_coarse_group,
 )
 from traits_data_spark.operators.dedup import (
+    substring_dup_profile,
     MINHASH_PRIME,
     _hash_coeffs,
     dedup_clusters,
@@ -2654,6 +2655,48 @@ FROM pd
 """
 
 
+SUBSTR_WINDOW = 16
+
+
+def q_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication profile
+    (``operators.dedup.substring_dup_profile``): per document, the
+    count and basis-point share of stride-1 16-word windows occurring
+    ≥2 times corpus-wide — the distributed hash-window equivalent of
+    Lee et al. 2022's suffix-array substring dedup."""
+    docs = _docs_wide(spark, sf_dir)
+    return substring_dup_profile(
+        docs, text_col="text", id_col="doc_id", window=SUBSTR_WINDOW
+    )
+
+
+def _substring_dups_sql() -> str:
+    w = SUBSTR_WINDOW
+    gram = f"array_to_string(ts[i:i + {w - 1}], ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                     x -> length(x) > 0) AS ts
+  FROM documents
+),
+sized AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) >= {w}),
+g AS (
+  SELECT doc_id, {_H60.format(x=gram)} AS wh
+  FROM (SELECT doc_id, ts, unnest(range(1, n - {w - 2})) AS i FROM sized)
+),
+c AS (SELECT doc_id, wh, COUNT(*) OVER (PARTITION BY wh) AS occ FROM g),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS dup_windows
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_windows, CAST(dup_windows AS BIGINT) AS dup_windows,
+       CAST(dup_windows * 10000 // n_windows AS BIGINT) AS dup_bp
+FROM pd
+"""
+
+
 def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (pre-aggregate on (key, salt),
     merge per key) over lineitem — result-identical to the plain
@@ -3516,15 +3559,16 @@ QUERIES: Mapping[str, QueryFn] = {
     "ivf_topk_kmeans": q_ivf_topk_kmeans,
     "cms_top_terms": q_cms_top_terms,
     "sampled_quantiles": q_sampled_quantiles,
+    "substring_dups": q_substring_dups,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
     "simhash_near_dups": q_simhash_near_dups,
     "decontaminate": q_decontaminate,
-    "cluster_split": q_cluster_split,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is many-times-stable: driver-green in round 4
     # (CORRECTNESS_r04.json) or earlier rounds.
+    "cluster_split": q_cluster_split,
     "cdc_chunks": q_cdc_chunks,
     "chunk_dedup": q_chunk_dedup,
     "salted_stats": q_salted_stats,
@@ -3631,6 +3675,7 @@ def oracle_sqls() -> dict[str, str]:
         "ivf_topk_kmeans": _ivf_kmeans_sql(),
         "cms_top_terms": _cms_sql(),
         "sampled_quantiles": _sampled_quantiles_sql(),
+        "substring_dups": _substring_dups_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,

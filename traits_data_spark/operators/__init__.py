@@ -17,6 +17,7 @@ from traits_data_spark.operators.sampling import (
     token_budget_filter,
 )
 from traits_data_spark.operators.dedup import (
+    substring_dup_profile,
     banded_signatures,
     connected_components,
     dedup_clusters,

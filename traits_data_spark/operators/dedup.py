@@ -799,3 +799,65 @@ def dedup_lines(
             F.transform(ordered, lambda s: s["line"]), join_delim
         ).alias("clean_text"),
     )
+
+
+def substring_dup_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Exact substring-duplication profile: for every document, how
+    many of its stride-1 ``window``-word token windows occur more than
+    once in the corpus (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — there built on a single-node
+    suffix array; hashing every token window is the shuffle-friendly
+    distributed equivalent, catching verbatim reuse that document- and
+    chunk-level dedup miss: quotations, templated passages, partial
+    crawls of the same page).
+
+    Output (docs with ≥ ``window`` tokens): ``n_windows``,
+    ``dup_windows`` (windows whose hash occurs ≥2 times corpus-wide,
+    same-doc repeats included), and ``dup_bp`` (basis points,
+    integer-exact).
+
+    Scale: ~one hashed row per corpus token — the same footprint the
+    published algorithm's suffix array pays, but partitionable: ONE
+    shuffle on the 60-bit window hash (the occurrence count rides an
+    unordered hash-partition window, map-side-combinable), then one
+    per-document aggregate. No driver state, no suffix array.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col), lowercase=False), " "),
+        lambda t: F.length(t) > 0,
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("__ts"))
+        .withColumn("__n", F.size("__ts"))
+        .filter(F.col("__n") >= window)
+    )
+    gram_hash = lambda i: portable_hash64(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("__ts"), i, window))
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - F.lit(window - 1)),
+                gram_hash,
+            )
+        ).alias("__wh"),
+    )
+    counted = grams.withColumn(
+        "__occ", F.count(F.lit(1)).over(Window.partitionBy("__wh"))
+    )
+    out = counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("__occ") > 1, 1).otherwise(0)).alias("dup_windows"),
+    )
+    return out.withColumn(
+        "dup_bp",
+        F.expr("CAST(dup_windows * 10000 DIV n_windows AS BIGINT)"),
+    )
