@@ -308,3 +308,44 @@ class TestSampledQuantiles:
             sampled_quantiles(df, ["g"], "v", "k", quantiles=())
         with pytest.raises(ValueError):
             sampled_quantiles(df, ["g"], "v", "k", rate_bp=0)
+
+
+def test_decayed_and_cohort_pre_1970(spark):
+    """Floor (not truncate-toward-zero) bucketing for pre-epoch
+    timestamps, and negative values through the shift path — mirrors
+    the oracle's pmod-based floor and multiply-by-power form."""
+    from traits_data_spark.operators.analytics import (
+        cohort_retention,
+        decayed_engagement,
+    )
+
+    df = _events_df(
+        spark,
+        [(1, "view", -7 * DAY_US, -3.5), (1, "view", 4 * DAY_US, 2.0)],
+    )
+    row = decayed_engagement(df).collect()[0]
+    assert row["ref_day"] == 4
+    assert row["decayed_scaled"] == (-350 << 19) + (200 << 30)
+    tri = {
+        (r["cohort_period"], r["period_offset"]) for r in cohort_retention(df).collect()
+    }
+    assert tri == {(-1, 0), (-1, 1)}
+
+
+def test_hll_null_group_counts_correctly(spark):
+    """A NULL group key must still collect registers (null-safe
+    zero-fill join) — a plain equality join would report the empty
+    sketch's constant estimate regardless of true cardinality."""
+    from pyspark.sql import functions as SF
+
+    from traits_data_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.range(5000).select(
+        SF.when(F.col("id") % 2 == 0, None).otherwise(F.lit("a")).alias("g"),
+        F.col("id").alias("v"),
+    )
+    regs = hll_registers(df, ["g"], "v")
+    assert regs.count() == 2 * 64
+    ests = {r["g"]: r["distinct_est"] for r in hll_estimate(regs, ["g"]).collect()}
+    # ~2500 distinct each; the empty-sketch constant is floor(.709*64)=45
+    assert ests[None] > 500 and ests["a"] > 500

@@ -328,8 +328,8 @@ class TestKMeansClusters:
     def test_deterministic_and_bounded(self, spark, embeddings):
         from traits_data_spark.operators.similarity import kmeans_clusters
 
-        a = kmeans_clusters(embeddings, dim=64, k=8, n_iter=2).collect()
-        b = kmeans_clusters(embeddings, dim=64, k=8, n_iter=2).collect()
+        a = kmeans_clusters(embeddings, k=8, n_iter=2).collect()
+        b = kmeans_clusters(embeddings, k=8, n_iter=2).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         clusters = {r["cluster"] for r in a}
         assert len(clusters) <= 8
@@ -343,7 +343,7 @@ class TestKMeansClusters:
 
         def sse(n_iter):
             return (
-                kmeans_clusters(embeddings, dim=64, k=8, n_iter=n_iter)
+                kmeans_clusters(embeddings, k=8, n_iter=n_iter)
                 .agg(F.sum("dist2"))
                 .collect()[0][0]
             )
@@ -364,7 +364,7 @@ def test_ivf_kmeans_full_probe_equals_bruteforce(spark, embeddings):
     queries = emb.filter(F.col("vec_id") < 5)
     exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=5)
     full = ivf_topk_kmeans(
-        emb, queries, dim=64, k=5, n_centroids=4, n_iter=1, n_probe=4
+        emb, queries, k=5, n_centroids=4, n_iter=1, n_probe=4
     )
     e = sorted(tuple(r) for r in exact.collect())
     f = sorted(tuple(r) for r in full.collect())
@@ -383,7 +383,7 @@ def test_ivf_kmeans_partial_probe_subset(spark, embeddings):
         (r["query_id"], r["neighbor_id"], r["cosine"]) for r in exact.collect()
     }
     approx = ivf_topk_kmeans(
-        emb, queries, dim=64, k=5, n_centroids=8, n_iter=2, n_probe=2
+        emb, queries, k=5, n_centroids=8, n_iter=2, n_probe=2
     )
     got = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in approx.collect()}
     assert got and got <= truth  # genuine pairs, exact same scores

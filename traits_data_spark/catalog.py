@@ -1414,7 +1414,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point centroid means, identity-form L2² — each step exactly
     reproducible by the SQL oracle, unlike Spark ML's KMeans."""
     emb = _t(spark, sf_dir, "embeddings")
-    return kmeans_clusters(emb, dim=EMB_DIM, k=KMEANS_K, n_iter=KMEANS_ITER)
+    return kmeans_clusters(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
 
 
 def _kmeans_assign_cte(src_cent: str, tag: str) -> str:
@@ -1494,7 +1494,6 @@ def q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk_kmeans(
         emb,
         emb.filter(F.expr(_QUERY_PRED)),
-        dim=EMB_DIM,
         k=TOPK,
         n_centroids=KMEANS_K,
         n_iter=KMEANS_ITER,
@@ -2211,7 +2210,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COHORT_SQL = """
 WITH a AS (SELECT DISTINCT user_id,
-                  epoch_us(ts) // 604800000000 AS period FROM events),
+                  (epoch_us(ts) - ((epoch_us(ts) % 604800000000) + 604800000000) % 604800000000) // 604800000000 AS period FROM events),
 f AS (SELECT user_id, min(period) AS cohort FROM a GROUP BY 1),
 t AS (SELECT cohort AS cohort_period, period - cohort AS period_offset,
              COUNT(1) AS n_active
@@ -2234,10 +2233,10 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECAYED_SQL = """
-WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+WITH e AS (SELECT user_id, (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
                   CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
 m AS (SELECT *, max(day) OVER (PARTITION BY user_id) AS ref FROM e),
-k AS (SELECT *, cents << CAST(30 - (ref - day) AS INT) AS term
+k AS (SELECT *, cents * (1::BIGINT << CAST(30 - (ref - day) AS INT)) AS term
       FROM m WHERE ref - day < 30),
 g AS (SELECT user_id, MAX(ref) AS ref_day,
              CAST(SUM(term) AS BIGINT) AS decayed_scaled

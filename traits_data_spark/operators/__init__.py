@@ -50,7 +50,6 @@ from traits_data_spark.operators.sketches import (
     cms_estimate,
     count_min_sketch,
     hll_estimate,
-    sampled_quantiles,
     hll_registers,
     kmv_distinct,
     sampled_quantiles,

@@ -147,9 +147,12 @@ def decayed_engagement(
     the per-user sum is one order-independent BIGINT. The returned
     ``decayed_score`` divides that integer by ``2^L`` — a single
     correctly-rounded double division, bit-identical on any engine.
-    Overflow bound: |cents| < 2^40 per event and the lookback caps the
-    shift at ``L = lookback_days / half_life_days`` ≤ 40ish, so per-row
-    terms stay < 2^(40+L); keep L ≤ 30 for headroom in the BIGINT sum.
+    Overflow bound: per-row terms are ``cents << L`` at worst, so with
+    the default ``L = 30`` the exactness contract requires
+    ``|cents| < 2^32`` per event (≈ $42M) and a per-user sum below
+    2^63 — beyond that Spark's shiftleft wraps silently while IEEE
+    engines raise. Lower ``lookback_days/half_life_days`` for
+    larger-denomination data.
 
     Scale: one window (unordered per-user max — no sort) and one
     groupBy, both keyed on ``user_col``, so AQE reuses a single hash
@@ -160,7 +163,7 @@ def decayed_engagement(
         raise ValueError("lookback_days must be a multiple of half_life_days")
     shifts = lookback_days // half_life_days
     # floor (not truncate-toward-zero) so pre-1970 timestamps bucket
-    # the same way the oracle's `//` does
+    # consistently with the oracle's pmod-based floor division
     day = F.expr(
         f"({ts_col} - pmod({ts_col}, 86400000000)) DIV 86400000000"
     ).cast("long")

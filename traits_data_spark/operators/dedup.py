@@ -822,9 +822,11 @@ def substring_dup_profile(
     integer-exact).
 
     Scale: ~one hashed row per corpus token — the same footprint the
-    published algorithm's suffix array pays, but partitionable: ONE
-    shuffle on the 60-bit window hash (the occurrence count rides an
-    unordered hash-partition window, map-side-combinable), then one
+    published algorithm's suffix array pays, but partitionable. The
+    occurrence count is a ``groupBy(hash)`` (map-side combine collapses
+    hot boilerplate windows per partition — a plain analytic window
+    would buffer every occurrence of a hot hash in one task) joined
+    back to the gram rows on the same hash partitioning, then one
     per-document aggregate. No driver state, no suffix array.
     """
     if window < 2:
@@ -850,9 +852,8 @@ def substring_dup_profile(
             )
         ).alias("__wh"),
     )
-    counted = grams.withColumn(
-        "__occ", F.count(F.lit(1)).over(Window.partitionBy("__wh"))
-    )
+    occ = grams.groupBy("__wh").agg(F.count(F.lit(1)).alias("__occ"))
+    counted = grams.join(occ, "__wh")
     out = counted.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("__occ") > 1, 1).otherwise(0)).alias("dup_windows"),

@@ -801,7 +801,6 @@ def kmeans_fit(
 
 def kmeans_clusters(
     df: DataFrame,
-    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
@@ -829,7 +828,6 @@ def kmeans_clusters(
 def ivf_topk_kmeans(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,

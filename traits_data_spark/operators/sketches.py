@@ -133,10 +133,22 @@ def hll_registers(
             )
         )
     )
-    return buckets.join(regs, [*group_cols, bucket_col], "left").select(
-        *group_cols,
-        bucket_col,
-        F.coalesce(F.col(reg_col), F.lit(0)).cast("int").alias(reg_col),
+    # null-safe equality on the group keys: a NULL group (e.g. a NULL
+    # source) must still collect its registers — a plain equality join
+    # would zero-fill it regardless of true cardinality
+    cond = F.col(f"__b.{bucket_col}") == F.col(f"__r.{bucket_col}")
+    for g in group_cols:
+        cond = cond & F.col(f"__b.{g}").eqNullSafe(F.col(f"__r.{g}"))
+    return (
+        buckets.alias("__b")
+        .join(regs.alias("__r"), cond, "left")
+        .select(
+            *[F.col(f"__b.{g}").alias(g) for g in group_cols],
+            F.col(f"__b.{bucket_col}").alias(bucket_col),
+            F.coalesce(F.col(f"__r.{reg_col}"), F.lit(0))
+            .cast("int")
+            .alias(reg_col),
+        )
     )
 
 
@@ -270,6 +282,16 @@ def cms_estimate(
 # ---------------------------------------------------------------------------
 
 
+def _q_label(q: float) -> str:
+    """Exact, collision-free column label for a quantile: percent with
+    any fractional part kept ('p50', 'p99', 'p99_9', 'p0_4') — naive
+    int(round(q*100)) would alias 0.999 and 1.0 both to 'p100'."""
+    pct = format(q * 100, ".10g")
+    if "." in pct:
+        pct = pct.rstrip("0").rstrip(".")
+    return pct.replace(".", "_").replace("-", "m")
+
+
 def sampled_quantiles(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -321,7 +343,7 @@ def sampled_quantiles(
                 == F.floor(F.lit(float(q)) * (F.col("__n") - 1)).cast("long") + 1,
                 F.col("__v"),
             )
-        ).alias(f"{prefix}{int(round(q * 100))}")
+        ).alias(f"{prefix}{_q_label(q)}")
         for q in quantiles
     ]
     return counted.groupBy(*group_cols).agg(
