@@ -349,3 +349,23 @@ def test_hll_null_group_counts_correctly(spark):
     ests = {r["g"]: r["distinct_est"] for r in hll_estimate(regs, ["g"]).collect()}
     # ~2500 distinct each; the empty-sketch constant is floor(.709*64)=45
     assert ests[None] > 500 and ests["a"] > 500
+
+
+def test_funnel_conversion_window(spark):
+    from traits_data_spark.operators.analytics import funnel_steps
+
+    # u1 clicks 5 units after viewing; u2 clicks 500 after
+    df = _events_df(
+        spark,
+        [
+            (1, "view", 100, 0.0),
+            (1, "click", 105, 0.0),
+            (2, "view", 100, 0.0),
+            (2, "click", 600, 0.0),
+        ],
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(df, ["view", "click"], within=50).collect()
+    }
+    assert out == {"view": 2, "click": 1}

@@ -34,6 +34,7 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts_us",
+    within: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users completed step k of
     ``steps`` *in order* (each step's event strictly after the
@@ -45,7 +46,9 @@ def funnel_steps(
     reaches step k at ``t_k = min ts of steps[k] events with
     ts > t_{k-1}``. This is the standard "minimal completion time"
     funnel — deterministic, order-insensitive, and exactly
-    SQL-expressible as a chain of filtered min-aggregates.
+    SQL-expressible as a chain of filtered min-aggregates. With
+    ``within`` set, step k must also occur within ``within`` ts units
+    of step k-1's completion (conversion-window semantics).
 
     Scale: the event scan is filtered per step (predicate pushdown on
     ``type_col``); every join/groupBy keys on ``user_col`` so the
@@ -66,9 +69,12 @@ def funnel_steps(
             user_col, F.col(ts_col).alias("__ts")
         )
         prev = reached[-1].select(user_col, F.col("__t").alias("__prev"))
+        cond = F.col("__ts") > F.col("__prev")
+        if within is not None:
+            cond = cond & (F.col("__ts") <= F.col("__prev") + F.lit(within))
         reached.append(
             ev.join(prev, user_col)
-            .filter(F.col("__ts") > F.col("__prev"))
+            .filter(cond)
             .groupBy(user_col)
             .agg(F.min("__ts").alias("__t"))
         )
