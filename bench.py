@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "cms_top_terms",
     "sampled_quantiles",
     "substring_dups",
+    "event_transitions",
+    "hourly_anomalies",
     "merge_upsert",
     "asof_join",
     "range_join",

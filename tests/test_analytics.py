@@ -369,3 +369,27 @@ def test_funnel_conversion_window(spark):
         for r in funnel_steps(df, ["view", "click"], within=50).collect()
     }
     assert out == {"view": 2, "click": 1}
+
+
+def test_event_transitions_sum(spark):
+    """Transition counts total events minus one per active user."""
+    from traits_data_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    out = catalog.QUERIES["event_transitions"](spark, sf)
+    total = sum(r["n_transitions"] for r in out.collect())
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_hourly_anomalies_flags_consistent(spark):
+    from traits_data_spark import catalog
+
+    rows = catalog.QUERIES["hourly_anomalies"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["is_anomaly"] == (abs(r["z"]) >= 2.0)

@@ -38,6 +38,8 @@ LOAD_BEARING = [
     "cms_top_terms",
     "sampled_quantiles",
     "substring_dups",
+    "event_transitions",
+    "hourly_anomalies",
 ]
 
 

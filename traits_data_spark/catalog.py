@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Callable, Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from traits_data_spark.functions.feature_store import Feature, FeatureStore
@@ -2288,6 +2288,76 @@ FROM agg
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the event-type transition matrix — for each
+    (src, dst) pair, how often dst immediately follows src within a
+    user's ordered stream. One sorted shuffle on the user key (lead
+    window), one small-output aggregate."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr(_TS_US).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    return pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
+_TRANSITIONS_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events),
+l AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS dst
+  FROM e
+)
+SELECT src, dst, COUNT(*) AS n_transitions
+FROM l WHERE dst IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection as pure composition: the hourly tumbling
+    rollup (q_event_windows) fed through the per-group z-score ladder
+    (operators.zscore.group_zscores) — hours whose event count sits
+    ≥2σ from that event type's mean are flagged. Demonstrates that the
+    catalog's operators compose without glue code."""
+    hourly = q_event_windows(spark, sf_dir).drop("value_cents")
+    z = group_zscores(hourly, ["event_type"], ["n_events"])
+    zr = F.round("zs_n_events", 6) + F.lit(0.0)
+    return z.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        zr.alias("z"),
+        (F.abs(zr) >= 2.0).alias("is_anomaly"),
+    )
+
+
+def _hourly_anomalies_sql() -> str:
+    return f"""
+WITH h AS ({_EVENT_WINDOWS_SQL}),
+w AS (
+  SELECT window_start, event_type, n_events,
+         avg(n_events) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n_events) OVER (PARTITION BY event_type) AS sd
+  FROM h
+),
+z AS (
+  SELECT window_start, event_type, n_events,
+         round(CASE WHEN n_events IS NULL THEN 0.0
+                    WHEN sd IS NULL OR sd = 0 OR isnan(sd) THEN 0.0
+                    ELSE (n_events - mu) / sd END, 6) + 0.0 AS z
+  FROM w
+)
+SELECT window_start, event_type, n_events, z, abs(z) >= 2.0 AS is_anomaly
+FROM z
+"""
+
+
 # A2: the stats-catalogue shape — conditional aggregates compiled from
 # metadata rows, deriving per-entity stats from an event stream
 # (STAGING/SILVER-adapter-statsbomb-notebook.ipynb:171 stats_catalogue.csv).
@@ -3559,14 +3629,16 @@ QUERIES: Mapping[str, QueryFn] = {
     "cms_top_terms": q_cms_top_terms,
     "sampled_quantiles": q_sampled_quantiles,
     "substring_dups": q_substring_dups,
+    "event_transitions": q_event_transitions,
+    "hourly_anomalies": q_hourly_anomalies,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
-    "simhash_near_dups": q_simhash_near_dups,
-    "decontaminate": q_decontaminate,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is many-times-stable: driver-green in round 4
     # (CORRECTNESS_r04.json) or earlier rounds.
+    "simhash_near_dups": q_simhash_near_dups,
+    "decontaminate": q_decontaminate,
     "cluster_split": q_cluster_split,
     "cdc_chunks": q_cdc_chunks,
     "chunk_dedup": q_chunk_dedup,
@@ -3675,6 +3747,8 @@ def oracle_sqls() -> dict[str, str]:
         "cms_top_terms": _cms_sql(),
         "sampled_quantiles": _sampled_quantiles_sql(),
         "substring_dups": _substring_dups_sql(),
+        "event_transitions": _TRANSITIONS_SQL,
+        "hourly_anomalies": _hourly_anomalies_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,
