@@ -357,3 +357,89 @@ def test_pack_best_fit_matches_python_ffd_reference(spark, ffd_weights, ffd_budg
             placed = len(caps) - 1
         expect[i] = placed
     assert got == expect
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(
+    values=st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+)
+@_settings
+def test_hll_registers_match_python_reference(spark, values):
+    from traits_data_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame([(v,) for v in values], "v long").select(
+        F.lit("g").alias("g"), F.col("v")
+    )
+    got = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(df, ["g"], "v").collect()
+    }
+    expected: dict[int, int] = {b: 0 for b in range(64)}
+    for v in set(values):
+        h = _md5_60(str(v))
+        bucket, rem = h >> 54, h & ((1 << 54) - 1)
+        rho = 55 if rem == 0 else 54 - (rem.bit_length() - 1)
+        expected[bucket] = max(expected[bucket], rho)
+    assert got == expected
+
+
+@given(
+    values=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    depth=st.integers(1, 3),
+)
+@_settings
+def test_cms_matches_python_reference(spark, values, depth):
+    from traits_data_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    width = 32
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    sketch = count_min_sketch(df, "v", depth=depth, width=width)
+    probes = df.distinct()
+    got = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(sketch, probes, "v", depth=depth, width=width).collect()
+    }
+    # python reference: build the grid, then min over rows per value
+    grid: dict[tuple[int, int], int] = {}
+    for v in values:
+        for i in range(depth):
+            b = _md5_60(f"{i}:{v}") % width
+            grid[(i, b)] = grid.get((i, b), 0) + 1
+    from collections import Counter
+
+    exact = Counter(values)
+    for v in set(values):
+        est = min(grid[(i, _md5_60(f"{i}:{v}") % width)] for i in range(depth))
+        assert got[v] == est
+        assert got[v] >= exact[v]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-100, 100)),
+        min_size=2,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+)
+@_settings
+def test_sampled_quantiles_full_rate_matches_numpy_rank(spark, rows):
+    from traits_data_spark.operators.sketches import sampled_quantiles
+
+    df = spark.createDataFrame(
+        [(k, "g", float(v)) for k, v in rows], "k long, g string, v double"
+    )
+    out = sampled_quantiles(
+        df, ["g"], "v", "k", quantiles=(0.5, 0.9), rate_bp=10_000
+    ).collect()[0]
+    ordered = sorted((v, k) for k, v in rows)
+    n = len(ordered)
+    for q, col in [(0.5, "p50"), (0.9, "p90")]:
+        rank = int(q * (n - 1))  # floor, 0-based
+        assert out[col] == ordered[rank][0]
