@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "substring_dups",
     "event_transitions",
     "hourly_anomalies",
+    "funnel_within",
     "merge_upsert",
     "asof_join",
     "range_join",

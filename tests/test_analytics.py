@@ -393,3 +393,18 @@ def test_hourly_anomalies_flags_consistent(spark):
     assert rows
     for r in rows:
         assert r["is_anomaly"] == (abs(r["z"]) >= 2.0)
+
+
+def test_funnel_repeated_step_type(spark):
+    """A funnel can repeat an event type: the second 'view' must be a
+    DIFFERENT (later) event than the first."""
+    from traits_data_spark.operators.analytics import funnel_steps
+
+    df = _events_df(
+        spark,
+        [(1, "view", 100, 0.0), (1, "view", 200, 0.0), (2, "view", 50, 0.0)],
+    )
+    rows = sorted(
+        funnel_steps(df, ["view", "view"]).collect(), key=lambda r: r["step_idx"]
+    )
+    assert [r["n_users"] for r in rows] == [2, 1]

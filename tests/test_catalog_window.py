@@ -40,6 +40,7 @@ LOAD_BEARING = [
     "substring_dups",
     "event_transitions",
     "hourly_anomalies",
+    "funnel_within",
 ]
 
 

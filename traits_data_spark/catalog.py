@@ -2185,6 +2185,37 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(ev, list(_FUNNEL_STEPS))
 
 
+_FUNNEL_WITHIN_US = 2 * 3_600_000_000
+
+
+def q_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: same ordered chain, but each step
+    must land within 2 hours of the previous step's completion
+    (``funnel_steps(within=...)``)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr(_TS_US).alias("ts_us")
+    )
+    return funnel_steps(ev, list(_FUNNEL_STEPS), within=_FUNNEL_WITHIN_US)
+
+
+def _funnel_within_sql() -> str:
+    w = _FUNNEL_WITHIN_US
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s0 AS (SELECT user_id, min(ts_us) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_us > s0.t
+         AND e.ts_us <= s0.t + {w} GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s1.t
+         AND e.ts_us <= s1.t + {w} GROUP BY 1)
+SELECT 0 AS step_idx, 'view' AS step, COUNT(1) AS n_users FROM s0
+UNION ALL SELECT 1, 'click', COUNT(1) FROM s1
+UNION ALL SELECT 2, 'purchase', COUNT(1) FROM s2
+"""
+
+
 _FUNNEL_SQL = """
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
 s0 AS (SELECT user_id, min(ts_us) AS t FROM e
@@ -3631,12 +3662,13 @@ QUERIES: Mapping[str, QueryFn] = {
     "substring_dups": q_substring_dups,
     "event_transitions": q_event_transitions,
     "hourly_anomalies": q_hourly_anomalies,
+    "funnel_within": q_funnel_within,
     "dup_clusters": q_dup_clusters,
     "lsh_candidates": q_lsh_candidates,
-    "jaccard_verify": q_jaccard_verify,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is many-times-stable: driver-green in round 4
     # (CORRECTNESS_r04.json) or earlier rounds.
+    "jaccard_verify": q_jaccard_verify,
     "simhash_near_dups": q_simhash_near_dups,
     "decontaminate": q_decontaminate,
     "cluster_split": q_cluster_split,
@@ -3749,6 +3781,7 @@ def oracle_sqls() -> dict[str, str]:
         "substring_dups": _substring_dups_sql(),
         "event_transitions": _TRANSITIONS_SQL,
         "hourly_anomalies": _hourly_anomalies_sql(),
+        "funnel_within": _funnel_within_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,
