@@ -34,6 +34,14 @@ HEADLINE = [
     "temperature_sample",
     "token_budget",
     "quality_classifier",
+    "substring_dups",
+    "kmeans_clusters",
+    "ivf_topk_kmeans",
+    "semantic_dedup",
+    "funnel_steps",
+    "hll_distinct",
+    "cms_top_terms",
+    "sampled_quantiles",
     "line_dedup",
     "lsh_candidates",
     "jaccard_verify",

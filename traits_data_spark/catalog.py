@@ -1388,8 +1388,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k with the deterministic hyperplane coarse
     quantizer (``ivf_topk_hyperplane``): cells = sign-buckets of
     seeded planes, centroids = exact fixed-point cell means — fully
-    oracle-checkable, unlike the k-means variant (``ivf_topk``), whose
-    recall invariants are pinned in tests/test_similarity.py."""
+    oracle-checkable. The Spark-ML k-means variant (``ivf_topk``)
+    remains library-only (engine-private init); its deterministic
+    replacement with a full oracle is ``ivf_topk_kmeans``."""
     emb = _t(spark, sf_dir, "embeddings")
     out = ivf_topk_hyperplane(
         emb,
