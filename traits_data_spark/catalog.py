@@ -2199,36 +2199,26 @@ def q_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(ev, list(_FUNNEL_STEPS), within=_FUNNEL_WITHIN_US)
 
 
-def _funnel_within_sql() -> str:
-    w = _FUNNEL_WITHIN_US
+def _funnel_sql(within: int | None = None) -> str:
+    """Oracle for the ordered funnel; ``within`` adds the
+    conversion-window bound, mirroring funnel_steps."""
+
+    def bound(prev: str) -> str:
+        return f" AND e.ts_us <= {prev}.t + {within}" if within else ""
+
     return f"""
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
 s0 AS (SELECT user_id, min(ts_us) AS t FROM e
        WHERE event_type = 'view' GROUP BY 1),
 s1 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s0 USING (user_id)
-       WHERE e.event_type = 'click' AND e.ts_us > s0.t
-         AND e.ts_us <= s0.t + {w} GROUP BY 1),
+       WHERE e.event_type = 'click' AND e.ts_us > s0.t{bound("s0")} GROUP BY 1),
 s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
-       WHERE e.event_type = 'purchase' AND e.ts_us > s1.t
-         AND e.ts_us <= s1.t + {w} GROUP BY 1)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s1.t{bound("s1")} GROUP BY 1)
 SELECT 0 AS step_idx, 'view' AS step, COUNT(1) AS n_users FROM s0
 UNION ALL SELECT 1, 'click', COUNT(1) FROM s1
 UNION ALL SELECT 2, 'purchase', COUNT(1) FROM s2
 """
 
-
-_FUNNEL_SQL = """
-WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-s0 AS (SELECT user_id, min(ts_us) AS t FROM e
-       WHERE event_type = 'view' GROUP BY 1),
-s1 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s0 USING (user_id)
-       WHERE e.event_type = 'click' AND e.ts_us > s0.t GROUP BY 1),
-s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
-       WHERE e.event_type = 'purchase' AND e.ts_us > s1.t GROUP BY 1)
-SELECT 0 AS step_idx, 'view' AS step, COUNT(1) AS n_users FROM s0
-UNION ALL SELECT 1, 'click', COUNT(1) FROM s1
-UNION ALL SELECT 2, 'purchase', COUNT(1) FROM s2
-"""
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3771,7 +3761,7 @@ def oracle_sqls() -> dict[str, str]:
         "token_counts": _TOKEN_SQL,
         "document_fingerprint": _FINGERPRINT_SQL,
         "event_windows": _EVENT_WINDOWS_SQL,
-        "funnel_steps": _FUNNEL_SQL,
+        "funnel_steps": _funnel_sql(),
         "cohort_retention": _COHORT_SQL,
         "decayed_engagement": _DECAYED_SQL,
         "hll_distinct": _hll_sql(),
@@ -3782,7 +3772,7 @@ def oracle_sqls() -> dict[str, str]:
         "substring_dups": _substring_dups_sql(),
         "event_transitions": _TRANSITIONS_SQL,
         "hourly_anomalies": _hourly_anomalies_sql(),
-        "funnel_within": _funnel_within_sql(),
+        "funnel_within": _funnel_sql(_FUNNEL_WITHIN_US),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,

@@ -28,6 +28,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _floor_div(col_name: str, divisor: int) -> Column:
+    """Floor division as ``(x - pmod(x, d)) DIV d`` — floors for
+    negative (pre-1970) inputs where bare ``DIV`` truncates toward
+    zero; matches the oracles' pmod-based form and the hour bucketing
+    in catalog.q_event_windows."""
+    return F.expr(
+        f"({col_name} - pmod({col_name}, {divisor})) DIV {divisor}"
+    ).cast("long")
+
+
 def funnel_steps(
     df: DataFrame,
     steps: Sequence[str],
@@ -112,12 +122,7 @@ def cohort_retention(
     aggregate. The cohort-size join broadcasts (one row per cohort
     period).
     """
-    # Floor-division spelled (x - pmod(x, p)) DIV p so pre-1970
-    # timestamps floor instead of truncating toward zero (same rule as
-    # the hour bucketing in catalog.q_event_windows).
-    period = F.expr(
-        f"({ts_col} - pmod({ts_col}, {period_us})) DIV {period_us}"
-    ).cast("long")
+    period = _floor_div(ts_col, period_us)
     activity = (
         df.select(user_col, period.alias("__period")).distinct()
     )
@@ -168,11 +173,7 @@ def decayed_engagement(
     if lookback_days % half_life_days:
         raise ValueError("lookback_days must be a multiple of half_life_days")
     shifts = lookback_days // half_life_days
-    # floor (not truncate-toward-zero) so pre-1970 timestamps bucket
-    # consistently with the oracle's pmod-based floor division
-    day = F.expr(
-        f"({ts_col} - pmod({ts_col}, 86400000000)) DIV 86400000000"
-    ).cast("long")
+    day = _floor_div(ts_col, 86_400_000_000)
     cents = F.round(F.col(value_col) * 100).cast("long")
     ev = df.select(
         F.col(user_col),

@@ -41,6 +41,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _norm2(col: Column) -> Column:
+    """Squared L2 norm via the same left-fold ``dot`` uses — shared by
+    the zero-norm guards so every scorer prunes identically."""
+    return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -493,13 +499,10 @@ def ivf_topk_hyperplane(
     # zero-norm vectors cannot be cosine-scored (0/0: NULL on Spark,
     # NaN on IEEE engines) — drop them before the pair join, mirrored
     # by the oracle's norm guard
-    norm2_of = lambda col: F.aggregate(  # noqa: E731
-        col, F.lit(0.0), lambda acc, x: acc + x * x
-    )
     scored = (
-        c.filter(norm2_of(F.col("__cv")) > 0)
+        c.filter(_norm2(F.col("__cv")) > 0)
         .join(
-            q_probed.filter(norm2_of(F.col("__qv")) > 0), "bucket"
+            q_probed.filter(_norm2(F.col("__qv")) > 0), "bucket"
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -891,12 +894,9 @@ def ivf_topk_kmeans(
         .filter(F.col("__prk") <= n_probe)
         .select("query_id", "__qv", "__cid")
     )
-    norm2_of = lambda col: F.aggregate(  # noqa: E731
-        col, F.lit(0.0), lambda acc, x: acc + x * x
-    )
     scored = (
-        assigned.filter(norm2_of(F.col("__cv")) > 0)
-        .join(q_probed.filter(norm2_of(F.col("__qv")) > 0), "__cid")
+        assigned.filter(_norm2(F.col("__cv")) > 0)
+        .join(q_probed.filter(_norm2(F.col("__qv")) > 0), "__cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",

@@ -191,6 +191,25 @@ def hll_estimate(
 # ---------------------------------------------------------------------------
 
 
+def _cms_cells(value_col: str, depth: int, width: int):
+    """The (row, bucket) cell array a value hashes into — shared by the
+    sketch build and the probe path so the two can never drift."""
+    v = F.col(value_col).cast("string")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    portable_hash64(F.concat(F.lit(f"{i}:"), v)), F.lit(width)
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def count_min_sketch(
     df: DataFrame,
     value_col: str,
@@ -217,21 +236,12 @@ def count_min_sketch(
     """
     if depth < 1 or width < 2:
         raise ValueError("need depth >= 1 and width >= 2")
-    v = F.col(value_col).cast("string")
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.pmod(
-                    portable_hash64(F.concat(F.lit(f"{i}:"), v)), F.lit(width)
-                ).cast("int").alias("bucket"),
-            )
-            for i in range(depth)
-        ]
-    )
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     return (
-        df.select(F.explode(rows).alias("__c"), w.alias("__w"))
+        df.select(
+            F.explode(_cms_cells(value_col, depth, width)).alias("__c"),
+            w.alias("__w"),
+        )
         .groupBy(F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
         .agg(F.sum("__w").alias("cnt"))
     )
@@ -251,23 +261,8 @@ def cms_estimate(
     error); the sketch is broadcast, so probing never shuffles the
     probe side.
     """
-    v = F.col(value_col).cast("string")
     melted = probes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        F.pmod(
-                            portable_hash64(F.concat(F.lit(f"{i}:"), v)),
-                            F.lit(width),
-                        ).cast("int").alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("__c"),
+        "*", F.explode(_cms_cells(value_col, depth, width)).alias("__c")
     ).select("*", F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
     joined = melted.join(F.broadcast(sketch), ["row", "bucket"], "left")
     keys = [c for c in probes.columns]
