@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "hourly_anomalies",
     "funnel_within",
+    "price_histogram",
     "merge_upsert",
     "asof_join",
     "range_join",

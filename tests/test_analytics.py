@@ -408,3 +408,45 @@ def test_funnel_repeated_step_type(spark):
         funnel_steps(df, ["view", "view"]).collect(), key=lambda r: r["step_idx"]
     )
     assert [r["n_users"] for r in rows] == [2, 1]
+
+
+class TestHistogramSketch:
+    def test_hand_computed_bins(self, spark):
+        from traits_data_spark.operators.sketches import histogram_sketch
+
+        df = spark.createDataFrame(
+            [(v,) for v in [-5, 0, 9, 10, 19, 95, 100, 250]], "v long"
+        ).selectExpr("'g' AS g", "v")
+        out = {
+            (r["bin"]): r["cnt"]
+            for r in histogram_sketch(df, ["g"], "v", lo=0, hi=100, n_bins=10).collect()
+        }
+        # -5 clamps to bin 0; 100 and 250 clamp to bin 9; 95 -> bin 9
+        assert out == {0: 3, 1: 2, 9: 3}
+
+    def test_merge_by_sum(self, spark):
+        from pyspark.sql import functions as SF
+
+        from traits_data_spark.operators.sketches import histogram_sketch
+
+        df = spark.range(1000).selectExpr("'g' AS g", "id % 97 AS v")
+        a, b = df.filter("id < 400"), df.filter("id >= 400")
+        whole = histogram_sketch(df, ["g"], "v", 0, 100, 10)
+        merged = (
+            histogram_sketch(a, ["g"], "v", 0, 100, 10)
+            .unionByName(histogram_sketch(b, ["g"], "v", 0, 100, 10))
+            .groupBy("g", "bin")
+            .agg(SF.sum("cnt").alias("cnt"))
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_validation(self, spark):
+        from traits_data_spark.operators.sketches import histogram_sketch
+
+        df = spark.range(1).selectExpr("'g' AS g", "id AS v")
+        with pytest.raises(ValueError):
+            histogram_sketch(df, ["g"], "v", 0, 100, 7)  # not divisible
+        with pytest.raises(ValueError):
+            histogram_sketch(df, ["g"], "v", 100, 0, 10)

@@ -41,6 +41,7 @@ LOAD_BEARING = [
     "event_transitions",
     "hourly_anomalies",
     "funnel_within",
+    "price_histogram",
 ]
 
 

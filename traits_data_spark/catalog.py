@@ -141,6 +141,7 @@ from traits_data_spark.operators.analytics import (
 from traits_data_spark.operators.sketches import (
     cms_estimate,
     count_min_sketch,
+    histogram_sketch,
     sampled_quantiles,
     hll_estimate,
     hll_registers,
@@ -3063,6 +3064,40 @@ FROM r GROUP BY l_returnflag
 """
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0, 11_008_000, 32  # price cents
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag equi-width histogram of l_extendedprice in cents
+    (``operators.sketches.histogram_sketch``): integer-exact binning,
+    add-mergeable cells, one map-side-combined aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("__cents"),
+    )
+    return histogram_sketch(
+        li, ["l_returnflag"], "__cents", lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS
+    )
+
+
+def _price_histogram_sql() -> str:
+    width = (HIST_HI - HIST_LO) // HIST_BINS
+    return f"""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+b AS (
+  SELECT l_returnflag,
+         CAST(LEAST(GREATEST((cents - {HIST_LO}) // {width}, 0),
+                    {HIST_BINS - 1}) AS INT) AS bin
+  FROM c
+)
+SELECT l_returnflag, bin, COUNT(1) AS cnt FROM b GROUP BY 1, 2
+"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch: engine-portable alternative to
     HLL++ ``approx_count_distinct`` — the estimate is recomputable
@@ -3654,11 +3689,12 @@ QUERIES: Mapping[str, QueryFn] = {
     "event_transitions": q_event_transitions,
     "hourly_anomalies": q_hourly_anomalies,
     "funnel_within": q_funnel_within,
+    "price_histogram": q_price_histogram,
     "dup_clusters": q_dup_clusters,
-    "lsh_candidates": q_lsh_candidates,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is many-times-stable: driver-green in round 4
     # (CORRECTNESS_r04.json) or earlier rounds.
+    "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
     "simhash_near_dups": q_simhash_near_dups,
     "decontaminate": q_decontaminate,
@@ -3773,6 +3809,7 @@ def oracle_sqls() -> dict[str, str]:
         "event_transitions": _TRANSITIONS_SQL,
         "hourly_anomalies": _hourly_anomalies_sql(),
         "funnel_within": _funnel_sql(_FUNNEL_WITHIN_US),
+        "price_histogram": _price_histogram_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "event_stats": _EVENT_STATS_SQL,
         "outer_join_fill": _OUTER_JOIN_SQL,

@@ -49,6 +49,7 @@ from traits_data_spark.operators.analytics import (
 from traits_data_spark.operators.sketches import (
     cms_estimate,
     count_min_sketch,
+    histogram_sketch,
     hll_estimate,
     hll_registers,
     kmv_distinct,

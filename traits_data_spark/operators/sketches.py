@@ -344,3 +344,54 @@ def sampled_quantiles(
     return counted.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_sample"), *sel
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 32,
+    bin_col: str = "bin",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Per-group equi-width histogram over an integer-valued column
+    (pre-scale floats to cents/micros upstream): ``bin = (v - lo) DIV
+    width`` clamped to ``[0, n_bins)`` so under/overflow lands in the
+    edge bins.
+
+    Integer-exact end to end — ``hi - lo`` must divide evenly by
+    ``n_bins`` so the bin width is a whole number and no engine ever
+    touches a float. Only occupied cells are returned; histograms
+    merge by summing ``cnt`` per (group, bin), the same add-merge
+    contract as ``count_min_sketch``.
+
+    Scale: ONE map-side-combined aggregate with ≤ ``n_bins`` cells of
+    state per group per partition — the distribution profile of a
+    100 TB column for the cost of a scan. Pair with
+    ``sampled_quantiles`` when exact quantile values (not densities)
+    are needed.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if hi <= lo or (hi - lo) % n_bins:
+        raise ValueError("hi - lo must be positive and divisible by n_bins")
+    width = (hi - lo) // n_bins
+    bin_ = F.least(
+        F.greatest(
+            F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) DIV {width}"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.select(*group_cols, bin_.alias(bin_col))
+        .groupBy(*group_cols, bin_col)
+        .agg(F.count(F.lit(1)).alias(cnt_col))
+    )
