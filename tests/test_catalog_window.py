@@ -12,7 +12,10 @@ DRIVER_WINDOW = 50
 
 # Flagship pipelines, every query that ever failed a round's gate
 # (asof_join / range_join failed round 3's oracle before the timestamp
-# fix), and round-5 additions the driver has not yet attested.
+# fix), entries the driver has not attested recently, and the newest
+# round-6 additions. Round 6 rotated the three declared rows-only
+# entries (multimodal_features / audio_features / pack_best_fit) past
+# the boundary so every window row carries a full value-hash oracle.
 LOAD_BEARING = [
     "silver_e1",
     "gold_ratings",
@@ -28,7 +31,6 @@ LOAD_BEARING = [
     "quality_classifier",
     "line_dedup",
     "semantic_dedup",
-    "pack_best_fit",
     "funnel_steps",
     "cohort_retention",
     "decayed_engagement",
@@ -38,11 +40,20 @@ LOAD_BEARING = [
     "cms_top_terms",
     "sampled_quantiles",
     "substring_dups",
+    "remove_dup_substrings",
     "event_transitions",
     "hourly_anomalies",
     "funnel_within",
     "price_histogram",
+    "dup_clusters",
+    "lsh_candidates",
+    "jaccard_verify",
+    "decontaminate",
 ]
+
+# Rows-only-by-contract entries must sit OUTSIDE the window so every
+# driver-recorded row carries a full row+schema+value-hash oracle.
+ROWS_ONLY = {"multimodal_features", "audio_features", "pack_best_fit"}
 
 
 def test_load_bearing_queries_inside_driver_window():
@@ -54,16 +65,23 @@ def test_load_bearing_queries_inside_driver_window():
     )
 
 
+def test_driver_window_is_fully_oracle_backed():
+    window = list(catalog.QUERIES)[:DRIVER_WINDOW]
+    oracles = catalog.oracle_sqls()
+    unbacked = [name for name in window if name not in oracles]
+    assert not unbacked, (
+        f"{unbacked} sit inside the driver window without a DuckDB "
+        "oracle; rows-only entries belong past slot "
+        f"{DRIVER_WINDOW}"
+    )
+
+
 def test_every_query_has_oracle_or_declared_rows_only():
     oracles = catalog.oracle_sqls()
     rows_only = {name for name in catalog.QUERIES if name not in oracles}
     # Binary-payload queries are rows-only by declared contract; anything
     # else missing an oracle is an accidental gap.
-    assert rows_only == {
-        "multimodal_features",
-        "audio_features",
-        "pack_best_fit",  # sequential FFD fill order: no SQL oracle
-    }
+    assert rows_only == ROWS_ONLY
 
 
 def test_no_orphan_oracles():

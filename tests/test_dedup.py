@@ -328,3 +328,71 @@ def test_substring_dup_profile_same_doc_repeat(spark):
     row = substring_dup_profile(df, window=16).collect()[0]
     # both copies of the 16-word window hash identically
     assert row["dup_windows"] >= 2
+
+
+def test_remove_dup_substrings_hand_computed(spark):
+    from traits_data_spark.operators.dedup import remove_dup_substrings
+
+    shared = "s1 s2 s3 s4 s5"  # 5-token passage shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 a5 a6 " + shared),
+            (2, "b1 b2 " + shared + " b3 b4"),
+            (3, "x y z"),  # shorter than the window: untouched
+            (4, None),     # null text drops up front
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_substrings(docs, window=4).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 1 holds the first corpus-order occurrence of every shared
+    # window → fully intact
+    assert out[1]["n_tokens"] == 11
+    assert out[1]["kept_tokens"] == 11
+    assert out[1]["clean_text"] == "a1 a2 a3 a4 a5 a6 " + shared
+    # doc 2's two shared windows (starts 3 and 4) are non-first; their
+    # union covers exactly the 5 shared tokens
+    assert out[2]["n_tokens"] == 9
+    assert out[2]["kept_tokens"] == 4
+    assert out[2]["clean_text"] == "b1 b2 b3 b4"
+    assert out[3]["clean_text"] == "x y z"
+
+
+def test_remove_dup_substrings_within_doc_repeat(spark):
+    from traits_data_spark.operators.dedup import remove_dup_substrings
+
+    # verbatim self-repeat: the second copy of the 4-token passage is
+    # removed even inside a single document
+    docs = spark.createDataFrame(
+        [(7, "p1 p2 p3 p4 zz p1 p2 p3 p4")], ["doc_id", "text"]
+    )
+    r = remove_dup_substrings(docs, window=4).collect()[0]
+    assert r["n_tokens"] == 9
+    assert r["kept_tokens"] == 5
+    assert r["clean_text"] == "p1 p2 p3 p4 zz"
+
+
+def test_remove_dup_substrings_full_copy_drops_out(spark):
+    from traits_data_spark.operators.dedup import remove_dup_substrings
+
+    # doc 9 is an exact copy of doc 8: its single window is non-first,
+    # every token is covered, so it vanishes from the output entirely
+    docs = spark.createDataFrame(
+        [(8, "f1 f2 f3 f4"), (9, "f1 f2 f3 f4")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_dup_substrings(docs, window=4).collect()}
+    assert set(out) == {8}
+    assert out[8]["kept_tokens"] == 4
+
+
+def test_remove_dup_substrings_bad_window(spark):
+    import pytest as _pytest
+
+    from traits_data_spark.operators.dedup import remove_dup_substrings
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        remove_dup_substrings(docs, window=1)

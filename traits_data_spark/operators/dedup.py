@@ -758,11 +758,14 @@ def dedup_lines(
     oracles portable); ``join_delim`` is the literal reassembly glue.
 
     Scale shape: explode is a projection; the occurrence count /
-    first-occurrence rank is one shuffle on the 60-bit line hash
-    (heavy-hitter lines skew a hash partition only until the partial
-    aggregate collapses them map-side in drop_frequent mode; in
-    keep_first mode the per-hash window sees all occurrences — for
-    pathological boilerplate-dominated corpora prefer drop_frequent);
+    first-occurrence winner is one aggregate on the 60-bit line hash
+    whose partial (map-side) combine collapses heavy-hitter boilerplate
+    lines before the shuffle — in keep_first mode the winner is a
+    ``min(struct(id, line_idx))`` aggregate (NOT a per-hash analytic
+    window, which would buffer-and-sort every occurrence of a hot
+    "Terms of Service" line in a single task) and survivors are
+    recovered with a semi-join on the unique ``(id, line_idx)`` winner
+    key, so no stage ever partitions the full line set by line hash;
     reassembly is one more shuffle on the document id with ~1 row per
     surviving line. Returns ``(id, n_lines, kept_lines, clean_text)``.
     """
@@ -777,11 +780,21 @@ def dedup_lines(
         .withColumn("__h", portable_hash64(F.col("line")))
     )
     if mode == "keep_first":
-        w = Window.partitionBy("__h").orderBy(id_col, "line_idx")
-        surviving = (
-            lines.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+        # min(struct) collapses hot line hashes map-side; the winner key
+        # (id, line_idx) is unique, so the recovery semi-join is skew-free.
+        first = (
+            lines.groupBy("__h")
+            .agg(
+                F.min(
+                    F.struct(F.col(id_col), F.col("line_idx"))
+                ).alias("__f")
+            )
+            .select(
+                F.col("__f")[id_col].alias(id_col),
+                F.col("__f")["line_idx"].alias("line_idx"),
+            )
         )
+        surviving = lines.join(first, [id_col, "line_idx"], "semi")
     elif mode == "drop_frequent":
         occ = lines.groupBy("__h").agg(F.count(F.lit(1)).alias("__occ"))
         surviving = lines.join(occ, "__h").filter(
@@ -807,14 +820,19 @@ def substring_dup_profile(
     id_col: str = "doc_id",
     window: int = 16,
 ) -> DataFrame:
-    """Exact substring-duplication profile: for every document, how
-    many of its stride-1 ``window``-word token windows occur more than
-    once in the corpus (Lee et al. 2022, "Deduplicating Training Data
-    Makes Language Models Better" — there built on a single-node
-    suffix array; hashing every token window is the shuffle-friendly
-    distributed equivalent, catching verbatim reuse that document- and
-    chunk-level dedup miss: quotations, templated passages, partial
-    crawls of the same page).
+    """Substring-duplication profile by collision-negligible 60-bit
+    hash equality: for every document, how many of its stride-1
+    ``window``-word token windows occur more than once in the corpus
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — there built on a single-node suffix array;
+    hashing every token window is the shuffle-friendly distributed
+    equivalent, catching verbatim reuse that document- and chunk-level
+    dedup miss: quotations, templated passages, partial crawls of the
+    same page). "Collision-negligible", not exact: with 60-bit hashes
+    the birthday bound puts the expected number of spurious window
+    collisions at ~n²/2^61 — ~0 at test scale, but a 100 TB corpus
+    (~10^12 windows) should expect on the order of 10^5 false
+    dup_windows among 10^12, inflating dup_bp by ≪1 bp.
 
     Output (docs with ≥ ``window`` tokens): ``n_windows``,
     ``dup_windows`` (windows whose hash occurs ≥2 times corpus-wide,
@@ -861,4 +879,105 @@ def substring_dup_profile(
     return out.withColumn(
         "dup_bp",
         F.expr("CAST(dup_windows * 10000 DIV n_windows AS BIGINT)"),
+    )
+
+
+def remove_dup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    join_delim: str = " ",
+) -> DataFrame:
+    """Substring-duplication *removal* — the step Lee et al. 2022
+    actually ship (``substring_dup_profile`` only measures): every
+    stride-1 ``window``-word token window whose 60-bit hash occurs ≥2
+    times corpus-wide keeps only its first occurrence in corpus order
+    (``(id, window_start)``); tokens covered by any removed (non-first
+    duplicated) window are dropped and the surviving tokens are
+    reassembled in original order. Deduplicated spans therefore
+    survive exactly once, at their first corpus position — quotations,
+    templated passages, and partial re-crawls collapse to one copy
+    while the first document keeps its full text.
+
+    Whitespace-normalized (case-preserving) tokenization, matching
+    ``substring_dup_profile``. Documents shorter than ``window``
+    tokens carry no windows and pass through untouched (normalized
+    whitespace aside); null-text and zero-token documents are dropped,
+    as are documents whose every token was covered by removed windows
+    (the ``dedup_lines`` contract). Returns
+    ``(id, n_tokens, kept_tokens, clean_text)``.
+
+    Scale shape: one hashed row per corpus token (the suffix-array
+    footprint, but partitionable). Occurrence count and
+    first-occurrence winner come from ONE ``groupBy(hash)`` aggregate
+    whose partial combine collapses hot boilerplate windows map-side;
+    the join back to gram rows streams the probe side (no sort, no
+    per-hash buffering, AQE skew-split eligible). Covered-position
+    explode emits ``window`` rows per *removed* gram only; the final
+    anti-join and reassembly shuffle on high-cardinality
+    ``(id, pos)`` / ``id`` keys. No stage buffers all occurrences of
+    a hot window in one task.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col), lowercase=False), " "),
+        lambda t: F.length(t) > 0,
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__ts"))
+        .withColumn("__n", F.size("__ts"))
+        .filter(F.col("__n") > 0)
+    )
+    tokens = base.select(
+        id_col,
+        "__n",
+        F.posexplode("__ts").alias("__p0", "__tok"),
+    ).withColumn("__pos", F.col("__p0") + 1)
+    gram_hash = lambda i: portable_hash64(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("__ts"), i, window))
+    )
+    grams = base.filter(F.col("__n") >= window).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - F.lit(window - 1)),
+                lambda i: F.struct(i.alias("__s"), gram_hash(i).alias("__wh")),
+            )
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.__s").alias("__s"), F.col("__g.__wh").alias("__wh"))
+    # ONE aggregate yields both the corpus-wide occurrence count and the
+    # first-occurrence winner; both are map-side combinable.
+    occ_first = grams.groupBy("__wh").agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min(F.struct(F.col(id_col), F.col("__s"))).alias("__f"),
+    )
+    removed = (
+        grams.join(occ_first, "__wh")
+        .filter(
+            (F.col("__occ") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("__f")[id_col])
+                & (F.col("__s") == F.col("__f")["__s"])
+            )
+        )
+    )
+    covered = removed.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("__s"), F.col("__s") + F.lit(window - 1))
+        ).alias("__pos"),
+    ).distinct()
+    kept = tokens.join(covered, [id_col, "__pos"], "anti")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+    )
+    return kept.groupBy(id_col).agg(
+        F.any_value("__n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["__tok"]), join_delim
+        ).alias("clean_text"),
     )
