@@ -3573,7 +3573,12 @@ FROM documents
 """
 
 
-_PREP_BUDGET, _PREP_BUCKETS = 2000, 32
+# Packs are budgeted in TOKENS (whitespace tokenization, matching
+# token_counts' ws_tokens so the DuckDB oracle stays expressible) — a
+# real pipeline packs sequences against the model's context length in
+# tokens, not characters. 320 tokens ≈ the old 2000-char budget at the
+# corpus' ~5.2 chars/token.
+_PREP_TOKEN_BUDGET, _PREP_BUCKETS = 320, 32
 
 
 def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3581,7 +3586,12 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality → langid → exact dedup → LSH near-dup) → overlapping
     chunking → document-level train/val/test split (all chunks of a
     doc share a split, so no near-duplicate leakage across splits) →
-    contiguous packing per (split, hash bucket).
+    token-budgeted contiguous packing per (split, hash bucket).
+
+    Packing is token-aware: each chunk's cost is its whitespace token
+    count (``word_array``, the same tokenization ``token_counts``
+    reports as ``ws_tokens``), so packs respect a context-length-style
+    token budget rather than a character proxy.
 
     The pack window partitions on ``(split, doc_id % 32)``, not just
     ``split``: a split-only window puts ~90% of the corpus (the train
@@ -3597,14 +3607,16 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = (
         hash_split(chunks, "doc_id")
-        .withColumn("chunk_chars", F.length("chunk_text").cast("long"))
+        .withColumn(
+            "chunk_tokens", F.size(word_array("chunk_text")).cast("long")
+        )
         .withColumn("bucket", F.col("doc_id") % _PREP_BUCKETS)
     )
     packed = pack_contiguous(
         labeled,
-        "chunk_chars",
+        "chunk_tokens",
         ["doc_id", "chunk_idx"],
-        budget=_PREP_BUDGET,
+        budget=_PREP_TOKEN_BUDGET,
         partition_cols=["split", "bucket"],
     )
     return packed.select(
@@ -3612,14 +3624,20 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "split",
         "pack_id",
-        "chunk_chars",
+        "chunk_tokens",
     )
 
 
 def _training_prep_sql() -> str:
     step = _CHUNK - _OVERLAP
+    # whitespace token count of the chunk — mirrors word_array / ws_tokens
+    toks = (
+        "len(list_filter(string_split(trim(regexp_replace("
+        f"substring(text, CAST(chunk_start AS INT), {_CHUNK}), "
+        "'\\s+', ' ', 'g')), ' '), w -> length(w) > 0))"
+    )
     cum = (
-        f"COALESCE(SUM(chunk_chars) OVER (PARTITION BY split, "
+        f"COALESCE(SUM(chunk_tokens) OVER (PARTITION BY split, "
         f"doc_id % {_PREP_BUCKETS} ORDER BY doc_id, chunk_idx "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
     )
@@ -3632,7 +3650,7 @@ wt AS (
 ch AS (
   SELECT doc_id,
          CAST((chunk_start - 1) // {step} AS BIGINT) AS chunk_idx,
-         length(substring(text, CAST(chunk_start AS INT), {_CHUNK})) AS chunk_chars
+         {toks} AS chunk_tokens
   FROM (
     SELECT doc_id, text,
            unnest(range(1, greatest(length(text) - {_OVERLAP}, 1) + 1, {step}))
@@ -3650,9 +3668,9 @@ sp AS (
 )
 SELECT doc_id, chunk_idx, split,
        split || '-' || CAST(doc_id % {_PREP_BUCKETS} AS VARCHAR) || '-' ||
-         CAST(CAST(FLOOR({cum} / {_PREP_BUDGET}) AS BIGINT) AS VARCHAR)
+         CAST(CAST(FLOOR({cum} / {_PREP_TOKEN_BUDGET}) AS BIGINT) AS VARCHAR)
          AS pack_id,
-       CAST(chunk_chars AS BIGINT) AS chunk_chars
+       CAST(chunk_tokens AS BIGINT) AS chunk_tokens
 FROM sp
 """
 

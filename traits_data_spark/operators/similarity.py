@@ -174,8 +174,13 @@ def ivf_topk(
     q_probed = q.withColumn(
         "__cid", F.explode(F.transform(probes, lambda s: s.getField("c")))
     )
+    # Broadcast the probed-query side: the cell-id join key has only
+    # n_centroids distinct values, so a shuffled join would hash-partition
+    # the whole corpus into k-task parallelism. Broadcasting the (small,
+    # |Q|·n_probe-row) probe table removes the corpus-side Exchange
+    # outright instead of relying on an AQE rescue.
     scored = (
-        assigned.join(q_probed, "__cid")
+        assigned.join(F.broadcast(q_probed), "__cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
@@ -499,10 +504,15 @@ def ivf_topk_hyperplane(
     # zero-norm vectors cannot be cosine-scored (0/0: NULL on Spark,
     # NaN on IEEE engines) — drop them before the pair join, mirrored
     # by the oracle's norm guard
+    # Broadcast the probed-query side: "bucket" has at most 2^n_planes
+    # distinct values, so a shuffled join would hash-partition the whole
+    # corpus into that many tasks; broadcasting the (|Q|·n_probe)-row
+    # probe table removes the corpus-side Exchange outright.
     scored = (
         c.filter(_norm2(F.col("__cv")) > 0)
         .join(
-            q_probed.filter(_norm2(F.col("__qv")) > 0), "bucket"
+            F.broadcast(q_probed.filter(_norm2(F.col("__qv")) > 0)),
+            "bucket",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -574,8 +584,10 @@ def lsh_topk_multiprobe(
 
     cb = melt(c_ids, "neighbor_id", "__cv")
     qb = melt(q_ids, "query_id", "__qv")
+    # (table_idx, bucket) has only n_tables·2^n_planes distinct values —
+    # broadcast the query-side melt so the corpus melt never exchanges
     cands = (
-        cb.join(qb, ["table_idx", "bucket"])
+        cb.join(F.broadcast(qb), ["table_idx", "bucket"])
         .select("query_id", "neighbor_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .distinct()
@@ -679,8 +691,10 @@ def lsh_bucketed_topk(
         n_planes,
         seed,
     )
+    # "bucket" has at most 2^n_planes distinct values — broadcast the
+    # query side so the corpus never hash-partitions on it
     scored = (
-        cb.join(qb, "bucket")
+        cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
     )
@@ -894,9 +908,15 @@ def ivf_topk_kmeans(
         .filter(F.col("__prk") <= n_probe)
         .select("query_id", "__qv", "__cid")
     )
+    # Broadcast the probed-query side (see ivf_topk): __cid has only
+    # n_centroids distinct values, so a shuffled join would funnel the
+    # corpus into k tasks; broadcasting removes the corpus-side Exchange.
     scored = (
         assigned.filter(_norm2(F.col("__cv")) > 0)
-        .join(q_probed.filter(_norm2(F.col("__qv")) > 0), "__cid")
+        .join(
+            F.broadcast(q_probed.filter(_norm2(F.col("__qv")) > 0)),
+            "__cid",
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
