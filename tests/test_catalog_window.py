@@ -31,6 +31,7 @@ LOAD_BEARING = [
     "quality_classifier",
     "line_dedup",
     "semantic_dedup",
+    "incremental_near_dups",
     "funnel_steps",
     "cohort_retention",
     "decayed_engagement",

@@ -387,3 +387,63 @@ def test_ivf_kmeans_partial_probe_subset(spark, embeddings):
     )
     got = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in approx.collect()}
     assert got and got <= truth  # genuine pairs, exact same scores
+
+
+def test_incremental_embedding_near_dups_matches_full_rerun(spark, embeddings):
+    """old-pairs ∪ incremental(new vs persisted hyperplane index(old))
+    must equal a full embedding_near_dups re-run over old+new —
+    history never re-bucketed."""
+    from traits_data_spark.operators.similarity import (
+        embedding_near_dups,
+        hyperplane_bucket_index,
+        incremental_embedding_near_dups,
+    )
+
+    emb = embeddings.limit(200).cache()
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    params = dict(dim=64, threshold=0.2, n_planes=3)
+
+    def pairs(df_out):
+        return {
+            (r["id_a"], r["id_b"], r["cosine"]) for r in df_out.collect()
+        }
+
+    full = pairs(embedding_near_dups(emb, **params))
+    old_pairs = pairs(embedding_near_dups(old, **params))
+    inc = pairs(
+        incremental_embedding_near_dups(
+            new,
+            hyperplane_bucket_index(old, dim=64, n_planes=3),
+            **params,
+        )
+    )
+    assert inc  # the split must actually exercise the incremental path
+    assert old_pairs | inc == full
+    assert old_pairs.isdisjoint(inc)
+
+
+def test_incremental_embedding_near_dups_broadcasts_new_side(spark, embeddings):
+    """The bucket key has only 2^n_planes distinct values — the
+    incremental join must broadcast the ingest batch, never shuffle
+    history on the bucket."""
+    from traits_data_spark.operators.similarity import (
+        hyperplane_bucket_index,
+        incremental_embedding_near_dups,
+    )
+
+    emb = embeddings.limit(100)
+    out = incremental_embedding_near_dups(
+        emb.filter(F.col("vec_id") % 5 == 0),
+        hyperplane_bucket_index(
+            emb.filter(F.col("vec_id") % 5 != 0), dim=64, n_planes=3
+        ),
+        dim=64,
+        threshold=0.2,
+        n_planes=3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(bucket", plan), plan

@@ -263,3 +263,68 @@ def test_streaming_cms_sketch_matches_batch(spark, tmp_path, documents):
     )
     got = sorted(map(tuple, spark.read.parquet(sketch_path).collect()))
     assert got == expected
+
+
+def test_streaming_incremental_semantic_dedup(spark, tmp_path, embeddings):
+    """E2E: a file stream of new embeddings is near-dup-mined against a
+    persisted hyperplane-bucket index inside foreachBatch — history is
+    never re-bucketed, and the resulting pair set matches a full batch
+    re-run over (history + new vectors)."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import (
+        embedding_near_dups,
+        hyperplane_bucket_index,
+        incremental_embedding_near_dups,
+    )
+
+    emb = embeddings.select("vec_id", "embedding").limit(200).cache()
+    history = emb.filter(F.col("vec_id") % 5 != 0)
+    new_vecs = emb.filter(F.col("vec_id") % 5 == 0)
+    params = dict(dim=64, threshold=0.2, n_planes=3)
+
+    # persisted index for the existing corpus (the steady-state asset)
+    index_path = str(tmp_path / "bucket_index")
+    hyperplane_bucket_index(history, dim=64, n_planes=3).write.parquet(
+        index_path
+    )
+
+    # land the new vectors as a JSON file stream
+    landing = tmp_path / "vec_landing"
+    landing.mkdir()
+    (landing / "batch0.json").write_text(new_vecs.toPandas().to_json(
+        orient="records", lines=True
+    ))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(str(landing))
+    )
+    out_path = str(tmp_path / "pairs")
+
+    def _mine(batch_df, batch_id):
+        idx = batch_df.sparkSession.read.parquet(index_path)
+        pairs = incremental_embedding_near_dups(batch_df, idx, **params)
+        pairs.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_mine)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # ground truth: full batch re-run, keeping only pairs that touch a
+    # new vector (the increment a stream adds)
+    new_ids = {r["vec_id"] for r in new_vecs.collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups(emb, **params).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == want and got

@@ -81,6 +81,8 @@ from traits_data_spark.operators.similarity import (
     cosine_topk_quantized,
     dequantize_int8,
     embedding_near_dups,
+    hyperplane_bucket_index,
+    incremental_embedding_near_dups,
     ivf_topk_hyperplane,
     knn_label_eval,
     lsh_bucketed_topk,
@@ -1677,6 +1679,46 @@ p AS (
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
            + 0.0 AS cosine
   FROM e a JOIN e b USING (bucket) WHERE a.id < b.id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup
+    (``similarity.incremental_embedding_near_dups``): the 20% of
+    vectors with ``vec_id % 5 == 0`` play the ingest batch, the rest
+    the existing corpus with a persisted ``hyperplane_bucket_index``
+    — only the batch is bucketed; history streams through a broadcast
+    join. Pairs returned are exactly those a full
+    ``embedding_near_dups`` re-run would add for the batch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    index = hyperplane_bucket_index(
+        old, dim=EMB_DIM, n_planes=NEAR_DUP_PLANES
+    )
+    return incremental_embedding_near_dups(
+        new,
+        index,
+        dim=EMB_DIM,
+        threshold=NEAR_DUP_THRESHOLD,
+        n_planes=NEAR_DUP_PLANES,
+    )
+
+
+def _incremental_near_dups_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                  {_bucket_sql('embedding::DOUBLE[]', NEAR_DUP_PLANES)} AS bucket
+           FROM embeddings),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           + 0.0 AS cosine
+  FROM e a JOIN e b USING (bucket)
+  WHERE a.id < b.id AND (a.id % 5 = 0 OR b.id % 5 = 0)
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {NEAR_DUP_THRESHOLD}
 """
@@ -3746,6 +3788,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "quality_classifier": q_quality_classifier,
     "line_dedup": q_line_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "incremental_near_dups": q_incremental_near_dups,
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
     "decayed_engagement": q_decayed_engagement,
@@ -3766,7 +3809,6 @@ QUERIES: Mapping[str, QueryFn] = {
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
     "decontaminate": q_decontaminate,
-    "simhash_near_dups": q_simhash_near_dups,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is either rows-only by declared contract (no DuckDB
     # oracle: binary payloads / sequential FFD fill order) or many-times-
@@ -3776,6 +3818,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "pack_best_fit": q_pack_best_fit,
     "top_terms": q_top_terms,
     "chunk_docs": q_chunk_docs,
+    "simhash_near_dups": q_simhash_near_dups,
     "cluster_split": q_cluster_split,
     "cdc_chunks": q_cdc_chunks,
     "chunk_dedup": q_chunk_dedup,
@@ -3854,6 +3897,7 @@ def oracle_sqls() -> dict[str, str]:
         "cosine_topk": _COSINE_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "embedding_near_dups": _near_dups_sql(),
+        "incremental_near_dups": _incremental_near_dups_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "lsh_topk_multiprobe": _lsh_multiprobe_sql(),
         "ivf_topk": _ivf_sql(),

@@ -657,6 +657,96 @@ def embedding_near_dups(
     return pairs.select("id_a", "id_b", "cosine")
 
 
+def hyperplane_bucket_index(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, bucket, embedding)`` hyperplane-bucket table — the
+    persistable SEMANTIC dedup index, the embedding-space counterpart
+    of ``dedup.banded_signatures``. Bucketing is a pure projection
+    (sign pattern of seeded hyperplane dot products — deterministic,
+    so the index is reproducible from the same seed). Write this once
+    per corpus snapshot; new embedding batches then dedup against it
+    incrementally (``incremental_embedding_near_dups``) without
+    re-bucketing history. The vectors ride along so scoring never
+    re-reads the original embedding table.
+    """
+    return with_lsh_bucket(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        ),
+        "embedding",
+        dim,
+        n_planes,
+        seed,
+    ).select("id", "bucket", "embedding")
+
+
+def incremental_embedding_near_dups(
+    new_vecs: DataFrame,
+    existing_index: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs for an ingest batch against an
+    existing corpus WITHOUT re-bucketing history: only the new batch
+    is hyperplane-bucketed; the existing corpus participates via its
+    persisted ``hyperplane_bucket_index`` table (read back from
+    parquet). Returns ``(id_a, id_b, cosine)`` with id_a < id_b,
+    covering new×existing and new×new — exactly the pairs a full
+    ``embedding_near_dups`` re-run over old+new would add. Bucketing
+    params must match the ones the index was built with.
+
+    Scale shape: the new side is explicitly broadcast — the bucket key
+    has only 2^n_planes distinct values, so a shuffled join would
+    hash-partition the whole history into that many tasks, and at
+    steady state the ingest batch is the small side by construction.
+    History streams through the broadcast join map-side; nothing is
+    re-bucketed or re-shuffled.
+    """
+    new_idx = hyperplane_bucket_index(
+        new_vecs, dim, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, seed=seed,
+    )
+    all_idx = existing_index.select("id", "bucket", "embedding").unionByName(
+        new_idx
+    )
+    left = new_idx.select(
+        F.col("id").alias("id_a"), F.col("embedding").alias("__va"), "bucket"
+    )
+    right = all_idx.select(
+        F.col("id").alias("id_b"), F.col("embedding").alias("__vb"), "bucket"
+    )
+    pairs = (
+        right.join(F.broadcast(left), "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+            + F.lit(0.0),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # new×new pairs arrive in both orientations; cosine is orientation-
+    # independent bit-for-bit (same fold order, commutative products),
+    # so distinct() collapses them exactly
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "cosine",
+    ).distinct()
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
