@@ -292,8 +292,11 @@ def test_streaming_incremental_semantic_dedup(spark, tmp_path, embeddings):
     # land the new vectors as a JSON file stream
     landing = tmp_path / "vec_landing"
     landing.mkdir()
+    # double_precision=15 keeps the embeddings bit-stable through the
+    # JSON round-trip; pandas' default 10 would perturb vectors near a
+    # hyperplane or a 6-dp cosine rounding boundary.
     (landing / "batch0.json").write_text(new_vecs.toPandas().to_json(
-        orient="records", lines=True
+        orient="records", lines=True, double_precision=15
     ))
     stream = (
         spark.readStream.schema("vec_id long, embedding array<double>")

@@ -4,7 +4,15 @@ shuffle (Exchange) count, broadcast joins, parquet filter pushdown,
 and whole-stage-codegen coverage.
 
 Usage:
-    python tools/plan_audit.py [sf_dir] [query ...]
+    python tools/plan_audit.py [--exec] [sf_dir] [query ...]
+
+``--exec`` materializes each query (noop sink) first and audits the
+FINAL adaptive plan — real codegen stages and runtime exchange reuse;
+without it the initial (pre-AQE-execution) plan is audited, where the
+codegen column reads 0. Source scans are deduplicated across cached
+subtrees (each persisted subtree counts once, however many
+InMemoryTableScan nodes reference it) and checked against MAX_SCANS —
+a non-zero exit means a genuine re-scan regression.
 
 This is the inspection loop behind the repo's design rules: a query
 that re-scans its input N times, shuffles where it needn't, or drops
@@ -68,24 +76,103 @@ HEADLINE = [
 ]
 
 
-def audit(plan: str) -> dict:
-    return {
-        "scans": len(re.findall(r"FileScan parquet", plan)),
-        "exchanges": plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning"),
-        "reused_exchanges": plan.count("ReusedExchange"),
-        "broadcasts": plan.count("BroadcastHashJoin")
-        + plan.count("BroadcastNestedLoopJoin"),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "windows": len(re.findall(r"\bWindow\b", plan)),
-        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", plan))),
+# Upper bound on DEDUPED source scans per query (verified at sf0.01).
+# A persisted subtree counts its FileScans ONCE no matter how many
+# InMemoryTableScan nodes reference it, so exceeding the bound means a
+# genuine re-scan regression — the audit exits non-zero.
+MAX_SCANS_DEFAULT = 8
+MAX_SCANS = {
+    "clean_corpus": 4,
+    "training_prep": 4,
+    "semantic_dedup": 4,
+    "silver_e1": 6,
+}
+
+
+def _walk(jvm, node, seen_caches: set, c: dict) -> None:
+    """Recurse over the physical-plan tree, descending into each
+    distinct cached subtree exactly once (keyed on the CachedRDDBuilder
+    java identity — every InMemoryRelation that shares a cache shares
+    the builder instance). The plan *string* re-prints the cached
+    subtree under every reference, which is why the old regex audit
+    over-counted scans ~90x on persisted pipelines."""
+    cls = node.getClass().getSimpleName()
+    if cls.startswith("AdaptiveSparkPlan"):
+        # post-execution (--exec) the adaptive node holds the real final
+        # plan — query stages, codegen, runtime reuse; pre-execution only
+        # the initial plan exists
+        sub = node.executedPlan() if node.isFinalPlan() else node.initialPlan()
+        _walk(jvm, sub, seen_caches, c)
+        return
+    if "QueryStage" in cls:  # Shuffle/Broadcast/TableCacheQueryStage (AQE)
+        _walk(jvm, node.plan(), seen_caches, c)
+        return
+    if cls.startswith("InMemoryTableScan"):
+        c["cache_scans"] += 1
+        builder = node.relation().cacheBuilder()
+        key = jvm.System.identityHashCode(builder)
+        if key not in seen_caches:
+            seen_caches.add(key)
+            _walk(jvm, builder.cachedPlan(), seen_caches, c)
+        return
+    if cls.startswith("ReusedExchange"):
+        c["reused_exchanges"] += 1
+        return  # child is the exchange it reuses — already counted there
+    if cls.startswith("FileSourceScan") or cls.startswith("BatchScan"):
+        c["scans"] += 1
+        if re.search(r"PushedFilters: \[[^\]]", node.simpleString(4096)):
+            c["pushed_filters"] += 1
+        return
+    if cls.startswith("ShuffleExchange"):
+        part = node.outputPartitioning().getClass().getSimpleName()
+        if part.startswith(("HashPartitioning", "RangePartitioning")):
+            c["exchanges"] += 1
+    elif cls.startswith("BroadcastHashJoin") or cls.startswith(
+        "BroadcastNestedLoopJoin"
+    ):
+        c["broadcasts"] += 1
+    elif cls.startswith("SortMergeJoin"):
+        c["sort_merge_joins"] += 1
+    elif cls.startswith("Window"):  # WindowExec, WindowGroupLimitExec
+        c["windows"] += 1
+    elif cls.startswith("WholeStageCodegen"):
+        c["codegen_stages"] += 1
+    children = node.children()
+    for i in range(children.size()):
+        _walk(jvm, children.apply(i), seen_caches, c)
+    # subqueries (e.g. scalar subquery for a computed literal) hang off
+    # expressions, not children
+    subs = node.subqueries()
+    for i in range(subs.size()):
+        _walk(jvm, subs.apply(i), seen_caches, c)
+
+
+def audit(spark, df) -> dict:
+    c = {
+        "scans": 0,
+        "cache_scans": 0,
+        "exchanges": 0,
+        "reused_exchanges": 0,
+        "broadcasts": 0,
+        "sort_merge_joins": 0,
+        "windows": 0,
+        "pushed_filters": 0,
+        "codegen_stages": 0,
     }
+    _walk(
+        spark._jvm,
+        df._jdf.queryExecution().executedPlan(),
+        set(),
+        c,
+    )
+    return c
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or HEADLINE
+    argv = [a for a in sys.argv[1:] if a != "--exec"]
+    run_first = "--exec" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or HEADLINE
 
     from traits_data_spark import catalog
     from traits_data_spark.session import get_spark
@@ -93,22 +180,42 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     header = (
-        f"{'query':24} {'scans':>5} {'exch':>5} {'reuse':>5} {'bcast':>5} "
-        f"{'smj':>4} {'win':>4} {'push':>5} {'wscg':>5}"
+        f"{'query':24} {'scans':>5} {'cache':>5} {'exch':>5} {'reuse':>5} "
+        f"{'bcast':>5} {'smj':>4} {'win':>4} {'push':>5} {'wscg':>5}"
     )
     print(header)
     print("-" * len(header))
+    failures = []
     for name in names:
         df = catalog.QUERIES[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        a = audit(plan)
+        if run_first:
+            # execute through the SAME QueryExecution so the adaptive
+            # root flips to its final plan (a noop write would spawn a
+            # separate execution and leave this one un-finalized);
+            # audit scale factors are small, the collect is cheap
+            df._jdf.queryExecution().executedPlan().executeCollect()
+        a = audit(spark, df)
+        flag = ""
+        if a["scans"] > MAX_SCANS.get(name, MAX_SCANS_DEFAULT):
+            failures.append((name, a["scans"]))
+            flag = "  << RESCAN?"
         print(
-            f"{name:24} {a['scans']:>5} {a['exchanges']:>5} "
-            f"{a['reused_exchanges']:>5} {a['broadcasts']:>5} "
-            f"{a['sort_merge_joins']:>4} {a['windows']:>4} "
-            f"{a['pushed_filters']:>5} {a['codegen_stages']:>5}"
+            f"{name:24} {a['scans']:>5} {a['cache_scans']:>5} "
+            f"{a['exchanges']:>5} {a['reused_exchanges']:>5} "
+            f"{a['broadcasts']:>5} {a['sort_merge_joins']:>4} "
+            f"{a['windows']:>4} {a['pushed_filters']:>5} "
+            f"{a['codegen_stages']:>5}{flag}"
         )
     spark.stop()
+    if failures:
+        for name, n in failures:
+            limit = MAX_SCANS.get(name, MAX_SCANS_DEFAULT)
+            print(
+                f"FAIL {name}: {n} deduped source scans "
+                f"(expected <= {limit})",
+                file=sys.stderr,
+            )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

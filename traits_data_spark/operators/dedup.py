@@ -895,10 +895,13 @@ def remove_dup_substrings(
     times corpus-wide keeps only its first occurrence in corpus order
     (``(id, window_start)``); tokens covered by any removed (non-first
     duplicated) window are dropped and the surviving tokens are
-    reassembled in original order. Deduplicated spans therefore
-    survive exactly once, at their first corpus position — quotations,
-    templated passages, and partial re-crawls collapse to one copy
-    while the first document keeps its full text.
+    reassembled in original order. A duplicated span is therefore
+    never removed on account of *itself* at its first corpus position,
+    but its tokens may still be dropped there when a *different*
+    overlapping duplicated window is removed at the same spot — the
+    same span-cutting caveat as Lee et al.'s pipeline. Quotations,
+    templated passages, and partial re-crawls collapse to at most one
+    (possibly clipped) copy.
 
     Whitespace-normalized (case-preserving) tokenization, matching
     ``substring_dup_profile``. Documents shorter than ``window``

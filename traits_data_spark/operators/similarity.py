@@ -697,6 +697,7 @@ def incremental_embedding_near_dups(
     n_planes: int = 6,
     seed: int = 42,
     round_to: int = 6,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs for an ingest batch against an
     existing corpus WITHOUT re-bucketing history: only the new batch
@@ -707,12 +708,19 @@ def incremental_embedding_near_dups(
     ``embedding_near_dups`` re-run over old+new would add. Bucketing
     params must match the ones the index was built with.
 
-    Scale shape: the new side is explicitly broadcast — the bucket key
-    has only 2^n_planes distinct values, so a shuffled join would
-    hash-partition the whole history into that many tasks, and at
-    steady state the ingest batch is the small side by construction.
+    Scale shape: with ``broadcast_new=True`` (the steady-state
+    default) the new side is explicitly broadcast — the bucket key has
+    only 2^n_planes distinct values, so a shuffled join would
+    hash-partition the whole history into that many tasks, and a
+    per-trigger ingest batch is the small side by construction.
     History streams through the broadcast join map-side; nothing is
-    re-bucketed or re-shuffled.
+    re-bucketed or re-shuffled. The streaming deployment should bound
+    the batch (``maxFilesPerTrigger`` / ``maxBytesPerTrigger``) so it
+    stays under Spark's 8 GB broadcast limit; for an unbounded batch —
+    e.g. an initial backfill arriving as ONE availableNow trigger —
+    pass ``broadcast_new=False`` to drop the hint and let AQE choose
+    the join strategy (it still converts to broadcast when the batch
+    turns out small).
     """
     new_idx = hyperplane_bucket_index(
         new_vecs, dim, id_col=id_col, vec_col=vec_col,
@@ -728,7 +736,7 @@ def incremental_embedding_near_dups(
         F.col("id").alias("id_b"), F.col("embedding").alias("__vb"), "bucket"
     )
     pairs = (
-        right.join(F.broadcast(left), "bucket")
+        right.join(F.broadcast(left) if broadcast_new else left, "bucket")
         .filter(F.col("id_a") != F.col("id_b"))
         .withColumn(
             "cosine",
