@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "cms_top_terms",
     "sampled_quantiles",
     "substring_dups",
+    "remove_dup_substrings",
+    "bloom_decontaminate",
+    "shuffle_shards",
+    "mixture_plan",
+    "incremental_near_dups",
     "event_transitions",
     "hourly_anomalies",
     "funnel_within",

@@ -50,6 +50,10 @@ LOAD_BEARING = [
     "lsh_candidates",
     "jaccard_verify",
     "decontaminate",
+    # round-7 additions: must be driver-attested before rotating out
+    "bloom_decontaminate",
+    "shuffle_shards",
+    "mixture_plan",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

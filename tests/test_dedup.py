@@ -396,3 +396,37 @@ def test_remove_dup_substrings_bad_window(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         remove_dup_substrings(docs, window=1)
+
+
+def test_bloom_decontaminate_matches_exact(spark, documents):
+    import pyspark.sql.functions as F
+    from traits_data_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    bench = documents.filter(F.col("source") == "src0")
+    corpus = documents.filter(F.col("source") != "src0")
+    want = {
+        tuple(r)
+        for r in ngram_decontaminate(
+            corpus, bench, "text", "doc_id", "doc_id", n=4, min_overlap=2
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in bloom_decontaminate(
+            corpus, bench, "text", "doc_id", "doc_id", n=4, min_overlap=2
+        ).collect()
+    }
+    assert got == want and want
+    # a deliberately undersized Bloom floods the verify join with false
+    # positives; the output must STILL be exact (prefilter-only contract)
+    tiny = {
+        tuple(r)
+        for r in bloom_decontaminate(
+            corpus, bench, "text", "doc_id", "doc_id",
+            n=4, min_overlap=2, m_bits=1 << 9, k_hashes=2,
+        ).collect()
+    }
+    assert tiny == want

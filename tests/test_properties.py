@@ -443,3 +443,71 @@ def test_sampled_quantiles_full_rate_matches_numpy_rank(spark, rows):
     for q, col in [(0.5, "p50"), (0.9, "p90")]:
         rank = int(q * (n - 1))  # floor, 0-based
         assert out[col] == ordered[rank][0]
+
+
+def _md5_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(
+    keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+    n_shards=st.integers(1, 16),
+    salt=st.sampled_from(["", "ep0", "ep1"]),
+)
+@_settings
+def test_shuffle_shards_matches_python_reference(spark, keys, n_shards, salt):
+    from traits_data_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    got = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_shards(df, "doc_id", n_shards=n_shards, salt=salt).collect()
+    }
+    # reference: hash, deal, rank within shard by (hash, key)
+    hashed = sorted(
+        (( _md5_h60(f"{salt}{k}") % n_shards, _md5_h60(f"{salt}{k}"), k))
+        for k in keys
+    )
+    want = {}
+    counters = {}
+    for shard, h, k in hashed:
+        counters[shard] = counters.get(shard, 0) + 1
+        want[k] = (shard, counters[shard])
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),  # (source, tokens)
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.integers(0, 10_000),
+)
+@_settings
+def test_mixture_plan_matches_python_reference(spark, docs, budget):
+    from traits_data_spark.operators.sampling import mixture_plan
+
+    weights = {"s0": 500_000, "s1": 300_000, "s2": 200_000}  # s3 unplanned
+    df = spark.createDataFrame(
+        [(f"s{s}", t) for s, t in docs], "src string, toks long"
+    )
+    got = {
+        r.source: (
+            r.n_docs, r.n_tokens, r.weight_ppm, r.target_tokens,
+            r.epochs_ppm, r.repeat_epochs,
+        )
+        for r in mixture_plan(df, "src", "toks", weights, budget).collect()
+    }
+    want = {}
+    agg = {}
+    for s, t in docs:
+        src = f"s{s}"
+        n, tot = agg.get(src, (0, 0))
+        agg[src] = (n + 1, tot + t)
+    for src, (n, tot) in agg.items():
+        w = weights.get(src, 0)
+        target = budget * w // 1_000_000
+        epochs = target * 1_000_000 // tot if tot > 0 else 0
+        want[src] = (n, tot, w, target, epochs, -(-epochs // 1_000_000))
+    assert got == want

@@ -173,3 +173,61 @@ def test_cluster_split_no_near_dup_leakage(spark, documents):
         .count()
     )
     assert leaks == 0
+
+
+def test_shuffle_shards_deterministic_and_complete(spark, documents):
+    from traits_data_spark.operators.sampling import shuffle_shards
+
+    ids = documents.select("doc_id")
+    a = shuffle_shards(ids, "doc_id", n_shards=8, salt="ep0")
+    b = shuffle_shards(ids, "doc_id", n_shards=8, salt="ep0")
+    ra = {(r.doc_id, r.shard, r.shard_pos) for r in a.collect()}
+    rb = {(r.doc_id, r.shard, r.shard_pos) for r in b.collect()}
+    assert ra == rb and len(ra) == ids.count()
+    # every shard's positions are a contiguous 1..n ranking
+    by_shard = {}
+    for _, sh, pos in ra:
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # partitioning-invariant: same assignment from a different layout
+    c = shuffle_shards(ids.repartition(13), "doc_id", n_shards=8, salt="ep0")
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in c.collect()} == ra
+
+
+def test_shuffle_shards_salt_reshuffles(spark, documents):
+    from traits_data_spark.operators.sampling import shuffle_shards
+
+    ids = documents.select("doc_id")
+    a = {(r.doc_id, r.shard) for r in
+         shuffle_shards(ids, "doc_id", n_shards=8, salt="ep0").collect()}
+    b = {(r.doc_id, r.shard) for r in
+         shuffle_shards(ids, "doc_id", n_shards=8, salt="ep1").collect()}
+    assert a != b  # a fresh epoch deals differently
+
+
+def test_mixture_plan_hand_computed(spark):
+    from traits_data_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("b", 25), ("c", 100)],
+        "src string, toks long",
+    )
+    out = {
+        r.source: r
+        for r in mixture_plan(
+            df, "src", "toks", {"a": 750_000, "b": 250_000}, 1_000
+        ).collect()
+    }
+    # a: 40 tokens available, target 750, epochs 18.75 -> 19 repeats
+    assert out["a"].n_docs == 2 and out["a"].n_tokens == 40
+    assert out["a"].target_tokens == 750
+    assert out["a"].epochs_ppm == 18_750_000
+    assert out["a"].repeat_epochs == 19
+    # b: 25 tokens, target 250, exactly 10 epochs
+    assert out["b"].target_tokens == 250
+    assert out["b"].epochs_ppm == 10_000_000
+    assert out["b"].repeat_epochs == 10
+    # c: not in the plan -> weight 0, nothing requested
+    assert out["c"].weight_ppm == 0
+    assert out["c"].target_tokens == 0 and out["c"].repeat_epochs == 0

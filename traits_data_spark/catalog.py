@@ -41,6 +41,7 @@ from traits_data_spark.operators.dedup import (
     substring_dup_profile,
     MINHASH_PRIME,
     _hash_coeffs,
+    bloom_decontaminate,
     dedup_clusters,
     dedup_lines,
     exact_dedup,
@@ -131,6 +132,8 @@ from traits_data_spark.operators.packing import (
 from traits_data_spark.operators.pivot import pivot_wide
 from traits_data_spark.operators.sampling import (
     hash_split,
+    mixture_plan,
+    shuffle_shards,
     stratified_sample,
     temperature_sample,
     temperature_weights,
@@ -1004,6 +1007,145 @@ SELECT id, COUNT(DISTINCT cg.gram) AS overlap_ngrams,
 FROM cg JOIN bg USING (gram)
 GROUP BY id
 HAVING COUNT(DISTINCT cg.gram) >= 1
+"""
+
+
+BLOOM_DECON_N = 4
+BLOOM_DECON_BENCH = "src1"
+BLOOM_DECON_MIN = 2
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (``bloom_decontaminate``):
+    corpus docs sharing >=2 distinct word-4-grams with the src1 slice.
+    The Bloom bitset only prunes — the exact verify join makes the
+    output bit-identical to the hash-set path, which is what the
+    oracle checks."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == BLOOM_DECON_BENCH)
+    corpus = docs.filter(F.col("source") != BLOOM_DECON_BENCH)
+    return bloom_decontaminate(
+        corpus,
+        bench,
+        "text",
+        "doc_id",
+        "doc_id",
+        n=BLOOM_DECON_N,
+        min_overlap=BLOOM_DECON_MIN,
+    )
+
+
+def _bloom_decontaminate_sql() -> str:
+    # the Bloom filter is a prefilter with an exact verify behind it,
+    # so the oracle is the plain exact contamination query
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split({_NORM}, ' '), t -> length(t) > 0) AS wl
+  FROM documents
+),
+cg AS (
+  SELECT doc_id AS id, unnest({_ngrams_sql(BLOOM_DECON_N)}) AS gram
+  FROM w WHERE source <> '{BLOOM_DECON_BENCH}'
+),
+bg AS (
+  SELECT DISTINCT doc_id AS bench_id, unnest({_ngrams_sql(BLOOM_DECON_N)}) AS gram
+  FROM w WHERE source = '{BLOOM_DECON_BENCH}'
+)
+SELECT id, COUNT(DISTINCT cg.gram) AS overlap_ngrams,
+       COUNT(DISTINCT bg.bench_id) AS matched_bench_docs
+FROM cg JOIN bg USING (gram)
+GROUP BY id
+HAVING COUNT(DISTINCT cg.gram) >= {BLOOM_DECON_MIN}
+"""
+
+
+SHUFFLE_N_SHARDS = 32
+SHUFFLE_SALT = "ep0"
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-order shuffle
+    (``operators.sampling.shuffle_shards``): every doc gets a stable
+    ``(shard, shard_pos)`` from the salted portable hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(
+        docs, "doc_id", n_shards=SHUFFLE_N_SHARDS, salt=SHUFFLE_SALT
+    )
+
+
+_SHUFFLE_SHARDS_SQL = f"""
+SELECT doc_id,
+       CAST(h % {SHUFFLE_N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY h % {SHUFFLE_N_SHARDS} ORDER BY h, doc_id
+       ) AS BIGINT) AS shard_pos
+FROM (
+  SELECT doc_id,
+         {_H60.format(x=f"'{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+"""
+
+
+MIXTURE_WEIGHTS = {
+    "src0": 250_000,
+    "src1": 250_000,
+    "src2": 150_000,
+    "src3": 150_000,
+    "src4": 100_000,
+    "src5": 100_000,
+}
+MIXTURE_BUDGET = 5_000_000
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (``operators.sampling.
+    mixture_plan``): per-source availability vs ppm target weights,
+    with the integer-exact epochs/repeat factors."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return mixture_plan(
+        token_counts(docs),
+        "source",
+        "ws_tokens",
+        MIXTURE_WEIGHTS,
+        MIXTURE_BUDGET,
+    )
+
+
+def _mixture_plan_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in MIXTURE_WEIGHTS.items()
+    )
+    return rf"""
+WITH tk AS (
+  SELECT source,
+         len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                         w -> length(w) > 0)) AS ws_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+         CAST(CASE source {cases} ELSE 0 END AS BIGINT) AS weight_ppm
+  FROM tk GROUP BY source
+),
+tgt AS (
+  SELECT *,
+         CAST({MIXTURE_BUDGET} AS BIGINT) * weight_ppm // 1000000 AS target_tokens
+  FROM per
+),
+ep AS (
+  SELECT *,
+         CASE WHEN n_tokens > 0
+              THEN (target_tokens // n_tokens) * 1000000
+                   + ((target_tokens % n_tokens) * 1000000) // n_tokens
+              ELSE CAST(0 AS BIGINT) END AS epochs_ppm
+  FROM tgt
+)
+SELECT source, n_docs, n_tokens, weight_ppm, target_tokens, epochs_ppm,
+       CAST((epochs_ppm + 999999) // 1000000 AS INT) AS repeat_epochs
+FROM ep
 """
 
 
@@ -3763,14 +3905,15 @@ QUERIES: Mapping[str, QueryFn] = {
     # -- round-3 gate failures (fixed in r4; driver must re-attest) --------
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    # -- new round 7: Bloom decontamination, sharded shuffle, mixture plan -
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "shuffle_shards": q_shuffle_shards,
+    "mixture_plan": q_mixture_plan,
     # -- judge-only in round 4 (outside the old window) --------------------
-    "json_props": q_json_props,
     "merge_upsert": q_merge_upsert,
     "incremental_new_keys": q_incremental_new_keys,
     "distinct_dims": q_distinct_dims,
     "mismatch_join": q_mismatch_join,
-    "hash_split": q_hash_split,
-    "percentile_profile": q_percentile_profile,
     "feature_filter": q_feature_filter,
     "kmv_distinct": q_kmv_distinct,
     "rolling_agg": q_rolling_agg,
@@ -3812,7 +3955,11 @@ QUERIES: Mapping[str, QueryFn] = {
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is either rows-only by declared contract (no DuckDB
     # oracle: binary payloads / sequential FFD fill order) or many-times-
-    # stable (driver-green in round 5 or earlier rounds).
+    # stable (driver-green in round 5 or earlier rounds; json_props /
+    # hash_split / percentile_profile rotated out green 4x in round 7).
+    "json_props": q_json_props,
+    "hash_split": q_hash_split,
+    "percentile_profile": q_percentile_profile,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "pack_best_fit": q_pack_best_fit,
@@ -3889,6 +4036,9 @@ def oracle_sqls() -> dict[str, str]:
         "simhash_near_dups": _simhash_near_dups_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "decontaminate": _decontaminate_sql(),
+        "bloom_decontaminate": _bloom_decontaminate_sql(),
+        "shuffle_shards": _SHUFFLE_SHARDS_SQL,
+        "mixture_plan": _mixture_plan_sql(),
         "repetition_features": _repetition_sql(),
         "source_mixture": _source_mixture_sql(),
         "temperature_sample": _temperature_sample_sql(),

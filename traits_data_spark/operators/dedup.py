@@ -497,6 +497,115 @@ def ngram_decontaminate(
     )
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """``ngram_decontaminate`` for benchmark sets too large to
+    broadcast as a hash set: the benchmark's distinct gram hashes are
+    folded into a fixed-size Bloom bitset (``m_bits`` bits as
+    ``m_bits/64`` longs, ``k_hashes`` double-hashed probes — Bloom
+    1970), the corpus gram stream is prefiltered against the broadcast
+    bitset map-side, and only the surviving grams (true hits plus the
+    ~``(1-e^{-kn/m})^k`` false-positive sliver) reach an EXACT verify
+    join against the real benchmark grams. The Bloom filter only
+    prunes, so the output is bit-identical to ``ngram_decontaminate``:
+    ``(id, overlap_ngrams, matched_bench_docs)`` for corpus docs
+    sharing >= ``min_overlap`` distinct word-``n``-grams with any
+    benchmark doc.
+
+    Scale shape: a 10^8-gram eval suite needs ~GBs as a broadcast hash
+    set but only ``m_bits`` TOTAL as a bitset (2^30 bits = 128 MiB
+    covers 10^8 grams at ~10 bits/gram, FP < 1%) — size ``m_bits`` to
+    ~10x the distinct benchmark gram count. The bitset is built with
+    ONE map-side-combinable ``bit_or`` aggregate and densified once
+    into an array (O(1) ``element_at`` probes; Spark map lookup is a
+    linear scan, so the map stays build-side only). The corpus never
+    shuffles to be probed; the verify join's corpus side is the
+    surviving sliver, so AQE picks a broadcast there in practice.
+    """
+    h = F.col("__gh")
+    h1 = F.pmod(h, F.lit(m_bits))
+    # double hashing: pos_i = (h1 + i*h2) mod m, h2 in [1, m-1] from
+    # independent high bits; i*h2 <= k*m, no ANSI overflow
+    h2 = F.lit(1) + F.pmod(F.shiftright(h, 17), F.lit(m_bits - 1))
+    positions = [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)]
+    n_words = (m_bits + 63) // 64
+
+    c_grams = (
+        widen_if_narrow(corpus.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(word_ngrams(text_col, n=n)).alias("__g"))
+        .select("id", _portable_hash_expr(F.col("__g")).alias("__gh"))
+    )
+    b_grams = (
+        benchmark.select(F.col(bench_id_col).alias("bench_id"), F.col(text_col))
+        .select("bench_id", F.explode(word_ngrams(text_col, n=n)).alias("__g"))
+        .select("bench_id", _portable_hash_expr(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+
+    word_rows = (
+        b_grams.select("__gh")
+        .distinct()
+        .select(F.explode(F.array(*positions)).alias("__pos"))
+        .select(
+            F.expr("__pos DIV 64").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__word"))
+    )
+    bloom = (
+        word_rows.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__w", "__word"))
+            ).alias("__bfm")
+        )
+        # densify ONCE (single row): array element_at is O(1) per probe
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.coalesce(
+                    F.try_element_at("__bfm", w.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("__bf")
+        )
+    )
+
+    # probe condition as ONE expression string: shiftleft with a
+    # column shift amount is SQL-only (the Python API takes a literal)
+    probe_cond = " AND ".join(
+        "((coalesce(try_element_at(__bf, CAST(__p{i} DIV 64 AS INT) + 1), "
+        "CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+        "CAST(__p{i} % 64 AS INT))) != 0)".format(i=i)
+        for i in range(k_hashes)
+    )
+    probed = c_grams.join(F.broadcast(bloom))
+    for i, p in enumerate(positions):
+        probed = probed.withColumn(f"__p{i}", p)
+    surviving = probed.filter(F.expr(probe_cond)).select("id", "__gh")
+
+    return (
+        surviving.join(b_grams, "__gh")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("__gh").alias("overlap_ngrams"),
+            F.countDistinct("bench_id").alias("matched_bench_docs"),
+        )
+        .filter(F.col("overlap_ngrams") >= min_overlap)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

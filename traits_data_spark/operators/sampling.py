@@ -214,3 +214,105 @@ def deterministic_sample(
     1/10000; the kept set is a subset of any larger fraction's kept set
     (same salt), so nested sample sizes are consistent."""
     return df.filter(split_bucket(key_col, salt) < int(round(fraction * N_BUCKETS)))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded: every row
+    gets ``(shard, shard_pos)`` — the shard file it belongs to and its
+    position within that shard — from a pure hash of ``salt || key``.
+    Reading shards in index order, each sorted by ``shard_pos``, yields
+    the same globally-shuffled document order on every run, engine, and
+    cluster layout; changing ``salt`` is a fresh epoch-level reshuffle
+    without touching the data. This is the standard way a training
+    pipeline materializes "shuffle the corpus" at scale: no single
+    total-order sort, just ``n_shards`` independent writers.
+
+    Scale shape: the shard assignment is a stateless projection; the
+    only shuffle is the window on ``shard`` (uniform by construction —
+    hash-dealt), and per-task work is the ``N/n_shards`` rows of one
+    shard, so ``n_shards`` scales with the corpus (1024 here; tens of
+    thousands at 100 TB keeps per-shard sorts in memory). No skew: the
+    partition key is a hash, not a natural key.
+    """
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    )
+    out = df.withColumn("__sh", h).withColumn(
+        "shard", (F.col("__sh") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__sh"), F.col(key_col))
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__sh")
+    )
+
+
+PPM = 1_000_000
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    weights_ppm: Mapping[str, int],
+    token_budget: int,
+) -> DataFrame:
+    """Data-mixture planning: given per-source target weights (in
+    parts-per-million, so the plan is integer-exact and
+    engine-portable) and a total token budget, compute what each
+    source must contribute and how to get there — the bookkeeping
+    behind mixture tables like GPT-3's (weights chosen per corpus,
+    some sources repeated ~3 epochs, CommonCrawl subsampled).
+
+    Per source: ``n_docs``/``n_tokens`` actually available,
+    ``weight_ppm`` (0 for sources not in the plan),
+    ``target_tokens = token_budget * weight_ppm / PPM`` (floor), and
+    ``epochs_ppm = target_tokens * PPM / n_tokens`` (floor) — the
+    repeat factor in ppm: under PPM means subsample at that rate, over
+    PPM means repeat (``ceil(epochs_ppm / PPM)`` passes with a final
+    subsample). All arithmetic is 64-bit integer and exact while
+    ``token_budget * max_weight_ppm < 2^63`` (budget up to ~9e12
+    tokens) and ``n_tokens < ~9e12`` per source; beyond that,
+    pre-scale to thousands of tokens.
+
+    Scale shape: ONE map-side-combinable groupBy over the corpus; the
+    weight table is a literal map (no join). Output is one row per
+    source.
+    """
+    per = (
+        df.groupBy(F.col(group_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.coalesce(
+                map_lookup(F.col("source"), dict(weights_ppm)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "target_tokens",
+            F.expr(f"CAST({token_budget} AS BIGINT) * weight_ppm DIV {PPM}"),
+        )
+    )
+    # floor(target * PPM / n_tokens) without 128-bit: split quotient
+    # and remainder so no intermediate exceeds target + n_tokens * PPM
+    return per.withColumn(
+        "epochs_ppm",
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN "
+            f"(target_tokens DIV n_tokens) * {PPM} "
+            f"+ ((target_tokens % n_tokens) * {PPM}) DIV n_tokens "
+            f"ELSE CAST(0 AS BIGINT) END"
+        ),
+    ).withColumn(
+        "repeat_epochs",
+        F.expr(f"CAST((epochs_ppm + {PPM - 1}) DIV {PPM} AS INT)"),
+    )
