@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "bloom_decontaminate",
     "shuffle_shards",
     "mixture_plan",
+    "gopher_rules",
     "incremental_near_dups",
     "event_transitions",
     "hourly_anomalies",

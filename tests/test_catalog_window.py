@@ -54,6 +54,7 @@ LOAD_BEARING = [
     "bloom_decontaminate",
     "shuffle_shards",
     "mixture_plan",
+    "gopher_rules",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

@@ -205,3 +205,40 @@ def test_classifier_plan_broadcasts_and_single_shuffle(spark, documents):
     )
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_gopher_rules_each_rule_discriminates(spark):
+    from traits_data_spark.operators.text import gopher_rules
+
+    good = (
+        "the data and the table have rows to scan with good words "
+        "that be of normal length and the corpus is fine here okay "
+    ) * 3  # > 20 words, mean len in range, no symbols/bullets
+    docs = [
+        ("ok", good),
+        ("short", "the of tiny"),  # fails word count
+        ("longwords", " ".join(["pneumonoultramicroscopic"] * 40) + " the of"),
+        ("symbols", "the of " + "# " * 30 + "word " * 10),
+        ("bullets", "\n".join(["- item %d the of" % i for i in range(20)])),
+        ("ellipsis", "\n".join(["line %d the of..." % i for i in range(20)])),
+        ("numeric", "the of " + "12345 " * 40),  # words w/o alpha chars
+        ("nostops", "word " * 40),
+    ]
+    out = {
+        r.name: r
+        for r in gopher_rules(
+            spark.createDataFrame(docs, "name string, text string"),
+            min_words=20,
+        ).collect()
+    }
+    assert out["ok"].keep == 1
+    assert out["short"].pass_word_count == 0
+    assert out["longwords"].pass_mean_word_len == 0
+    assert out["symbols"].pass_symbol_ratio == 0
+    assert out["bullets"].pass_bullet_lines == 0
+    assert out["ellipsis"].pass_ellipsis_lines == 0
+    assert out["numeric"].pass_alpha_words == 0
+    assert out["nostops"].pass_stopwords == 0
+    for name in ("short", "longwords", "symbols", "bullets",
+                 "ellipsis", "numeric", "nostops"):
+        assert out[name].keep == 0, name

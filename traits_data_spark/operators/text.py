@@ -92,6 +92,82 @@ def quality_features(
     )
 
 
+# Gopher's stop-word requirement set (Rae et al. 2021, Table A1 rules)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stops: Sequence[str] = GOPHER_STOPS,
+) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al.
+    2021) as per-rule boolean flags plus the combined ``keep``:
+    word-count bounds, mean word length in [3, 10], symbol-to-word
+    ratio (# / ellipsis) <= 0.1, <= 90% bullet-started and <= 30%
+    ellipsis-ended lines, >= 80% of words containing an alphabetic
+    character, and >= 2 of the 8 Gopher stop words present.
+
+    Every threshold is evaluated as an INTEGER cross-multiplication
+    (``3*n_words <= n_nonspace`` instead of a float mean), so the
+    flags are exact and bit-identical on any SQL engine — no float
+    ratio ever materializes. Flags come back as 0/1 ints (hash-stable
+    across engines), one per rule, so downstream can both filter on
+    ``keep`` and report per-rule rejection rates in the same pass.
+
+    Scale shape: a pure codegen projection — no shuffle, no UDF, no
+    join; the stop-word membership is 8 ``array_contains`` probes of
+    the already-split word array.
+    """
+    t = F.col(text_col)
+    words = word_array(t)
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    n_words = F.size(words)
+    n_nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_sym = _count_matches(t, "#") + _count_matches(t, r"\.\.\.")
+    lines = F.filter(
+        F.split(t, "\n"), lambda line: F.length(F.trim(line)) > 0
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda line: F.ltrim(line).startswith(F.lit("- "))
+            | F.ltrim(line).startswith(F.lit("* ")),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda line: F.rtrim(line).endswith(F.lit("...")))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stops = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stops]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    flags = {
+        "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "pass_mean_word_len": (F.lit(3) * n_words <= n_nonspace)
+        & (n_nonspace <= F.lit(10) * n_words),
+        "pass_symbol_ratio": F.lit(10) * n_sym <= n_words,
+        "pass_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
+        "pass_ellipsis_lines": F.lit(10) * n_ellipsis <= F.lit(3) * n_lines,
+        "pass_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "pass_stopwords": n_stops >= 2,
+    }
+    out = df.withColumns(
+        {name: cond.cast("int") for name, cond in flags.items()}
+    )
+    keep = None
+    for name in flags:
+        c = F.col(name) == 1
+        keep = c if keep is None else keep & c
+    return out.withColumn("keep", keep.cast("int"))
+
+
 def language_scores(
     text_col: Column | str, markers: Mapping[str, Sequence[str]] = LANG_MARKERS
 ) -> dict[str, Column]:
