@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "shuffle_shards",
     "mixture_plan",
     "gopher_rules",
+    "containment_pairs",
+    "curate_corpus",
     "incremental_near_dups",
     "event_transitions",
     "hourly_anomalies",

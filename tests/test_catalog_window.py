@@ -55,6 +55,8 @@ LOAD_BEARING = [
     "shuffle_shards",
     "mixture_plan",
     "gopher_rules",
+    "containment_pairs",
+    "curate_corpus",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

@@ -23,3 +23,49 @@ def test_clean_corpus_stages(spark):
     kept = {r["doc_id"]: r["lang_pred"] for r in out.collect()}
     assert set(kept) == {1, 7}
     assert kept[1] == "en" and kept[7] == "es"
+
+
+def test_curate_corpus_invariants(spark, documents):
+    import pyspark.sql.functions as F
+    from traits_data_spark.operators.dedup import (
+        ngram_decontaminate,
+        normalized_text,
+    )
+    from traits_data_spark.plans.curation import curate_corpus
+
+    bench = documents.filter(F.col("source") == "src0")
+    corpus = documents.filter(F.col("source") != "src0")
+    weights = {"src1": 400_000, "src2": 300_000, "src3": 200_000, "src4": 100_000}
+    out = curate_corpus(
+        corpus, bench,
+        min_words=10, stops=("the", "a", "spark", "stream"),
+        weights_ppm=weights, token_budget=2_000,
+    ).persist()
+    rows = out.collect()
+    assert rows
+    # only planned sources survive
+    assert {r.source for r in rows} <= set(weights)
+    # no contaminated doc survives
+    contaminated = {
+        r.id
+        for r in ngram_decontaminate(
+            corpus, bench, "text", "doc_id", "doc_id", n=5
+        ).collect()
+    }
+    assert not ({r.doc_id for r in rows} & contaminated)
+    # exact dedup held: kept ids map to distinct normalized texts
+    kept_ids = [r.doc_id for r in rows]
+    texts = (
+        documents.filter(F.col("doc_id").isin(kept_ids))
+        .select(normalized_text(F.col("text")).alias("nt"))
+        .collect()
+    )
+    nts = [r.nt for r in texts]
+    assert len(nts) == len(set(nts))
+    # shard positions are contiguous rankings
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    out.unpersist()

@@ -430,3 +430,43 @@ def test_bloom_decontaminate_matches_exact(spark, documents):
         ).collect()
     }
     assert tiny == want
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    import pyspark.sql.functions as F
+    from traits_data_spark.operators.dedup import (
+        containment_verify,
+        jaccard_verify,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from a warm windowsill in the late afternoon sun"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " " + ("completely different trailing content "
+                              "padding the page with navigation boilerplate "
+                              "and footer links and more and more text ") * 5),
+            (3, "unrelated text about spark physical plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    cont = {
+        (r.id_a, r.id_b): r
+        for r in containment_verify(
+            cand, docs, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    # doc 1 is fully contained in doc 2 -> containment ~1.0 even though
+    # jaccard is diluted by doc 2's extra content
+    assert (1, 2) in cont and cont[(1, 2)].containment_a >= 0.9
+    assert cont[(1, 2)].jaccard < 0.5
+    assert (1, 3) not in cont
+    # jaccard_verify at the same bar prunes the pair (by design)
+    jac = jaccard_verify(cand, docs, "text", "doc_id", threshold=0.9).collect()
+    assert not [r for r in jac if (r.id_a, r.id_b) == (1, 2)]

@@ -421,6 +421,58 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    widen: bool = True,
+) -> DataFrame:
+    """Near-superset detection on candidate pairs: shingle containment
+    ``C(A,B) = |A ∩ B| / |A|`` in both orientations, alongside
+    Jaccard. A partial re-crawl, a quoted article inside a longer
+    page, or a template wrapping real content scores LOW on Jaccard
+    (the union is dominated by the longer side) but ~1.0 on the
+    shorter side's containment — which is why there is deliberately NO
+    size-ratio prefilter here: the lopsided pairs ``jaccard_verify``
+    prunes as hopeless are exactly the ones containment exists to
+    catch. Keeps pairs where either orientation reaches ``threshold``;
+    returns ``(id_a, id_b, jaccard, containment_a, containment_b)``.
+
+    Same bounded-verify scale shape as ``jaccard_verify``: shingles are
+    built once, only for semi-joined candidate members, persisted so
+    both join sides share one computation.
+    """
+    candidates = candidates.persist()  # consumed 3x (two id sides + join)
+    sh = _candidate_shingles(
+        candidates, df, text_col, id_col,
+        char_shingles(text_col, k=shingle_k), widen=widen,
+    )
+    a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
+    b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (
+        joined.withColumn(
+            "jaccard", F.round(inter / F.when(union > 0, union), 6)
+        )
+        .withColumn(
+            "containment_a", F.round(inter / F.when(na > 0, na), 6)
+        )
+        .withColumn(
+            "containment_b", F.round(inter / F.when(nb > 0, nb), 6)
+        )
+    )
+    return out.filter(
+        F.greatest("containment_a", "containment_b") >= threshold
+    ).select("id_a", "id_b", "jaccard", "containment_a", "containment_b")
+
+
 def _candidate_shingles(
     candidates: DataFrame,
     df: DataFrame,

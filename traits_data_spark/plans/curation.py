@@ -1,0 +1,128 @@
+"""The end-to-end pretraining-corpus curation pipeline — the third
+LLM-pipeline flagship, composing the round-7 surface:
+
+    Gopher rule filter → exact dedup (keep min id) → benchmark
+    decontamination → mixture-plan-driven deterministic sampling →
+    sharded training-order shuffle
+
+Every stage is an already-oracle-checked operator; the composition
+adds the realistic EXECUTION of a mixture plan: ``mixture_plan``
+computes per-source epochs, and sources over their target are
+subsampled to it with the deterministic hash sampler (so the output
+corpus actually lands on the planned mixture), while under-target
+sources keep everything and rely on ``repeat_epochs`` at load time
+(curation cannot mint new documents).
+
+Scale shape: one persist barrier after the regex-heavy Gopher scoring
+(same hazard ``clean_corpus`` documents — without it Catalyst pushes
+the fused regex predicate into the scan and evaluates it twice), one
+map-side-combined exact-dedup aggregate, a broadcast-benchmark
+decontamination join that never shuffles the corpus, a broadcast join
+against the one-row-per-source mixture plan, and the single hash-dealt
+shard window. No stage keys a shuffle on a natural (skewable) column.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from traits_data_spark.functions.scalars import portable_hash64
+from traits_data_spark.operators.dedup import (
+    ngram_decontaminate,
+    normalized_text,
+    widen_if_narrow,
+)
+from traits_data_spark.operators.sampling import (
+    N_BUCKETS,
+    PPM,
+    mixture_plan,
+    shuffle_shards,
+    split_bucket,
+)
+from traits_data_spark.operators.text import GOPHER_STOPS, gopher_rules, word_array
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_words: int = 30,
+    stops: Sequence[str] = GOPHER_STOPS,
+    decon_n: int = 5,
+    decon_min_overlap: int = 1,
+    weights_ppm: Mapping[str, int] | None = None,
+    token_budget: int = 1_000_000,
+    sample_salt: str = "mix",
+    n_shards: int = 32,
+    shard_salt: str = "ep0",
+) -> DataFrame:
+    """Run the full curation chain; returns one row per document in
+    the curated corpus: ``(id, source, ws_tokens, shard, shard_pos)``.
+
+    The sampling stage keeps a doc from source ``s`` when its salted
+    hash bucket clears ``min(epochs_ppm_s, PPM)`` — i.e. over-target
+    sources are thinned to their planned token share (to bucket
+    resolution), everything else passes. Unplanned sources (weight 0)
+    drop entirely. All arithmetic is 64-bit integer, so the kept set
+    is reproducible on any engine.
+    """
+    weights_ppm = dict(weights_ppm or {})
+    base = widen_if_narrow(
+        docs.select(id_col, source_col, text_col).filter(
+            F.col(text_col).isNotNull()
+        )
+    )
+    # Persist BEFORE filtering on the fused regex flags (see
+    # clean_corpus): pins the Gopher regex stack to one parallel pass.
+    scored = (
+        gopher_rules(base, min_words=min_words, stops=stops)
+        .withColumn("ws_tokens", F.size(word_array(text_col)).cast("long"))
+        .persist()
+    )
+    kept_quality = scored.filter(F.col("keep") == 1)
+
+    # exact dedup: ONE map-side-combined min_by per content hash
+    row = F.struct(F.col(id_col), F.col(source_col), F.col(text_col), F.col("ws_tokens"))
+    deduped = (
+        kept_quality.withColumn(
+            "__ch", portable_hash64(normalized_text(text_col))
+        )
+        .groupBy("__ch")
+        .agg(F.min_by(row, F.col(id_col)).alias("__r"))
+        .select("__r.*")
+    )
+
+    # decontamination: broadcast benchmark grams; corpus never shuffles
+    contaminated = ngram_decontaminate(
+        deduped, benchmark, text_col, id_col, id_col,
+        n=decon_n, min_overlap=decon_min_overlap,
+    ).select(F.col("id").alias(id_col))
+    survivors = deduped.join(contaminated, id_col, "left_anti").persist()
+
+    # mixture execution: per-source plan (one row per source, broadcast)
+    plan = mixture_plan(
+        survivors, source_col, "ws_tokens", weights_ppm, token_budget
+    ).select(
+        F.col("source").alias(source_col),
+        F.least(F.col("epochs_ppm"), F.lit(PPM)).alias("__rate_ppm"),
+    )
+    # bucket resolution is 1/N_BUCKETS; rate comparison stays integer:
+    # keep iff bucket * (PPM / N_BUCKETS) < rate_ppm
+    per_bucket = PPM // N_BUCKETS
+    sampled = (
+        survivors.join(F.broadcast(plan), source_col)
+        .filter(
+            split_bucket(F.col(id_col), sample_salt) * per_bucket
+            < F.col("__rate_ppm")
+        )
+        .select(id_col, source_col, "ws_tokens")
+    )
+
+    return shuffle_shards(
+        sampled, id_col, n_shards=n_shards, salt=shard_salt
+    )
