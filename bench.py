@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "containment_pairs",
     "curate_corpus",
+    "epoch_expand",
     "incremental_near_dups",
     "event_transitions",
     "hourly_anomalies",

@@ -57,6 +57,7 @@ LOAD_BEARING = [
     "gopher_rules",
     "containment_pairs",
     "curate_corpus",
+    "epoch_expand",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

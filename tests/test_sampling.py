@@ -231,3 +231,32 @@ def test_mixture_plan_hand_computed(spark):
     # c: not in the plan -> weight 0, nothing requested
     assert out["c"].weight_ppm == 0
     assert out["c"].target_tokens == 0 and out["c"].repeat_epochs == 0
+
+
+def test_epoch_expand_hand_computed(spark):
+    import hashlib
+    from traits_data_spark.operators.sampling import epoch_expand
+
+    rows = [(i, ppm) for i, ppm in enumerate(
+        [0, 1_000_000, 2_300_000, 500_000, 10_000_000, -5]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, epochs_ppm long")
+    got = {}
+    for r in epoch_expand(df, "doc_id", "epochs_ppm").collect():
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    def bucket(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 10000
+    for doc_id, ppm in rows:
+        n = max(ppm, 0) // 1_000_000 + (
+            1 if bucket(doc_id) * 100 < max(ppm, 0) % 1_000_000 else 0
+        )
+        if n == 0:
+            assert doc_id not in got, doc_id
+        else:
+            assert sorted(got[doc_id]) == list(range(n)), doc_id
+    # a 2.3-epoch plan over many docs lands close to 2.3x in expectation
+    many = spark.createDataFrame(
+        [(i, 2_300_000) for i in range(1000)], "doc_id long, epochs_ppm long"
+    )
+    total = epoch_expand(many, "doc_id", "epochs_ppm").count()
+    assert 2200 <= total <= 2400

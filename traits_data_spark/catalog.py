@@ -134,6 +134,7 @@ from traits_data_spark.operators.packing import (
 )
 from traits_data_spark.operators.pivot import pivot_wide
 from traits_data_spark.operators.sampling import (
+    epoch_expand,
     hash_split,
     mixture_plan,
     shuffle_shards,
@@ -1122,6 +1123,61 @@ FROM (
          {_H60.format(x=f"'{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)")} AS h
   FROM documents
 )
+"""
+
+
+def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized repeat factors (``operators.sampling.epoch_expand``):
+    the mixture plan's epochs_ppm turned into per-doc (epoch 0..n-1)
+    rows — full repeats plus a deterministic hash sample for the final
+    partial epoch."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = token_counts(docs).select("doc_id", "source", "ws_tokens")
+    plan = mixture_plan(
+        tk, "source", "ws_tokens", MIXTURE_WEIGHTS, MIXTURE_BUDGET
+    ).select(F.col("source"), "epochs_ppm")
+    joined = tk.join(F.broadcast(plan), "source")
+    return epoch_expand(joined, "doc_id", "epochs_ppm").select(
+        "doc_id", "source", "epoch"
+    )
+
+
+def _epoch_expand_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in MIXTURE_WEIGHTS.items()
+    )
+    return rf"""
+WITH tk AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                         w -> length(w) > 0)) AS ws_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT source,
+         CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+         CAST(CASE source {cases} ELSE 0 END AS BIGINT) AS weight_ppm
+  FROM tk GROUP BY source
+),
+ep AS (
+  SELECT source,
+    CASE WHEN n_tokens > 0
+         THEN (target_tokens // n_tokens) * 1000000
+              + ((target_tokens % n_tokens) * 1000000) // n_tokens
+         ELSE CAST(0 AS BIGINT) END AS epochs_ppm
+  FROM (SELECT *,
+          CAST({MIXTURE_BUDGET} AS BIGINT) * weight_ppm // 1000000 AS target_tokens
+        FROM per)
+),
+n AS (
+  SELECT doc_id, tk.source,
+    epochs_ppm // 1000000
+    + CASE WHEN ({_H60.format(x="CAST(doc_id AS VARCHAR)")} % 10000) * 100
+                < epochs_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies
+  FROM tk JOIN ep ON tk.source = ep.source
+)
+SELECT doc_id, source, unnest(range(n_copies)) AS epoch
+FROM n WHERE n_copies > 0
 """
 
 
@@ -4119,8 +4175,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "containment_pairs": q_containment_pairs,
     "curate_corpus": q_curate_corpus,
+    "epoch_expand": q_epoch_expand,
     # -- judge-only in round 4 (outside the old window) --------------------
-    "merge_upsert": q_merge_upsert,
     "feature_filter": q_feature_filter,
     "kmv_distinct": q_kmv_distinct,
     "rolling_agg": q_rolling_agg,
@@ -4169,6 +4225,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "percentile_profile": q_percentile_profile,
     "incremental_new_keys": q_incremental_new_keys,
     "distinct_dims": q_distinct_dims,
+    "merge_upsert": q_merge_upsert,
     "mismatch_join": q_mismatch_join,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
@@ -4251,6 +4308,7 @@ def oracle_sqls() -> dict[str, str]:
         "gopher_rules": _GOPHER_SQL,
         "containment_pairs": _containment_sql(),
         "curate_corpus": _curate_corpus_sql(),
+        "epoch_expand": _epoch_expand_sql(),
         "mixture_plan": _mixture_plan_sql(),
         "repetition_features": _repetition_sql(),
         "source_mixture": _source_mixture_sql(),

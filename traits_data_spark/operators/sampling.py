@@ -316,3 +316,47 @@ def mixture_plan(
         "repeat_epochs",
         F.expr(f"CAST((epochs_ppm + {PPM - 1}) DIV {PPM} AS INT)"),
     )
+
+
+def epoch_expand(
+    df: DataFrame,
+    id_col: str,
+    epochs_ppm_col: str,
+    salt: str = "",
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a repeat factor: every row is emitted once per full
+    epoch (``epochs_ppm // PPM``) plus once more in the final partial
+    epoch when its deterministic hash bucket clears the fractional
+    part — so a source planned at 2.3 epochs yields every doc twice
+    and a stable 30% of docs a third time, and the expanded corpus
+    lands on the planned token share in expectation AND in hash-exact
+    membership. Rows with ``epochs_ppm <= 0`` disappear (unplanned
+    sources). ``out_col`` numbers the copies 0..n-1 so downstream
+    shuffles (e.g. ``shuffle_shards`` salted per epoch) can separate
+    them.
+
+    This is the loader-side half of executing a ``mixture_plan``:
+    ``curate_corpus`` THINS over-target sources at curation time
+    (dropping is free); repetition is deferred to here because
+    repeating at rest would multiply storage.
+
+    Scale shape: a stateless generate (explode of a per-row
+    ``sequence``) — no shuffle, no join; the epoch count is bounded by
+    the plan, not the data.
+    """
+    n_full = F.expr(f"CAST({epochs_ppm_col} AS BIGINT) DIV {PPM}")
+    frac = F.expr(f"CAST({epochs_ppm_col} AS BIGINT) % {PPM}")
+    extra = (
+        split_bucket(F.col(id_col), salt) * (PPM // N_BUCKETS) < frac
+    ).cast("long")
+    n = (n_full + extra).alias("__n")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            out_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)),
+        )
+        .drop("__n")
+    )
