@@ -47,6 +47,15 @@ def _norm2(col: Column) -> Column:
     return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
+def _maybe_broadcast(df: DataFrame, hint: bool) -> DataFrame:
+    """Apply the broadcast hint the ANN probe joins rely on (the bucket
+    / cell key has few distinct values, so a shuffled join would funnel
+    the corpus into that many tasks). ``hint=False`` drops it for the
+    rare huge-query-batch case, letting AQE pick the strategy instead
+    of risking the 8 GB broadcast limit."""
+    return F.broadcast(df) if hint else df
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,6 +63,7 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     k: int = 10,
     round_to: int | None = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """For each query vector, the top-k most-cosine-similar corpus rows
     (self-matches excluded). Query side is broadcast; ties broken by
@@ -68,7 +78,7 @@ def cosine_topk_bruteforce(
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
     scored = (
-        c.join(F.broadcast(q))
+        c.join(_maybe_broadcast(q, broadcast_queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
     )
@@ -125,6 +135,7 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     max_iter: int = 20,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the
     corpus into ``n_centroids`` cells; each query scores only the
@@ -180,7 +191,7 @@ def ivf_topk(
     # |Q|·n_probe-row) probe table removes the corpus-side Exchange
     # outright instead of relying on an AQE rescue.
     scored = (
-        assigned.join(F.broadcast(q_probed), "__cid")
+        assigned.join(_maybe_broadcast(q_probed, broadcast_queries), "__cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
@@ -331,6 +342,7 @@ def cosine_topk_quantized(
     vec_col: str = "embedding",
     k: int = 10,
     round_to: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Brute-force top-k scored directly on int8 codes (SQ8-style):
     the pairwise work is ONE integer dot product, and the float
@@ -403,7 +415,7 @@ def cosine_topk_quantized(
     # them BEFORE the pair join so they also never inflate it
     scored = (
         c.filter(cn > 0)
-        .join(F.broadcast(q.filter(qn > 0)))
+        .join(_maybe_broadcast(q.filter(qn > 0), broadcast_queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_q", F.round(dot_hat / (F.sqrt(cn) * F.sqrt(qn)), round_to)
@@ -430,6 +442,7 @@ def ivf_topk_hyperplane(
     n_probe: int = 4,
     seed: int = 42,
     scale: int = 1_000_000,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k with a *deterministic* coarse quantizer.
 
@@ -511,7 +524,10 @@ def ivf_topk_hyperplane(
     scored = (
         c.filter(_norm2(F.col("__cv")) > 0)
         .join(
-            F.broadcast(q_probed.filter(_norm2(F.col("__qv")) > 0)),
+            _maybe_broadcast(
+                q_probed.filter(_norm2(F.col("__qv")) > 0),
+                broadcast_queries,
+            ),
             "bucket",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -540,6 +556,7 @@ def lsh_topk_multiprobe(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Multi-table LSH top-k: union the candidate pairs of
     ``n_tables`` independent hash tables (seeds ``seed..seed+T-1``),
@@ -587,7 +604,7 @@ def lsh_topk_multiprobe(
     # (table_idx, bucket) has only n_tables·2^n_planes distinct values —
     # broadcast the query-side melt so the corpus melt never exchanges
     cands = (
-        cb.join(F.broadcast(qb), ["table_idx", "bucket"])
+        cb.join(_maybe_broadcast(qb, broadcast_queries), ["table_idx", "bucket"])
         .select("query_id", "neighbor_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .distinct()
@@ -764,6 +781,7 @@ def lsh_bucketed_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket pairs. Recall rises
     with fewer planes / multiple probe tables; this single-table variant
@@ -792,7 +810,7 @@ def lsh_bucketed_topk(
     # "bucket" has at most 2^n_planes distinct values — broadcast the
     # query side so the corpus never hash-partitions on it
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
+        cb.join(_maybe_broadcast(qb, broadcast_queries), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
     )
@@ -958,6 +976,7 @@ def ivf_topk_kmeans(
     n_iter: int = 2,
     n_probe: int = 2,
     scale: int = 1_000_000,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k with a *deterministic k-means* coarse
     quantizer — the classic FAISS IVF-Flat shape, but oracle-checkable:
@@ -1020,7 +1039,10 @@ def ivf_topk_kmeans(
     scored = (
         assigned.filter(_norm2(F.col("__cv")) > 0)
         .join(
-            F.broadcast(q_probed.filter(_norm2(F.col("__qv")) > 0)),
+            _maybe_broadcast(
+                q_probed.filter(_norm2(F.col("__qv")) > 0),
+                broadcast_queries,
+            ),
             "__cid",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
