@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "curate_corpus",
     "epoch_expand",
+    "kmv_overlap",
     "incremental_near_dups",
     "event_transitions",
     "hourly_anomalies",

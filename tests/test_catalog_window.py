@@ -58,6 +58,7 @@ LOAD_BEARING = [
     "containment_pairs",
     "curate_corpus",
     "epoch_expand",
+    "kmv_overlap",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

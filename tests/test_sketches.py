@@ -156,3 +156,21 @@ def test_pivot_roundtrip(spark, lineitem):
         wide, ["l_returnflag"], ["qty_O", "qty_F"], "status", "qty"
     ).collect()
     assert len(long) == len(rows) * 2
+
+
+def test_kmv_set_ops_exact_below_k_and_bounded_above(spark):
+    from traits_data_spark.operators.sketches import kmv_set_ops
+
+    # groups small enough that the merged sketch is exact
+    rows = [("a", v) for v in range(20)] + [("b", v) for v in range(10, 40)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_set_ops(df, "g", "v", k=64).collect()[0]
+    assert r.union_distinct == 40  # |0..39|
+    assert r.intersect_distinct == 10  # |10..19|
+    # large overlapping groups: estimates land within the KMV error
+    # band (~1/sqrt(k-1) ≈ 12.6% at k=64; allow 3 sigma)
+    big = [("a", v) for v in range(2000)] + [("b", v) for v in range(1000, 3000)]
+    df2 = spark.createDataFrame(big, "g string, v long")
+    r2 = kmv_set_ops(df2, "g", "v", k=64).collect()[0]
+    assert abs(r2.union_distinct - 3000) <= 3000 * 0.38
+    assert abs(r2.intersect_distinct - 1000) <= 1000 * 0.75

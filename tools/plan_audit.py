@@ -43,6 +43,14 @@ HEADLINE = [
     "token_budget",
     "quality_classifier",
     "substring_dups",
+    "remove_dup_substrings",
+    "bloom_decontaminate",
+    "gopher_rules",
+    "containment_pairs",
+    "curate_corpus",
+    "shuffle_shards",
+    "mixture_plan",
+    "epoch_expand",
     "kmeans_clusters",
     "ivf_topk_kmeans",
     "semantic_dedup",
@@ -83,6 +91,7 @@ HEADLINE = [
 MAX_SCANS_DEFAULT = 8
 MAX_SCANS = {
     "clean_corpus": 4,
+    "curate_corpus": 6,
     "training_prep": 4,
     "semantic_dedup": 4,
     "silver_e1": 6,

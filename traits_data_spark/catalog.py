@@ -156,6 +156,7 @@ from traits_data_spark.operators.sketches import (
     hll_estimate,
     hll_registers,
     kmv_distinct,
+    kmv_set_ops,
 )
 from traits_data_spark.quality import null_zero_profile, percentile_profile
 from traits_data_spark.sinks.jdbc import distinct_dims
@@ -3630,6 +3631,59 @@ FROM a
 """
 
 
+_KMV_OVERLAP_K = 64
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise customer-base overlap between order priorities
+    (``operators.sketches.kmv_set_ops``): union / intersection
+    distinct estimates from merged k-min sketches — the set algebra
+    HLL cannot do."""
+    o = _t(spark, sf_dir, "orders")
+    return kmv_set_ops(o, "o_orderpriority", "o_custkey", k=_KMV_OVERLAP_K)
+
+
+def _kmv_overlap_sql() -> str:
+    k = _KMV_OVERLAP_K
+    scale = repr(float(k - 1) * float(2**60))
+    return f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         {_H60.format(x='CAST(o_custkey AS VARCHAR)')} AS h
+  FROM orders
+),
+r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d
+),
+sk AS (
+  SELECT g, list_slice(list(h ORDER BY h), 1, {k}) AS mins
+  FROM r WHERE rn <= {k} GROUP BY g
+),
+p AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.mins AS ma, b.mins AS mb
+  FROM sk a JOIN sk b ON a.g < b.g
+),
+m AS (
+  SELECT group_a, group_b, ma, mb,
+         list_slice(list_sort(list_distinct(list_cat(ma, mb))), 1, {k}) AS mg
+  FROM p
+),
+e AS (
+  SELECT group_a, group_b,
+         len(mg) AS msz,
+         len(list_intersect(mg, list_intersect(ma, mb))) AS mtch,
+         CASE WHEN len(mg) < {k} THEN CAST(len(mg) AS BIGINT)
+              ELSE CAST(FLOOR({scale} / list_extract(mg, {k})) AS BIGINT)
+         END AS union_distinct
+  FROM m
+)
+SELECT group_a, group_b, union_distinct,
+       CAST(mtch AS BIGINT) * union_distinct // msz AS intersect_distinct,
+       round(mtch / msz::DOUBLE, 6) + 0.0 AS jaccard_k
+FROM e
+"""
+
+
 _CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
 
 
@@ -4176,6 +4230,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "containment_pairs": q_containment_pairs,
     "curate_corpus": q_curate_corpus,
     "epoch_expand": q_epoch_expand,
+    "kmv_overlap": q_kmv_overlap,
     # -- judge-only in round 4 (outside the old window) --------------------
     "feature_filter": q_feature_filter,
     "kmv_distinct": q_kmv_distinct,
@@ -4186,7 +4241,6 @@ QUERIES: Mapping[str, QueryFn] = {
     "zorder_values": q_zorder_values,
     "incremental_merge": q_incremental_merge,
     "pack_sequences": q_pack_sequences,
-    "frame_samples": q_frame_samples,
     # -- newest / most complex operators -----------------------------------
     "image_metadata": q_image_metadata,
     "audio_metadata": q_audio_metadata,
@@ -4226,6 +4280,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "incremental_new_keys": q_incremental_new_keys,
     "distinct_dims": q_distinct_dims,
     "merge_upsert": q_merge_upsert,
+    "frame_samples": q_frame_samples,
     "mismatch_join": q_mismatch_join,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
@@ -4309,6 +4364,7 @@ def oracle_sqls() -> dict[str, str]:
         "containment_pairs": _containment_sql(),
         "curate_corpus": _curate_corpus_sql(),
         "epoch_expand": _epoch_expand_sql(),
+        "kmv_overlap": _kmv_overlap_sql(),
         "mixture_plan": _mixture_plan_sql(),
         "repetition_features": _repetition_sql(),
         "source_mixture": _source_mixture_sql(),

@@ -71,6 +71,88 @@ def kmv_distinct(
     return agg.select(*group_cols, F.col(exact_col), est)
 
 
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise distinct-set algebra between groups from mergeable KMV
+    sketches: for every group pair ``(a, b)`` with ``a < b``, estimate
+    ``union_distinct`` and ``intersect_distinct`` WITHOUT touching the
+    raw values again — the k-min sketches merge by taking the k
+    smallest of the concatenation (the theta-sketch identity), and the
+    intersection estimate is the fraction of merged minima present in
+    both sketches times the union estimate. This is what HLL cannot do
+    (HLL only unions); ``(distinct users shared by two event types)``
+    is the canonical ask.
+
+    Returns ``(group_a, group_b, union_distinct, intersect_distinct,
+    jaccard_k)``; the union falls back to the exact distinct count when
+    the merged sketch holds fewer than ``k`` minima (small groups), so
+    small-pair results are exact — and all arithmetic is the same
+    floor-division form ``kmv_distinct`` uses, reproducible by a SQL
+    oracle.
+
+    Scale shape: ONE shuffle builds the per-group sketches (row_number
+    window on the group key, k rows kept per group); the pairwise join
+    runs on one k-array row per group — |G|² pairs of k-length arrays,
+    driver-free and broadcastable for any realistic group count.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = portable_hash64(F.col(value_col).cast("string"))
+    hashed = df.select(group_col, h.alias("__h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("__h")
+    sk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("__h")).alias("__mins"))
+    )
+    a = sk.select(F.col(group_col).alias("group_a"), F.col("__mins").alias("__ma"))
+    b = sk.select(F.col(group_col).alias("group_b"), F.col("__mins").alias("__mb"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__ma"), F.col("__mb")))),
+        1,
+        k,
+    )
+    scale = F.lit(float(k - 1) * HASH_SPACE)
+    out = (
+        pairs.withColumn("__m", merged)
+        .withColumn("__msz", F.size("__m"))
+        .withColumn(
+            "__match",
+            F.size(
+                F.array_intersect(
+                    F.col("__m"), F.array_intersect("__ma", "__mb")
+                )
+            ),
+        )
+        .withColumn(
+            "union_distinct",
+            F.when(F.col("__msz") < k, F.col("__msz").cast("long")).otherwise(
+                F.floor(scale / F.try_element_at("__m", F.lit(k))).cast("long")
+            ),
+        )
+        .withColumn(
+            "intersect_distinct",
+            F.expr("CAST(__match AS BIGINT) * union_distinct DIV __msz"),
+        )
+        .withColumn(
+            "jaccard_k",
+            F.round(
+                F.col("__match").cast("double") / F.col("__msz"), 6
+            )
+            + F.lit(0.0),
+        )
+    )
+    return out.select(
+        "group_a", "group_b", "union_distinct", "intersect_distinct", "jaccard_k"
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog with portable registers
 # ---------------------------------------------------------------------------
