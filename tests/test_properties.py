@@ -511,3 +511,51 @@ def test_mixture_plan_matches_python_reference(spark, docs, budget):
         epochs = target * 1_000_000 // tot if tot > 0 else 0
         want[src] = (n, tot, w, target, epochs, -(-epochs // 1_000_000))
     assert got == want
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    bench=st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(2, 4),
+    m_bits=st.sampled_from([1 << 8, 1 << 10, 1 << 14]),
+    k_hashes=st.integers(1, 5),
+)
+@_settings
+def test_bloom_decontaminate_always_matches_exact(
+    spark, corpus, bench, n, m_bits, k_hashes
+):
+    from traits_data_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    def mk(rows, start):
+        return spark.createDataFrame(
+            [(start + i, " ".join(f"w{t}" for t in toks))
+             for i, toks in enumerate(rows)],
+            "doc_id long, text string",
+        )
+
+    c, b = mk(corpus, 0), mk(bench, 1000)
+    want = {
+        tuple(r)
+        for r in ngram_decontaminate(
+            c, b, "text", "doc_id", "doc_id", n=n
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in bloom_decontaminate(
+            c, b, "text", "doc_id", "doc_id",
+            n=n, m_bits=m_bits, k_hashes=k_hashes,
+        ).collect()
+    }
+    assert got == want

@@ -331,3 +331,97 @@ def test_streaming_incremental_semantic_dedup(spark, tmp_path, embeddings):
         if r["id_a"] in new_ids or r["id_b"] in new_ids
     }
     assert got == want and got
+
+
+def test_streaming_curation_ingest(spark, tmp_path, documents):
+    """E2E: streaming curation — each micro-batch is Gopher-filtered,
+    near-dup-mined against the persisted LSH band index (which grows
+    with every batch's survivors), and only clean novel docs are
+    appended. The curated set matches a sequential batch replay, and
+    history is never re-shingled."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.dedup import (
+        banded_signatures,
+        incremental_lsh_candidates,
+    )
+    from traits_data_spark.operators.text import gopher_rules
+
+    STOPS = ("the", "a", "spark", "stream")
+    docs = documents.select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") < 300)
+    b1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 380))
+    b2 = docs.filter((F.col("doc_id") >= 380) & (F.col("doc_id") < 460))
+
+    index_path = str(tmp_path / "band_index")
+    banded_signatures(history, "text", "doc_id", num_hashes=16, bands=4)\
+        .write.parquet(index_path)
+
+    landing = tmp_path / "curation_landing"
+    landing.mkdir()
+    for i, b in enumerate([b1, b2]):
+        (landing / f"batch{i}.json").write_text(
+            b.toPandas().to_json(orient="records", lines=True)
+        )
+    out_path = str(tmp_path / "curated")
+
+    def _curate(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        passed = (
+            gopher_rules(batch_df, min_words=10, stops=STOPS)
+            .filter(F.col("keep") == 1)
+            .select("doc_id", "text")
+        )
+        idx = ss.read.parquet(index_path)
+        dup_ids = (
+            incremental_lsh_candidates(
+                passed, idx, "text", "doc_id", num_hashes=16, bands=4
+            )
+            .select(F.greatest("id_a", "id_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = passed.join(dup_ids, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(out_path)
+        banded_signatures(
+            survivors, "text", "doc_id", num_hashes=16, bands=4
+        ).write.mode("append").parquet(index_path)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .writeStream.foreachBatch(_curate)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+
+    # sequential batch replay with the same greedy keep-earlier policy
+    def replay(batch, kept_so_far):
+        passed = (
+            gopher_rules(batch, min_words=10, stops=STOPS)
+            .filter(F.col("keep") == 1)
+            .select("doc_id", "text")
+        )
+        idx = banded_signatures(
+            kept_so_far, "text", "doc_id", num_hashes=16, bands=4
+        )
+        dup = (
+            incremental_lsh_candidates(
+                passed, idx, "text", "doc_id", num_hashes=16, bands=4
+            )
+            .select(F.greatest("id_a", "id_b").alias("doc_id"))
+            .distinct()
+        )
+        return passed.join(dup, "doc_id", "left_anti")
+
+    s1 = replay(b1, history)
+    s2 = replay(b2, history.unionByName(s1.select("doc_id", "text")))
+    want = {r.doc_id for r in s1.collect()} | {r.doc_id for r in s2.collect()}
+    assert got == want and got
+    # and the stream actually curated something away
+    all_in = {r.doc_id for r in b1.collect()} | {r.doc_id for r in b2.collect()}
+    assert got < all_in
