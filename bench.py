@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "epoch_expand",
     "kmv_overlap",
+    "corpus_report",
     "incremental_near_dups",
     "event_transitions",
     "hourly_anomalies",

@@ -59,6 +59,7 @@ LOAD_BEARING = [
     "curate_corpus",
     "epoch_expand",
     "kmv_overlap",
+    "corpus_report",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

@@ -31,6 +31,7 @@ from traits_data_spark.functions.feature_store import Feature, FeatureStore
 from traits_data_spark.functions.scalars import (
     age_at,
     map_lookup,
+    portable_hash64,
     surrogate_key,
 )
 from traits_data_spark.operators.any_union import (
@@ -51,6 +52,7 @@ from traits_data_spark.operators.dedup import (
     minhash_signatures_df,
     ngram_decontaminate,
     ngram_jaccard_pairs,
+    normalized_text,
     remove_dup_substrings,
     simhash64,
     simhash_near_dups,
@@ -2112,6 +2114,100 @@ SELECT query_id, neighbor_id, cosine + 0.0 AS cosine, rk FROM r WHERE rk <= {TOP
 # ---------------------------------------------------------------------------
 # Corpus-cleaning flagship (quality → langid → exact dedup → near-dup)
 # ---------------------------------------------------------------------------
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet: docs, null texts, whitespace
+    tokens, Gopher keep count, and docs participating in a
+    corpus-wide exact-dup group — the one-pass report a data team
+    reads before training. Pure composition: one scored projection,
+    ONE groupBy(source), plus a map-side-combined dup-count aggregate
+    joined back on the content hash (no row ever shuffles twice)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = gopher_rules(
+        docs.filter(F.col("text").isNotNull()),
+        min_words=30,
+        stops=CURATE_STOPS,
+    ).withColumn("__tok", F.size(word_array("text")).cast("long")).withColumn(
+        "__ch", portable_hash64(normalized_text(F.col("text")))
+    )
+    dup_counts = scored.groupBy("__ch").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    enriched = scored.join(dup_counts, "__ch")
+    nulls = (
+        docs.filter(F.col("text").isNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("null_texts"))
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+            F.sum("keep").cast("long").alias("gopher_keep"),
+            F.sum((F.col("__occ") > 1).cast("long")).alias("dup_docs"),
+        )
+        .join(nulls, "source", "left")
+        .withColumn(
+            "null_texts", F.coalesce("null_texts", F.lit(0)).cast("long")
+        )
+        .select(
+            "source", "n_docs", "null_texts", "n_tokens",
+            "gopher_keep", "dup_docs",
+        )
+    )
+
+
+def _corpus_report_sql() -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id, source, text,
+    list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                x -> length(x) > 0) AS wl,
+    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ll,
+    {_H60.format(x=_NORM)} AS ch
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, source, ch,
+    len(wl) AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+    len(ll) AS n_lines,
+    len(list_filter(ll, l -> starts_with(ltrim(l), '- ')
+                          OR starts_with(ltrim(l), '* '))) AS n_bullet,
+    len(list_filter(ll, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis,
+    len(list_filter(wl, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter({list(CURATE_STOPS)!r},
+                    s -> list_contains(list_transform(wl, x -> lower(x)), s))) AS n_stops
+  FROM w
+),
+f AS (
+  SELECT doc_id, source, ch, CAST(n_words AS BIGINT) AS tok,
+    CASE WHEN n_words >= 30 AND n_words <= 100000
+       AND 3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words
+       AND 10 * n_sym <= n_words
+       AND 10 * n_bullet <= 9 * n_lines
+       AND 10 * n_ellipsis <= 3 * n_lines
+       AND 5 * n_alpha >= 4 * n_words
+       AND n_stops >= 2 THEN 1 ELSE 0 END AS keep
+  FROM m
+),
+occ AS (SELECT ch, COUNT(*) AS n_occ FROM f GROUP BY ch),
+nulls AS (
+  SELECT source, COUNT(*) AS null_texts FROM documents
+  WHERE text IS NULL GROUP BY source
+)
+SELECT f.source, COUNT(*) AS n_docs,
+       CAST(coalesce(any_value(nulls.null_texts), 0) AS BIGINT) AS null_texts,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(keep) AS BIGINT) AS gopher_keep,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+FROM f JOIN occ USING (ch)
+LEFT JOIN nulls ON f.source = nulls.source
+GROUP BY f.source
+"""
 
 
 CURATE_WEIGHTS = {
@@ -4231,13 +4327,13 @@ QUERIES: Mapping[str, QueryFn] = {
     "curate_corpus": q_curate_corpus,
     "epoch_expand": q_epoch_expand,
     "kmv_overlap": q_kmv_overlap,
+    "corpus_report": q_corpus_report,
     # -- judge-only in round 4 (outside the old window) --------------------
     "feature_filter": q_feature_filter,
     "kmv_distinct": q_kmv_distinct,
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
-    "pivot_stats": q_pivot_stats,
     "zorder_values": q_zorder_values,
     "incremental_merge": q_incremental_merge,
     "pack_sequences": q_pack_sequences,
@@ -4281,6 +4377,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "distinct_dims": q_distinct_dims,
     "merge_upsert": q_merge_upsert,
     "frame_samples": q_frame_samples,
+    "pivot_stats": q_pivot_stats,
     "mismatch_join": q_mismatch_join,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
@@ -4365,6 +4462,7 @@ def oracle_sqls() -> dict[str, str]:
         "curate_corpus": _curate_corpus_sql(),
         "epoch_expand": _epoch_expand_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
+        "corpus_report": _corpus_report_sql(),
         "mixture_plan": _mixture_plan_sql(),
         "repetition_features": _repetition_sql(),
         "source_mixture": _source_mixture_sql(),
