@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "epoch_expand",
     "kmv_overlap",
     "corpus_report",
+    "snapshot_diff",
     "incremental_near_dups",
     "event_transitions",
     "hourly_anomalies",

@@ -60,6 +60,7 @@ LOAD_BEARING = [
     "epoch_expand",
     "kmv_overlap",
     "corpus_report",
+    "snapshot_diff",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

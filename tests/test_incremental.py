@@ -71,3 +71,31 @@ def test_continuous_rollup_boundary_bucket_merges(spark):
         for r in flat.collect()
     }
     assert o == f
+
+
+def test_snapshot_diff_statuses(spark):
+    from traits_data_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, x long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "C", 30), (4, "", 40), (5, "e", 50)],
+        "k long, v string, x long",
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 only in old; 2 identical (absent); 3 value changed; 4 null->""
+    # must register as changed (sentinel, not concat_ws null-skip);
+    # 5 only in new
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_requires_compare_columns(spark):
+    import pytest
+
+    from traits_data_spark.operators.incremental import snapshot_diff
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, ["k"])

@@ -126,7 +126,10 @@ from traits_data_spark.plans.silver import (
     attach_meta,
     build_profiles,
 )
-from traits_data_spark.operators.incremental import merge_aggregate_states
+from traits_data_spark.operators.incremental import (
+    merge_aggregate_states,
+    snapshot_diff,
+)
 from traits_data_spark.operators.layout import zvalue, zvalue_sql
 from traits_data_spark.operators.packing import (
     cdc_chunks,
@@ -2207,6 +2210,48 @@ SELECT f.source, COUNT(*) AS n_docs,
 FROM f JOIN occ USING (ch)
 LEFT JOIN nulls ON f.source = nulls.source
 GROUP BY f.source
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (``operators.incremental.snapshot_diff``):
+    two synthetic snapshots of orders (key % 4 selects membership and
+    a comment mutation) → per-key added / removed / changed."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 4 != 0)
+    new = o.filter(F.col("o_orderkey") % 4 != 1).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 == 2, F.lit("CHANGED")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 4 != 0
+),
+new AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 4 = 2 THEN 'CHANGED' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 4 != 1
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+              OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'changed'
+       END AS status
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+           WHEN new.o_orderkey IS NULL THEN 'removed'
+           WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+             OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'changed'
+      END IS NOT NULL
 """
 
 
@@ -4328,13 +4373,13 @@ QUERIES: Mapping[str, QueryFn] = {
     "epoch_expand": q_epoch_expand,
     "kmv_overlap": q_kmv_overlap,
     "corpus_report": q_corpus_report,
+    "snapshot_diff": q_snapshot_diff,
     # -- judge-only in round 4 (outside the old window) --------------------
     "feature_filter": q_feature_filter,
     "kmv_distinct": q_kmv_distinct,
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
-    "zorder_values": q_zorder_values,
     "incremental_merge": q_incremental_merge,
     "pack_sequences": q_pack_sequences,
     # -- newest / most complex operators -----------------------------------
@@ -4378,6 +4423,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "merge_upsert": q_merge_upsert,
     "frame_samples": q_frame_samples,
     "pivot_stats": q_pivot_stats,
+    "zorder_values": q_zorder_values,
     "mismatch_join": q_mismatch_join,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
@@ -4463,6 +4509,7 @@ def oracle_sqls() -> dict[str, str]:
         "epoch_expand": _epoch_expand_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
         "corpus_report": _corpus_report_sql(),
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "mixture_plan": _mixture_plan_sql(),
         "repetition_features": _repetition_sql(),
         "source_mixture": _source_mixture_sql(),

@@ -58,3 +58,62 @@ def merge_aggregate_states(
             _MERGERS[how](F.col(f"a.{col}"), F.col(f"b.{col}")).alias(col)
         )
     return joined.select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    status_col: str = "status",
+) -> DataFrame:
+    """Reconcile two snapshots of a keyed dataset: one row per key
+    that differs, with ``status`` in ``added`` / ``removed`` /
+    ``changed`` (unchanged keys drop out). Content equality is a
+    portable md5 hash over the stringified ``compare_cols`` (default:
+    every non-key column both sides share, in sorted-name order), so
+    the diff is recomputable on any engine — the audit a data team
+    runs before promoting a new snapshot.
+
+    Scale shape: ONE full-outer shuffle join on the key — the
+    canonical reconciliation; bucket both snapshots on the key to make
+    it co-located at 100 TB. The hash collapses arbitrarily wide rows
+    to one fixed-width column BEFORE the join, so the shuffle moves
+    keys + 1 hash, not full rows.
+    """
+    from traits_data_spark.functions.scalars import portable_hash64
+
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(shared - set(key_cols))
+    if not compare_cols:
+        raise ValueError("no columns to compare")
+
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        # coalesce each value to a sentinel BEFORE concat_ws: both
+        # engines' concat_ws SKIPS nulls, which would make
+        # (null, "x") collide with ("x", null)
+        h = portable_hash64(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*key_cols, h.alias(out))
+
+    o = hashed(old, "__ho")
+    n = hashed(new, "__hn")
+    joined = o.join(n, list(key_cols), "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn(status_col, status)
+        .filter(F.col(status_col).isNotNull())
+        .select(*key_cols, status_col)
+    )
