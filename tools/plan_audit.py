@@ -51,6 +51,9 @@ HEADLINE = [
     "shuffle_shards",
     "mixture_plan",
     "epoch_expand",
+    "kmv_overlap",
+    "corpus_report",
+    "snapshot_diff",
     "kmeans_clusters",
     "ivf_topk_kmeans",
     "semantic_dedup",

@@ -109,6 +109,7 @@ def kmv_set_ops(
         .filter(F.col("__rn") <= k)
         .groupBy(group_col)
         .agg(F.array_sort(F.collect_list("__h")).alias("__mins"))
+        .persist()  # consumed by BOTH pair sides — one sketch build
     )
     a = sk.select(F.col(group_col).alias("group_a"), F.col("__mins").alias("__ma"))
     b = sk.select(F.col(group_col).alias("group_b"), F.col("__mins").alias("__mb"))
