@@ -218,6 +218,10 @@ def main() -> None:
             f"{a['windows']:>4} {a['pushed_filters']:>5} "
             f"{a['codegen_stages']:>5}{flag}"
         )
+        # drop persisted intermediates before the next query — in
+        # --exec mode ~50 materialized queries would otherwise stack
+        # their cache blocks (same hygiene bench.py applies)
+        spark.catalog.clearCache()
     spark.stop()
     if failures:
         for name, n in failures:

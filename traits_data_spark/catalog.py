@@ -1208,7 +1208,49 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_SQL = r"""
+GOPHER_MIN_WORDS = 30
+
+
+def _gopher_metrics_sql(stops) -> str:
+    """The Gopher metric columns over (text, wl, ll) — the ONE copy the
+    three Gopher-rule oracles (gopher_rules / corpus_report /
+    curate_corpus) share; thresholds live in _gopher_conds()."""
+    return rf"""len(wl) AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+    len(ll) AS n_lines,
+    len(list_filter(ll, l -> starts_with(ltrim(l), '- ')
+                          OR starts_with(ltrim(l), '* '))) AS n_bullet,
+    len(list_filter(ll, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis,
+    len(list_filter(wl, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter({list(stops)!r},
+                    s -> list_contains(list_transform(wl, x -> lower(x)), s))) AS n_stops"""
+
+
+def _gopher_conds(min_words: int = GOPHER_MIN_WORDS) -> dict[str, str]:
+    """Per-rule SQL predicates over the _gopher_metrics_sql columns —
+    integer cross-multiplications mirroring operators.text.gopher_rules."""
+    return {
+        "pass_word_count": f"n_words >= {min_words} AND n_words <= 100000",
+        "pass_mean_word_len": "3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words",
+        "pass_symbol_ratio": "10 * n_sym <= n_words",
+        "pass_bullet_lines": "10 * n_bullet <= 9 * n_lines",
+        "pass_ellipsis_lines": "10 * n_ellipsis <= 3 * n_lines",
+        "pass_alpha_words": "5 * n_alpha >= 4 * n_words",
+        "pass_stopwords": "n_stops >= 2",
+    }
+
+
+def _gopher_keep_sql(min_words: int = GOPHER_MIN_WORDS) -> str:
+    return " AND ".join(_gopher_conds(min_words).values())
+
+
+def _gopher_rules_sql() -> str:
+    conds = _gopher_conds()
+    flags = ",\n  ".join(
+        f"CAST({cond} AS INT) AS {name}" for name, cond in conds.items()
+    )
+    return rf"""
 WITH w AS (
   SELECT doc_id, text,
     list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
@@ -1217,33 +1259,12 @@ WITH w AS (
   FROM documents WHERE text IS NOT NULL
 ), m AS (
   SELECT doc_id,
-    len(wl) AS n_words,
-    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
-    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
-    len(ll) AS n_lines,
-    len(list_filter(ll, l -> starts_with(ltrim(l), '- ')
-                          OR starts_with(ltrim(l), '* '))) AS n_bullet,
-    len(list_filter(ll, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis,
-    len(list_filter(wl, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-    len(list_filter(['the','a','spark','stream'],
-                    s -> list_contains(list_transform(wl, x -> lower(x)), s))) AS n_stops
+    {_gopher_metrics_sql(CURATE_STOPS)}
   FROM w
 )
 SELECT doc_id,
-  CAST(n_words >= 30 AND n_words <= 100000 AS INT) AS pass_word_count,
-  CAST(3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words AS INT) AS pass_mean_word_len,
-  CAST(10 * n_sym <= n_words AS INT) AS pass_symbol_ratio,
-  CAST(10 * n_bullet <= 9 * n_lines AS INT) AS pass_bullet_lines,
-  CAST(10 * n_ellipsis <= 3 * n_lines AS INT) AS pass_ellipsis_lines,
-  CAST(5 * n_alpha >= 4 * n_words AS INT) AS pass_alpha_words,
-  CAST(n_stops >= 2 AS INT) AS pass_stopwords,
-  CAST(n_words >= 30 AND n_words <= 100000
-       AND 3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words
-       AND 10 * n_sym <= n_words
-       AND 10 * n_bullet <= 9 * n_lines
-       AND 10 * n_ellipsis <= 3 * n_lines
-       AND 5 * n_alpha >= 4 * n_words
-       AND n_stops >= 2 AS INT) AS keep
+  {flags},
+  CAST({_gopher_keep_sql()} AS INT) AS keep
 FROM m
 """
 
@@ -2127,13 +2148,17 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE groupBy(source), plus a map-side-combined dup-count aggregate
     joined back on the content hash (no row ever shuffles twice)."""
     docs = _t(spark, sf_dir, "documents")
+    # persist: the regex-heavy scored projection feeds BOTH the
+    # dup-count aggregate and the join side — without the barrier the
+    # Gopher scoring and the corpus scan execute twice (the two
+    # branches' exchanges are not reuse-identical)
     scored = gopher_rules(
         docs.filter(F.col("text").isNotNull()),
         min_words=30,
         stops=CURATE_STOPS,
     ).withColumn("__tok", F.size(word_array("text")).cast("long")).withColumn(
         "__ch", portable_hash64(normalized_text(F.col("text")))
-    )
+    ).persist()
     dup_counts = scored.groupBy("__ch").agg(
         F.count(F.lit(1)).alias("__occ")
     )
@@ -2174,27 +2199,12 @@ WITH w AS (
 ),
 m AS (
   SELECT doc_id, source, ch,
-    len(wl) AS n_words,
-    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
-    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
-    len(ll) AS n_lines,
-    len(list_filter(ll, l -> starts_with(ltrim(l), '- ')
-                          OR starts_with(ltrim(l), '* '))) AS n_bullet,
-    len(list_filter(ll, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis,
-    len(list_filter(wl, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-    len(list_filter({list(CURATE_STOPS)!r},
-                    s -> list_contains(list_transform(wl, x -> lower(x)), s))) AS n_stops
+    {_gopher_metrics_sql(CURATE_STOPS)}
   FROM w
 ),
 f AS (
   SELECT doc_id, source, ch, CAST(n_words AS BIGINT) AS tok,
-    CASE WHEN n_words >= 30 AND n_words <= 100000
-       AND 3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words
-       AND 10 * n_sym <= n_words
-       AND 10 * n_bullet <= 9 * n_lines
-       AND 10 * n_ellipsis <= 3 * n_lines
-       AND 5 * n_alpha >= 4 * n_words
-       AND n_stops >= 2 THEN 1 ELSE 0 END AS keep
+    CASE WHEN {_gopher_keep_sql()} THEN 1 ELSE 0 END AS keep
   FROM m
 ),
 occ AS (SELECT ch, COUNT(*) AS n_occ FROM f GROUP BY ch),
@@ -2296,28 +2306,13 @@ WITH w AS (
 ),
 m AS (
   SELECT doc_id, source, nt, wl,
-    len(wl) AS n_words,
-    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
-    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
-    len(ll) AS n_lines,
-    len(list_filter(ll, l -> starts_with(ltrim(l), '- ')
-                          OR starts_with(ltrim(l), '* '))) AS n_bullet,
-    len(list_filter(ll, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis,
-    len(list_filter(wl, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-    len(list_filter({list(CURATE_STOPS)!r},
-                    s -> list_contains(list_transform(wl, x -> lower(x)), s))) AS n_stops
+    {_gopher_metrics_sql(CURATE_STOPS)}
   FROM w
 ),
 g AS (
   SELECT doc_id, source, nt, CAST(n_words AS BIGINT) AS ws_tokens
   FROM m
-  WHERE n_words >= 30 AND n_words <= 100000
-    AND 3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words
-    AND 10 * n_sym <= n_words
-    AND 10 * n_bullet <= 9 * n_lines
-    AND 10 * n_ellipsis <= 3 * n_lines
-    AND 5 * n_alpha >= 4 * n_words
-    AND n_stops >= 2
+  WHERE {_gopher_keep_sql()}
 ),
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY {_H60.format(x='nt')}),
 ded AS (SELECT g.* FROM g JOIN keepers USING (doc_id)),
@@ -3753,7 +3748,7 @@ def _kmv_sql() -> str:
     return f"""
 WITH d AS (
   SELECT DISTINCT l_returnflag, {_H60.format(x='CAST(l_partkey AS VARCHAR)')} AS h
-  FROM lineitem
+  FROM lineitem WHERE l_partkey IS NOT NULL
 ),
 r AS (
   SELECT l_returnflag, h,
@@ -3791,7 +3786,7 @@ def _kmv_overlap_sql() -> str:
 WITH d AS (
   SELECT DISTINCT o_orderpriority AS g,
          {_H60.format(x='CAST(o_custkey AS VARCHAR)')} AS h
-  FROM orders
+  FROM orders WHERE o_custkey IS NOT NULL
 ),
 r AS (
   SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d
@@ -4503,7 +4498,7 @@ def oracle_sqls() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "bloom_decontaminate": _bloom_decontaminate_sql(),
         "shuffle_shards": _SHUFFLE_SHARDS_SQL,
-        "gopher_rules": _GOPHER_SQL,
+        "gopher_rules": _gopher_rules_sql(),
         "containment_pairs": _containment_sql(),
         "curate_corpus": _curate_corpus_sql(),
         "epoch_expand": _epoch_expand_sql(),

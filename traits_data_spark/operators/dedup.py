@@ -120,6 +120,27 @@ def word_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
     )
 
 
+def _candidate_pair_frame(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_expr: Column,
+    widen: bool = True,
+) -> DataFrame:
+    """The shared verify scaffold: persist the candidate pairs (consumed
+    3x — two id sides + the join), build the shingle table ONCE for
+    semi-joined candidate members, and return the joined frame with
+    ``sh_a``/``sh_b`` columns for a verifier to score."""
+    candidates = candidates.persist()
+    sh = _candidate_shingles(
+        candidates, df, text_col, id_col, shingle_expr, widen=widen
+    )
+    a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
+    b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
+    return candidates.join(a, "id_a").join(b, "id_b")
+
+
 def ngram_jaccard_pairs(
     candidates: DataFrame,
     df: DataFrame,
@@ -132,14 +153,10 @@ def ngram_jaccard_pairs(
     """Word-n-gram Jaccard on candidate pairs (the token-level verify
     companion to ``jaccard_verify``'s character shingles; same
     semi-join + shared-shingle-table shape)."""
-    candidates = candidates.persist()  # consumed 3× (two id sides + join)
-    sh = _candidate_shingles(
+    joined = _candidate_pair_frame(
         candidates, df, text_col, id_col, word_ngrams(text_col, n=n),
         widen=widen,
     )
-    a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
-    b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
-    joined = candidates.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -395,14 +412,10 @@ def jaccard_verify(
     fraction of the corpus), and persisted so the a/b join sides share
     one computation instead of re-shingling per side.
     """
-    candidates = candidates.persist()  # consumed 3× (two id sides + join)
-    sh = _candidate_shingles(
+    joined = _candidate_pair_frame(
         candidates, df, text_col, id_col,
         char_shingles(text_col, k=shingle_k), widen=widen,
     )
-    a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
-    b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
-    joined = candidates.join(a, "id_a").join(b, "id_b")
     # size-ratio prefilter (set-similarity-join standard): J(A,B) ≤
     # min(|A|,|B|) / max(|A|,|B|), so pairs whose shingle-set sizes are
     # too lopsided cannot reach the threshold — drop them BEFORE the
@@ -445,14 +458,10 @@ def containment_verify(
     built once, only for semi-joined candidate members, persisted so
     both join sides share one computation.
     """
-    candidates = candidates.persist()  # consumed 3x (two id sides + join)
-    sh = _candidate_shingles(
+    joined = _candidate_pair_frame(
         candidates, df, text_col, id_col,
         char_shingles(text_col, k=shingle_k), widen=widen,
     )
-    a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
-    b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
-    joined = candidates.join(a, "id_a").join(b, "id_b")
     na = F.size("sh_a").cast("double")
     nb = F.size("sh_b").cast("double")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -585,9 +594,16 @@ def bloom_decontaminate(
     """
     h = F.col("__gh")
     h1 = F.pmod(h, F.lit(m_bits))
-    # double hashing: pos_i = (h1 + i*h2) mod m, h2 in [1, m-1] from
-    # independent high bits; i*h2 <= k*m, no ANSI overflow
-    h2 = F.lit(1) + F.pmod(F.shiftright(h, 17), F.lit(m_bits - 1))
+    # double hashing: pos_i = (h1 + i*h2) mod m, h2 in [1, m-1]. h1
+    # consumes the LOW ~log2(m) bits, so h2 must come from bits above
+    # them — a fixed shift would overlap h1 for large m (e.g. the
+    # 2^30-bit sizing the docstring recommends), correlating the k
+    # probes and inflating the FP rate. Shifting by m's bit length
+    # keeps the two draws disjoint for any m_bits <= 2^30 (60-bit
+    # hash).
+    h2 = F.lit(1) + F.pmod(
+        F.shiftright(h, m_bits.bit_length()), F.lit(m_bits - 1)
+    )
     positions = [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)]
     n_words = (m_bits + 63) // 64
 

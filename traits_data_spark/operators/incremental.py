@@ -90,18 +90,22 @@ def snapshot_diff(
         raise ValueError("no columns to compare")
 
     def hashed(df: DataFrame, out: str) -> DataFrame:
-        # coalesce each value to a sentinel BEFORE concat_ws: both
-        # engines' concat_ws SKIPS nulls, which would make
-        # (null, "x") collide with ("x", null)
-        h = portable_hash64(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in compare_cols
-                ],
+        # Length-prefix each value ("<len>:<value>", "-" for NULL) so
+        # the row encoding is INJECTIVE: a bare separator could appear
+        # inside a value and shift content across column boundaries
+        # (('a\x1fb','c') vs ('a','b\x1fc')), and concat_ws SKIPS
+        # nulls on both engines, which would make (null, x) collide
+        # with (x, null). With the prefix, no two distinct rows
+        # encode identically.
+        parts = []
+        for c in compare_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("-")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
             )
-        )
+        h = portable_hash64(F.concat_ws("\x1f", *parts))
         return df.select(*key_cols, h.alias(out))
 
     o = hashed(old, "__ho")

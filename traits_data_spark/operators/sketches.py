@@ -52,7 +52,13 @@ def kmv_distinct(
     if k < 2:
         raise ValueError("k must be >= 2")
     h = portable_hash64(F.col(value_col).cast("string"))
-    hashed = df.select(*group_cols, h.alias("__h")).distinct()
+    # NULL values are ignored (see kmv_set_ops: a null hash ranks
+    # first on Spark, last on DuckDB — cross-engine divergence)
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     ranked = hashed.withColumn("__rn", F.row_number().over(w))
     # (k-1) * 2^60 has <= ~6+60 bits but only len(bin(k-1)) significant
@@ -102,7 +108,15 @@ def kmv_set_ops(
     if k < 2:
         raise ValueError("k must be >= 2")
     h = portable_hash64(F.col(value_col).cast("string"))
-    hashed = df.select(group_col, h.alias("__h")).distinct()
+    # NULL values are ignored: a null hash would sort FIRST in the
+    # Spark window (consuming a sketch slot) but drop out of
+    # collect_list, silently shrinking the sketch to k-1 minima — and
+    # DuckDB sorts NULLs LAST, so the engines would disagree
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(group_col, h.alias("__h"))
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy("__h")
     sk = (
         hashed.withColumn("__rn", F.row_number().over(w))
