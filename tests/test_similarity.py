@@ -447,3 +447,32 @@ def test_incremental_embedding_near_dups_broadcasts_new_side(spark, embeddings):
     import re
 
     assert not re.search(r"Exchange hashpartitioning\(bucket", plan), plan
+
+
+def test_ann_broadcast_hatch_parity(spark, embeddings):
+    """broadcast_queries=False must change only the join strategy,
+    never the results (the AQE-fallback escape hatch for huge query
+    batches)."""
+    import pyspark.sql.functions as F
+
+    from traits_data_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk_kmeans,
+        lsh_bucketed_topk,
+    )
+
+    corpus = embeddings.filter(F.col("vec_id") < 400)
+    queries = embeddings.filter(F.col("vec_id") >= 480).limit(10)
+    for fn, kw in [
+        (cosine_topk_bruteforce, {}),
+        (lsh_bucketed_topk, {"dim": 64, "n_planes": 4}),
+        (ivf_topk_kmeans, {"n_centroids": 4, "n_iter": 1}),
+    ]:
+        hinted = {tuple(r) for r in fn(corpus, queries, k=5, **kw).collect()}
+        plain = {
+            tuple(r)
+            for r in fn(
+                corpus, queries, k=5, broadcast_queries=False, **kw
+            ).collect()
+        }
+        assert hinted == plain and hinted, fn.__name__
