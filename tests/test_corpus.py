@@ -53,6 +53,24 @@ def test_curate_corpus_invariants(spark, documents):
         ).collect()
     }
     assert not ({r.doc_id for r in rows} & contaminated)
+    # no Jaccard-verified near-dup pair survives intact
+    from traits_data_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+    kept_docs = documents.filter(
+        F.col("doc_id").isin([r.doc_id for r in rows])
+    ).select("doc_id", "text")
+    surviving_pairs = jaccard_verify(
+        minhash_lsh_candidates(
+            kept_docs, "text", "doc_id", num_hashes=16, bands=4
+        ),
+        kept_docs,
+        "text",
+        "doc_id",
+        threshold=0.8,
+    ).collect()
+    assert not surviving_pairs
     # exact dedup held: kept ids map to distinct normalized texts
     kept_ids = [r.doc_id for r in rows]
     texts = (

@@ -2275,6 +2275,46 @@ CURATE_BUDGET = 4_000
 CURATE_STOPS = ("the", "a", "spark", "stream")
 
 
+def _near_dup_drop_sql(src: str, threshold: float) -> str:
+    """CTE chain computing ``cnear`` — the id_b side of every
+    Jaccard-verified LSH near-dup pair over ``src`` (a CTE exposing
+    ``doc_id`` and normalized ``nt``). Mirrors minhash_lsh_candidates
+    + jaccard_verify with the repo hash params; shared by the
+    clean_corpus-style oracles."""
+    _, mh = _minhash_sql_parts(NUM_HASHES)
+    rows_per_band = NUM_HASHES // BANDS
+    bsel = " UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_key FROM csig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}::VARCHAR"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+csh AS (SELECT doc_id AS id, {_SHINGLES} AS s_arr FROM {src}),
+chs AS (SELECT id, list_transform(s_arr, s -> {_H28}) AS hl
+        FROM csh WHERE len(s_arr) > 0),
+csig AS (SELECT id, {mh} FROM chs),
+cbands AS ({bsel}),
+ccand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM cbands a JOIN cbands b USING (band_idx, band_key)
+  WHERE a.id < b.id
+),
+cshj AS (SELECT id AS jid, s_arr AS js FROM csh),
+cnear AS (
+  SELECT id_b FROM (
+    SELECT id_a, id_b,
+      round(len(list_intersect(a.js, b.js))::DOUBLE
+            / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS jaccard
+    FROM ccand JOIN cshj a ON ccand.id_a = a.jid JOIN cshj b ON ccand.id_b = b.jid
+  ) WHERE jaccard >= {threshold}
+)"""
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-7 curation flagship (``plans.curation.curate_corpus``):
     Gopher filter → exact dedup → decontamination vs the src0 slice →
@@ -2316,9 +2356,11 @@ g AS (
 ),
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY {_H60.format(x='nt')}),
 ded AS (SELECT g.* FROM g JOIN keepers USING (doc_id)),
+{_near_dup_drop_sql('ded', 0.8)},
+uniq AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT id_b FROM cnear)),
 nw AS (SELECT doc_id, source, ws_tokens,
               list_filter(string_split(nt, ' '), t -> length(t) > 0) AS nwl
-       FROM ded),
+       FROM uniq),
 cg AS (SELECT doc_id, unnest({_ngrams_sql(DECON_N).replace('wl', 'nwl')}) AS gram FROM nw),
 bg AS (
   SELECT DISTINCT unnest({_ngrams_sql(DECON_N)}) AS gram

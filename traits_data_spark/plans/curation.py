@@ -1,9 +1,10 @@
 """The end-to-end pretraining-corpus curation pipeline — the third
 LLM-pipeline flagship, composing the round-7 surface:
 
-    Gopher rule filter → exact dedup (keep min id) → benchmark
-    decontamination → mixture-plan-driven deterministic sampling →
-    sharded training-order shuffle
+    Gopher rule filter → exact dedup (keep min id) → MinHash-LSH
+    near-dup removal (Jaccard-verified) → benchmark decontamination →
+    mixture-plan-driven deterministic sampling → sharded
+    training-order shuffle
 
 Every stage is an already-oracle-checked operator; the composition
 adds the realistic EXECUTION of a mixture plan: ``mixture_plan``
@@ -31,6 +32,8 @@ from pyspark.sql import functions as F
 
 from traits_data_spark.functions.scalars import portable_hash64
 from traits_data_spark.operators.dedup import (
+    jaccard_verify,
+    minhash_lsh_candidates,
     ngram_decontaminate,
     normalized_text,
     widen_if_narrow,
@@ -53,6 +56,9 @@ def curate_corpus(
     source_col: str = "source",
     min_words: int = 30,
     stops: Sequence[str] = GOPHER_STOPS,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
     decon_n: int = 5,
     decon_min_overlap: int = 1,
     weights_ppm: Mapping[str, int] | None = None,
@@ -86,7 +92,9 @@ def curate_corpus(
     )
     kept_quality = scored.filter(F.col("keep") == 1)
 
-    # exact dedup: ONE map-side-combined min_by per content hash
+    # exact dedup: ONE map-side-combined min_by per content hash.
+    # Persisted — the exact-kept set feeds near-dup shingling, both
+    # verify sides, and the anti-join (the clean_corpus barrier).
     row = F.struct(F.col(id_col), F.col(source_col), F.col(text_col), F.col("ws_tokens"))
     deduped = (
         kept_quality.withColumn(
@@ -95,14 +103,29 @@ def curate_corpus(
         .groupBy("__ch")
         .agg(F.min_by(row, F.col(id_col)).alias("__r"))
         .select("__r.*")
+        .persist()
     )
+
+    # near-dup removal over the exact-kept set (MinHash-LSH candidates,
+    # Jaccard-verified; drop the larger id of every verified pair —
+    # same greedy policy as clean_corpus). widen=False: deduped is
+    # already partitioned by the dedup aggregation's shuffle.
+    cand = minhash_lsh_candidates(
+        deduped, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        widen=False,
+    )
+    near = jaccard_verify(
+        cand, deduped, text_col, id_col, threshold=jaccard_threshold,
+        widen=False,
+    ).select(F.col("id_b").alias(id_col))
+    unique_docs = deduped.join(near, id_col, "left_anti")
 
     # decontamination: broadcast benchmark grams; corpus never shuffles
     contaminated = ngram_decontaminate(
-        deduped, benchmark, text_col, id_col, id_col,
+        unique_docs, benchmark, text_col, id_col, id_col,
         n=decon_n, min_overlap=decon_min_overlap,
     ).select(F.col("id").alias(id_col))
-    survivors = deduped.join(contaminated, id_col, "left_anti").persist()
+    survivors = unique_docs.join(contaminated, id_col, "left_anti").persist()
 
     # mixture execution: per-source plan (one row per source, broadcast)
     plan = mixture_plan(
