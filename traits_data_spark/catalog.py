@@ -2426,21 +2426,6 @@ def _clean_corpus_sql() -> str:
     arms = " ".join(
         f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
     )
-    coeffs = _hash_coeffs(NUM_HASHES, 42)
-    mh = ", ".join(
-        f"list_min(list_transform(hl, h -> (h * {a} + {b}) % {MINHASH_PRIME})) AS mh_{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    rows_per_band = NUM_HASHES // BANDS
-    band_selects = " UNION ALL ".join(
-        "SELECT id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
-            b=b,
-            cols=", ".join(
-                f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(BANDS)
-    )
     return f"""
 WITH d AS (SELECT doc_id, text, {_NORM} AS nt FROM documents),
 q AS (
@@ -2460,27 +2445,9 @@ keepers AS (
   SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY {_H60.format(x='nt')}
 ),
 ek AS (SELECT f.* FROM filt f JOIN keepers USING (doc_id)),
-sh AS (
-  SELECT doc_id AS id, {_SHINGLES} AS s_arr, nt FROM ek
-),
-hs AS (SELECT id, list_transform(s_arr, s -> {_H28}) AS hl FROM sh WHERE len(s_arr) > 0),
-sig AS (SELECT id, {mh} FROM hs),
-bands AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b USING (band_idx, band_key) WHERE a.id < b.id
-),
-shj AS (SELECT id AS jid, s_arr AS js FROM sh),
-near AS (
-  SELECT id_b FROM (
-    SELECT id_a, id_b,
-      round(len(list_intersect(a.js, b.js))::DOUBLE
-            / len(list_distinct(list_cat(a.js, b.js)))::DOUBLE, 6) AS jaccard
-    FROM cand JOIN shj a ON cand.id_a = a.jid JOIN shj b ON cand.id_b = b.jid
-  ) WHERE jaccard >= 0.8
-)
+{_near_dup_drop_sql('ek', 0.8)}
 SELECT doc_id, lang_pred, n_words FROM ek
-WHERE doc_id NOT IN (SELECT id_b FROM near)
+WHERE doc_id NOT IN (SELECT id_b FROM cnear)
 """
 
 
