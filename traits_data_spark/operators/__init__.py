@@ -1,6 +1,9 @@
 from traits_data_spark.operators.any_union import union_with_coarse_group
 from traits_data_spark.operators.flatten import flatten_struct_columns, flattened_columns
-from traits_data_spark.operators.incremental import merge_aggregate_states
+from traits_data_spark.operators.incremental import (
+    merge_aggregate_states,
+    snapshot_diff,
+)
 from traits_data_spark.operators.layout import write_zordered, zvalue
 from traits_data_spark.operators.packing import (
     cdc_chunks,
@@ -10,7 +13,10 @@ from traits_data_spark.operators.packing import (
 from traits_data_spark.operators.pivot import pivot_wide, unpivot_long
 from traits_data_spark.operators.sampling import (
     deterministic_sample,
+    epoch_expand,
     hash_split,
+    mixture_plan,
+    shuffle_shards,
     stratified_sample,
     temperature_sample,
     temperature_weights,
@@ -19,6 +25,8 @@ from traits_data_spark.operators.sampling import (
 from traits_data_spark.operators.dedup import (
     substring_dup_profile,
     banded_signatures,
+    bloom_decontaminate,
+    containment_verify,
     connected_components,
     dedup_clusters,
     incremental_lsh_candidates,
@@ -38,6 +46,7 @@ from traits_data_spark.operators.similarity import (
 )
 from traits_data_spark.operators.text import (
     char_entropy,
+    gopher_rules,
     redact_pii,
     repetition_features,
 )
@@ -48,6 +57,7 @@ from traits_data_spark.operators.analytics import (
 )
 from traits_data_spark.operators.sketches import (
     cms_estimate,
+    kmv_set_ops,
     count_min_sketch,
     histogram_sketch,
     hll_estimate,
@@ -71,6 +81,7 @@ __all__ = [
     "flatten_struct_columns",
     "flattened_columns",
     "merge_aggregate_states",
+    "snapshot_diff",
     "write_zordered",
     "zvalue",
     "cdc_chunks",
@@ -79,17 +90,23 @@ __all__ = [
     "pivot_wide",
     "unpivot_long",
     "deterministic_sample",
+    "epoch_expand",
     "hash_split",
+    "mixture_plan",
+    "shuffle_shards",
     "stratified_sample",
     "temperature_sample",
     "temperature_weights",
     "token_budget_filter",
     "banded_signatures",
+    "bloom_decontaminate",
+    "containment_verify",
     "connected_components",
     "dedup_clusters",
     "incremental_lsh_candidates",
     "ngram_decontaminate",
     "char_entropy",
+    "gopher_rules",
     "dequantize_int8",
     "ivf_topk_hyperplane",
     "cosine_topk_quantized",
@@ -98,6 +115,7 @@ __all__ = [
     "redact_pii",
     "repetition_features",
     "kmv_distinct",
+    "kmv_set_ops",
     "cumcount",
     "dedup_keep_best",
     "filter_small_groups",
