@@ -99,3 +99,20 @@ def test_snapshot_diff_requires_compare_columns(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         snapshot_diff(df, df, ["k"])
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    from traits_data_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "same"), (1, "x")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "same"), (1, "y")], "k long, v string"
+    )
+    got = {
+        (r.k, r.status) for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # the unchanged null-key row pairs up and drops out (no phantom
+    # removed+added churn); the changed non-null key is reported
+    assert got == {(1, "changed")}

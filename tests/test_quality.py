@@ -76,3 +76,58 @@ def test_summarize_is_single_job_plan(spark, lineitem):
     plan = summarize(lineitem)._jdf.queryExecution().executedPlan().toString()
     # one scan, no joins — every stat comes from a single aggregation
     assert plan.count("FileScan parquet") == 1
+
+
+def test_corpus_report_surfaces_all_null_source(spark):
+    """Pins the full-outer report shape q_corpus_report uses: a source
+    whose documents are ALL null text still appears in the datasheet
+    (n_docs 0, its null count) instead of vanishing."""
+    import pyspark.sql.functions as F
+
+    # synthetic: one healthy source, one whose docs are ALL null text
+    docs = spark.createDataFrame(
+        [(1, "srcA", "the a spark stream " * 10)]
+        + [(i, "srcB", None) for i in range(2, 6)],
+        "doc_id long, source string, text string",
+    )
+    from traits_data_spark.functions.scalars import portable_hash64
+    from traits_data_spark.operators.dedup import normalized_text
+    from traits_data_spark.operators.text import gopher_rules, word_array
+
+    scored = (
+        gopher_rules(
+            docs.filter(F.col("text").isNotNull()),
+            min_words=5,
+            stops=("the", "a", "spark", "stream"),
+        )
+        .select(
+            "source",
+            "keep",
+            F.size(word_array("text")).cast("long").alias("__tok"),
+            portable_hash64(normalized_text(F.col("text"))).alias("__ch"),
+        )
+    )
+    occ = scored.groupBy("__ch").agg(F.count(F.lit(1)).alias("__occ"))
+    rep = (
+        scored.join(occ, "__ch")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    nulls = (
+        docs.filter(F.col("text").isNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("null_texts"))
+    )
+    out = {
+        r.source: (r.n_docs, r.null_texts)
+        for r in rep.join(nulls, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("null_texts", F.lit(0)).alias("null_texts"),
+        )
+        .collect()
+    }
+    # the all-null source appears with its null count, not silently absent
+    assert out["srcB"] == (0, 4)
+    assert out["srcA"] == (1, 0)

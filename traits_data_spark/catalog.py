@@ -2151,14 +2151,22 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the regex-heavy scored projection feeds BOTH the
     # dup-count aggregate and the join side — without the barrier the
     # Gopher scoring and the corpus scan execute twice (the two
-    # branches' exchanges are not reuse-identical)
-    scored = gopher_rules(
-        docs.filter(F.col("text").isNotNull()),
-        min_words=30,
-        stops=CURATE_STOPS,
-    ).withColumn("__tok", F.size(word_array("text")).cast("long")).withColumn(
-        "__ch", portable_hash64(normalized_text(F.col("text")))
-    ).persist()
+    # branches' exchanges are not reuse-identical). Only the four
+    # columns the report reads are cached — not the document text.
+    scored = (
+        gopher_rules(
+            docs.filter(F.col("text").isNotNull()),
+            min_words=30,
+            stops=CURATE_STOPS,
+        )
+        .select(
+            "source",
+            "keep",
+            F.size(word_array("text")).cast("long").alias("__tok"),
+            portable_hash64(normalized_text(F.col("text"))).alias("__ch"),
+        )
+        .persist()
+    )
     dup_counts = scored.groupBy("__ch").agg(
         F.count(F.lit(1)).alias("__occ")
     )
@@ -2168,22 +2176,22 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("null_texts"))
     )
-    return (
-        enriched.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__tok").cast("long").alias("n_tokens"),
-            F.sum("keep").cast("long").alias("gopher_keep"),
-            F.sum((F.col("__occ") > 1).cast("long")).alias("dup_docs"),
-        )
-        .join(nulls, "source", "left")
-        .withColumn(
-            "null_texts", F.coalesce("null_texts", F.lit(0)).cast("long")
-        )
-        .select(
-            "source", "n_docs", "null_texts", "n_tokens",
-            "gopher_keep", "dup_docs",
-        )
+    report = enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.sum("keep").cast("long").alias("gopher_keep"),
+        F.sum((F.col("__occ") > 1).cast("long")).alias("dup_docs"),
+    )
+    # full outer: a source whose documents are ALL null-text still
+    # appears (n_docs 0, its null count) — the broken sources are the
+    # ones a datasheet exists to surface
+    return report.join(nulls, "source", "full_outer").select(
+        "source",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("null_texts", F.lit(0)).cast("long").alias("null_texts"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("gopher_keep", F.lit(0)).cast("long").alias("gopher_keep"),
+        F.coalesce("dup_docs", F.lit(0)).cast("long").alias("dup_docs"),
     )
 
 
@@ -2211,15 +2219,22 @@ occ AS (SELECT ch, COUNT(*) AS n_occ FROM f GROUP BY ch),
 nulls AS (
   SELECT source, COUNT(*) AS null_texts FROM documents
   WHERE text IS NULL GROUP BY source
+),
+rep AS (
+  SELECT f.source, COUNT(*) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(keep) AS BIGINT) AS gopher_keep,
+         CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+  FROM f JOIN occ USING (ch)
+  GROUP BY f.source
 )
-SELECT f.source, COUNT(*) AS n_docs,
-       CAST(coalesce(any_value(nulls.null_texts), 0) AS BIGINT) AS null_texts,
-       CAST(SUM(tok) AS BIGINT) AS n_tokens,
-       CAST(SUM(keep) AS BIGINT) AS gopher_keep,
-       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
-FROM f JOIN occ USING (ch)
-LEFT JOIN nulls ON f.source = nulls.source
-GROUP BY f.source
+SELECT coalesce(rep.source, nulls.source) AS source,
+       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(null_texts, 0) AS BIGINT) AS null_texts,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(gopher_keep, 0) AS BIGINT) AS gopher_keep,
+       CAST(coalesce(dup_docs, 0) AS BIGINT) AS dup_docs
+FROM rep FULL OUTER JOIN nulls ON rep.source = nulls.source
 """
 
 

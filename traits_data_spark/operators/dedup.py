@@ -602,7 +602,7 @@ def bloom_decontaminate(
     # keeps the two draws disjoint for any m_bits <= 2^30 (60-bit
     # hash).
     h2 = F.lit(1) + F.pmod(
-        F.shiftright(h, m_bits.bit_length()), F.lit(m_bits - 1)
+        F.shiftright(h, (m_bits - 1).bit_length()), F.lit(m_bits - 1)
     )
     positions = [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)]
     n_words = (m_bits + 63) // 64

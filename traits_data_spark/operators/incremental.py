@@ -108,9 +108,25 @@ def snapshot_diff(
         h = portable_hash64(F.concat_ws("\x1f", *parts))
         return df.select(*key_cols, h.alias(out))
 
-    o = hashed(old, "__ho")
-    n = hashed(new, "__hn")
-    joined = o.join(n, list(key_cols), "full_outer")
+    # explicit aliases: both snapshots often derive from the same base
+    # frame, and unqualified column refs in a self-join are ambiguous
+    o = hashed(old, "__ho").alias("__old")
+    n = hashed(new, "__hn").alias("__new")
+    # null-safe key equality: a plain equi-join never matches NULL
+    # keys, which would report an unchanged null-key row as BOTH
+    # removed and added (phantom churn); eqNullSafe pairs them up
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__old.{k}").eqNullSafe(F.col(f"__new.{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__old.{k}"), F.col(f"__new.{k}")).alias(k)
+            for k in key_cols
+        ],
+        "__ho",
+        "__hn",
+    )
     status = (
         F.when(F.col("__ho").isNull(), F.lit("added"))
         .when(F.col("__hn").isNull(), F.lit("removed"))

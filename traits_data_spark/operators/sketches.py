@@ -47,7 +47,9 @@ def kmv_distinct(
     distinct hashes — collision-free in practice at 60 bits) and
     ``est_col`` (the KMV estimate, = exact when the group has fewer
     than ``k`` distinct values). Keeping both makes estimate quality
-    visible and oracle-checkable.
+    visible and oracle-checkable. NULL values are ignored, so a group
+    whose values are ALL null is absent from the output (join a
+    distinct-group frame back if empty groups must appear as 0).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -98,7 +100,8 @@ def kmv_set_ops(
     the merged sketch holds fewer than ``k`` minima (small groups), so
     small-pair results are exact — and all arithmetic is the same
     floor-division form ``kmv_distinct`` uses, reproducible by a SQL
-    oracle.
+    oracle. NULL values are ignored (a group with only nulls carries
+    no sketch and appears in no pair).
 
     Scale shape: ONE shuffle builds the per-group sketches (row_number
     window on the group key, k rows kept per group); the pairwise join
