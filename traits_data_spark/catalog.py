@@ -2158,11 +2158,12 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.filter(F.col("text").isNotNull()),
             min_words=30,
             stops=CURATE_STOPS,
+            emit_tokens="__tok",
         )
         .select(
             "source",
             "keep",
-            F.size(word_array("text")).cast("long").alias("__tok"),
+            "__tok",
             portable_hash64(normalized_text(F.col("text"))).alias("__ch"),
         )
         .persist()

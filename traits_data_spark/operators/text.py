@@ -102,6 +102,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
     stops: Sequence[str] = GOPHER_STOPS,
+    emit_tokens: str | None = None,
 ) -> DataFrame:
     """The published Gopher document-quality rule set (Rae et al.
     2021) as per-rule boolean flags plus the combined ``keep``:
@@ -119,7 +120,10 @@ def gopher_rules(
 
     Scale shape: a pure codegen projection — no shuffle, no UDF, no
     join; the stop-word membership is 8 ``array_contains`` probes of
-    the already-split word array.
+    the already-split word array. Pass ``emit_tokens`` to ALSO emit
+    the whitespace token count under that name — callers that need
+    ``ws_tokens`` downstream (curation, datasheets) then skip a second
+    normalize+split pass over the corpus.
     """
     t = F.col(text_col)
     words = word_array(t)
@@ -148,6 +152,7 @@ def gopher_rules(
             lambda s: F.array_contains(lower_words, s),
         )
     )
+    extra = {emit_tokens: n_words.cast("long")} if emit_tokens else {}
     flags = {
         "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
         "pass_mean_word_len": (F.lit(3) * n_words <= n_nonspace)
@@ -159,7 +164,7 @@ def gopher_rules(
         "pass_stopwords": n_stops >= 2,
     }
     out = df.withColumns(
-        {name: cond.cast("int") for name, cond in flags.items()}
+        {**extra, **{name: cond.cast("int") for name, cond in flags.items()}}
     )
     keep = None
     for name in flags:

@@ -45,7 +45,7 @@ from traits_data_spark.operators.sampling import (
     shuffle_shards,
     split_bucket,
 )
-from traits_data_spark.operators.text import GOPHER_STOPS, gopher_rules, word_array
+from traits_data_spark.operators.text import GOPHER_STOPS, gopher_rules
 
 
 def curate_corpus(
@@ -85,11 +85,9 @@ def curate_corpus(
     )
     # Persist BEFORE filtering on the fused regex flags (see
     # clean_corpus): pins the Gopher regex stack to one parallel pass.
-    scored = (
-        gopher_rules(base, min_words=min_words, stops=stops)
-        .withColumn("ws_tokens", F.size(word_array(text_col)).cast("long"))
-        .persist()
-    )
+    scored = gopher_rules(
+        base, min_words=min_words, stops=stops, emit_tokens="ws_tokens"
+    ).persist()
     kept_quality = scored.filter(F.col("keep") == 1)
 
     # exact dedup: ONE map-side-combined min_by per content hash.
