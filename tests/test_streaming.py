@@ -425,3 +425,84 @@ def test_streaming_curation_ingest(spark, tmp_path, documents):
     # and the stream actually curated something away
     all_in = {r.doc_id for r in b1.collect()} | {r.doc_id for r in b2.collect()}
     assert got < all_in
+
+
+def test_streaming_anomalies_matches_python_welford(spark, tmp_path):
+    """Two micro-batches through the stateful anomaly detector: flags
+    and z-scores match a pure-Python replay of the same
+    score-against-pre-batch / Chan-merge semantics, and state survives
+    across batches (batch-2 scores use batch-1 statistics)."""
+    import json
+    import math
+
+    from traits_data_spark.streaming.anomaly import streaming_anomalies
+
+    rows_b1 = [("a", float(v)) for v in [10, 11, 9, 10, 12, 8, 10, 11, 9, 10, 30]]
+    rows_b2 = [("a", 10.0), ("a", 55.0), ("b", 1.0)]
+    landing = tmp_path / "anom"
+    landing.mkdir()
+    import os
+    for i, rows in enumerate([rows_b1, rows_b2]):
+        p = landing / f"b{i}.json"
+        p.write_text(
+            "\n".join(json.dumps({"event_type": k, "value": v}) for k, v in rows)
+        )
+        # FileStreamSource orders by modification time; same-ms writes
+        # would make batch order ambiguous
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = (
+        streaming_anomalies(stream, threshold=3.0, min_count=10)
+        .writeStream.format("memory")
+        .queryName("anom")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = [
+        (r.key, r.value, r.is_anomaly, r.n_seen)
+        for r in spark.sql("SELECT * FROM anom ORDER BY key, n_seen, value").collect()
+    ]
+
+    # pure-Python replay
+    def replay(batches, threshold=3.0, min_count=10):
+        state = {}
+        out = []
+        for batch in batches:
+            by_key = {}
+            for k, v in batch:
+                by_key.setdefault(k, []).append(v)
+            for k, vals in by_key.items():
+                n0, mean0, m2_0 = state.get(k, (0, 0.0, 0.0))
+                for v in vals:
+                    if n0 >= min_count and m2_0 > 0:
+                        z = (v - mean0) / math.sqrt(m2_0 / (n0 - 1))
+                        flag = abs(z) > threshold
+                    else:
+                        flag = False
+                    out.append((k, v, flag, n0))
+                nb = len(vals)
+                mean_b = sum(vals) / nb
+                m2_b = sum((x - mean_b) ** 2 for x in vals)
+                n1 = n0 + nb
+                delta = mean_b - mean0
+                state[k] = (
+                    n1,
+                    mean0 + delta * nb / n1,
+                    m2_0 + m2_b + delta * delta * n0 * nb / n1,
+                )
+        return sorted(out)
+
+    want = replay([rows_b1, rows_b2])
+    assert sorted(got) == want
+    # the batch-2 spike IS flagged (scored against batch-1 stats)
+    assert ("a", 55.0, True, 11) in got
+    # batch-1's own 30 is NOT flagged (pre-batch state had n=0)
+    assert ("a", 30.0, False, 0) in got
