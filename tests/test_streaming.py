@@ -506,3 +506,49 @@ def test_streaming_anomalies_matches_python_welford(spark, tmp_path):
     assert ("a", 55.0, True, 11) in got
     # batch-1's own 30 is NOT flagged (pre-batch state had n=0)
     assert ("a", 30.0, False, 0) in got
+
+
+def test_streaming_anomalies_null_and_flat_baseline(spark, tmp_path):
+    """Nulls are dropped without biasing the state, and a deviation
+    from a flat (zero-variance) baseline is flagged even though no
+    finite z exists."""
+    import json
+    import os
+
+    from traits_data_spark.streaming.anomaly import streaming_anomalies
+
+    b1 = [("hb", 10.0)] * 12 + [("hb", None)]
+    b2 = [("hb", 10.0), ("hb", 5000.0)]
+    landing = tmp_path / "anom2"
+    landing.mkdir()
+    for i, rows in enumerate([b1, b2]):
+        p = landing / f"b{i}.json"
+        p.write_text(
+            "\n".join(json.dumps({"event_type": k, "value": v}) for k, v in rows)
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = (
+        streaming_anomalies(stream, threshold=3.0, min_count=10)
+        .writeStream.format("memory")
+        .queryName("anom2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("SELECT * FROM anom2").collect()
+    # the null row never reaches the output and never inflates n:
+    # batch 2 sees exactly 12 prior observations
+    assert all(r.value is not None for r in rows)
+    b2_rows = {r.value: r for r in rows if r.n_seen == 12}
+    assert set(b2_rows) == {10.0, 5000.0}
+    # flat baseline: the spike flags (null z), the steady value doesn't
+    assert b2_rows[5000.0].is_anomaly and b2_rows[5000.0].zscore is None
+    assert not b2_rows[10.0].is_anomaly

@@ -152,6 +152,14 @@ def gopher_rules(
             lambda s: F.array_contains(lower_words, s),
         )
     )
+    if emit_tokens in (
+        "keep", "pass_word_count", "pass_mean_word_len",
+        "pass_symbol_ratio", "pass_bullet_lines", "pass_ellipsis_lines",
+        "pass_alpha_words", "pass_stopwords",
+    ):
+        raise ValueError(
+            f"emit_tokens={emit_tokens!r} collides with a rule flag"
+        )
     extra = {emit_tokens: n_words.cast("long")} if emit_tokens else {}
     flags = {
         "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
