@@ -140,7 +140,7 @@ def main() -> None:
     # heaviest flagships get an extra rep so their round-over-round
     # deltas outrun the noise floor.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    extra_rep = {"clean_corpus", "training_prep"}
+    extra_rep = {"clean_corpus", "training_prep", "curate_corpus"}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = catalog.QUERIES[name]
