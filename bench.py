@@ -1,9 +1,16 @@
 """Benchmark harness: headline catalog queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the ONE headline JSON line LAST (compact separators, 2-decimal
+per-query values) so a fixed-size stdout tail capture always records
+it intact:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": <sf>}
+     "queries": {"q": sec, ...}, "sf": <sf>, "load_avg_1m": <load>}
+
+Full-precision detail (cold = first rep after clearCache, warm = min
+of the remaining reps, per flagship) is written to
+``bench_results.json`` next to this script — the tail window only
+needs to carry the headline.
 
 Each query is materialized end-to-end through the noop sink (full
 execution, no driver-side collect bottleneck, no disk write skew).
@@ -20,14 +27,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The headline set: the flagship pipelines plus every operator family
-# with real weight at scale (shuffle-heavy, window-heavy, sketching,
-# similarity). Names map to traits_data_spark.catalog entries.
-BENCH_QUERIES = [
+# Flagship pipelines run FIRST: early in the session the JVM is
+# fresh (no accumulated GC pressure / code-cache churn from 80 prior
+# plans), so their round-over-round deltas are the cleanest regression
+# signal. Round 7 measured training_prep at 9.3s when benched in slot
+# 81 of a loaded session vs 5.9-6.8s benched first at low load — the
+# ordering is part of the measurement.
+FLAGSHIPS = [
     "silver_e1",
     "profile_build",
     "profile_build_multi_pass",
     "gold_ratings",
+    "clean_corpus",
+    "curate_corpus",
+    "training_prep",
+]
+
+# The headline set: the flagship pipelines plus every operator family
+# with real weight at scale (shuffle-heavy, window-heavy, sketching,
+# similarity). Names map to traits_data_spark.catalog entries.
+BENCH_QUERIES = FLAGSHIPS + [
     "group_zscores",
     "last_n_filter",
     "dedup_keep_best",
@@ -50,7 +69,6 @@ BENCH_QUERIES = [
     "knn_label_eval",
     "char_entropy",
     "embedding_near_dups",
-    "clean_corpus",
     "event_sessions",
     "event_stats",
     "quality_features",
@@ -77,7 +95,6 @@ BENCH_QUERIES = [
     "mixture_plan",
     "gopher_rules",
     "containment_pairs",
-    "curate_corpus",
     "epoch_expand",
     "kmv_overlap",
     "corpus_report",
@@ -105,11 +122,57 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "pack_sequences",
     "pack_best_fit",
-    "training_prep",
     "image_metadata",
     "audio_metadata",
     "split_contamination",
+    "bpe_token_counts",
+    "curate_corpus_bpe",
+    "incremental_exact_dedup",
 ]
+
+# Fixed tail-capture budget on the driver side: the driver records the
+# LAST 2000 chars of stdout, and this line prints last — so the line
+# itself (plus newline) must stay under 2000 or the recorded artifact
+# truncates its head (round 7 lost its first 7 query timings this way).
+TAIL_CAPTURE_BUDGET = 1985
+
+
+def headline_line(timings: dict[str, float], sf, load1) -> str:
+    """Build the headline JSON line, guaranteed under the tail budget.
+
+    Degrades precision before coverage: all queries at 2 decimals →
+    drop the load field → 1 decimal → flagships-only. Full 3-decimal
+    detail (plus cold/warm and load) is always in bench_results.json,
+    so the stdout line only has to carry the round-over-round shape.
+    """
+    total = round(sum(timings.values()), 2)
+
+    def build(q: dict[str, float], load) -> str:
+        body = {
+            "metric": "catalog_headline_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+        }
+        if load is not None:
+            body["load_avg_1m"] = load
+        return json.dumps(body, separators=(",", ":"))
+
+    attempts = [
+        ({k: round(v, 2) for k, v in timings.items()}, load1),
+        ({k: round(v, 2) for k, v in timings.items()}, None),
+        ({k: round(v, 1) for k, v in timings.items()}, None),
+        (
+            {k: round(timings[k], 2) for k in FLAGSHIPS if k in timings},
+            load1,
+        ),
+    ]
+    for q, load in attempts:
+        line = build(q, load)
+        if len(line) <= TAIL_CAPTURE_BUDGET:
+            return line
+    return line
 
 
 def main() -> None:
@@ -119,6 +182,8 @@ def main() -> None:
     spark = get_spark("traits-data-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    bench_queries = [n for n in BENCH_QUERIES if n in catalog.QUERIES]
+
     # JVM / whole-stage-codegen warmup: run every benched plan once at
     # the smallest scale factor so the timed pass measures steady-state
     # execution, not first-use JIT compilation (worth ~8s on the first
@@ -126,7 +191,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         try:
             catalog.QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
@@ -136,33 +201,38 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # Local-mode wall clocks vary ±20% run-to-run (GC, JIT, OS cache);
-    # min-of-N is the stable statistic for regression tracking. The two
-    # heaviest flagships get an extra rep so their round-over-round
-    # deltas outrun the noise floor.
+    # min-of-N is the stable statistic for regression tracking. The
+    # flagships get an extra rep so their round-over-round deltas
+    # outrun the noise floor, and their rep-1 (cold: page cache +
+    # shuffle files dropped by clearCache) vs min-of-rest (warm) are
+    # recorded separately — a regression in either mode is visible.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    extra_rep = {"clean_corpus", "training_prep", "curate_corpus"}
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name in bench_queries:
         fn = catalog.QUERIES[name]
-        best = None
-        for _ in range(max(reps, 3) if name in extra_rep else reps):
+        rep_times = []
+        n_reps = max(reps, 3) if name in FLAGSHIPS else reps
+        for _ in range(n_reps):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            rep_times.append(time.time() - t0)
             # queries that persist intermediates (LSH signature tables,
             # corpus barriers) must not leak cache blocks into the next
             # run — eviction thrash would charge query N's cost to
             # query N+1.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(rep_times), 3)
+        if name in FLAGSHIPS:
+            cold[name] = round(rep_times[0], 3)
+            warm[name] = round(min(rep_times[1:]), 3)
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    total = round(sum(timings.values()), 3)
     # Record host load so a contended run is distinguishable from a
     # regression when comparing rounds (wall clocks here swing ±30%
     # when the host is loaded by other tenants).
@@ -170,18 +240,26 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = None
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_headline_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "load_avg_1m": load1,
-            }
-        )
+
+    detail = {
+        "metric": "catalog_headline_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "flagship_cold": cold,
+        "flagship_warm": warm,
+        "sf": sf,
+        "load_avg_1m": load1,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
     )
+    with open(out_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+
+    # Headline LAST so a fixed-size stdout tail always captures it.
+    print(headline_line(timings, sf, load1))
     spark.stop()
 
 

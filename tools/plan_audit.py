@@ -183,8 +183,14 @@ def audit(spark, df) -> dict:
 def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--exec"]
     run_first = "--exec" in sys.argv[1:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    names = argv[1:] or HEADLINE
+    # `plan_audit.py curate_corpus` (no sf_dir) must work: only treat
+    # argv[0] as the data dir when it actually IS a directory.
+    if argv and os.path.isdir(argv[0]):
+        sf_dir = argv[0]
+        names = argv[1:] or HEADLINE
+    else:
+        sf_dir = "/root/testdata/sf0.01"
+        names = argv or HEADLINE
 
     from traits_data_spark import catalog
     from traits_data_spark.session import get_spark
@@ -203,9 +209,11 @@ def main() -> None:
         if run_first:
             # execute through the SAME QueryExecution so the adaptive
             # root flips to its final plan (a noop write would spawn a
-            # separate execution and leave this one un-finalized);
-            # audit scale factors are small, the collect is cheap
-            df._jdf.queryExecution().executedPlan().executeCollect()
+            # separate execution and leave this one un-finalized).
+            # Row-discarding action: toRdd().count() materializes every
+            # partition executor-side without pulling the result set
+            # into the driver (executeCollect on a big sf_dir would).
+            df._jdf.queryExecution().toRdd().count()
         a = audit(spark, df)
         flag = ""
         if a["scans"] > MAX_SCANS.get(name, MAX_SCANS_DEFAULT):

@@ -79,9 +79,13 @@ def snapshot_diff(
     canonical reconciliation; bucket both snapshots on the key to make
     it co-located at 100 TB. The hash collapses arbitrarily wide rows
     to one fixed-width column BEFORE the join, so the shuffle moves
-    keys + 1 hash, not full rows.
+    keys + one 32-char md5, not full rows.
+
+    False-negative bound: a row counts as unchanged when old and new
+    md5s collide — probability ~2^-128 per key (the full 128-bit
+    digest is compared; it never leaves the join, so width is free).
+    Adds/removes are exact (null-vs-present, no hashing involved).
     """
-    from traits_data_spark.functions.scalars import portable_hash64
 
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
@@ -105,7 +109,7 @@ def snapshot_diff(
                     F.concat(F.length(s).cast("string"), F.lit(":"), s)
                 )
             )
-        h = portable_hash64(F.concat_ws("\x1f", *parts))
+        h = F.md5(F.concat_ws("\x1f", *parts))
         return df.select(*key_cols, h.alias(out))
 
     # explicit aliases: both snapshots often derive from the same base

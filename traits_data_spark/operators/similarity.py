@@ -868,11 +868,24 @@ def kmeans_fit(
     k: int = 8,
     n_iter: int = 2,
     scale: int = 1_000_000,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd k-means fit → ``(cid, __centv)`` centroid
     table, exactly reproducible by a SQL oracle (unlike Spark ML's
     KMeans, whose sampled init and float reduction order are
     engine-private).
+
+    ``checkpoint=True`` (default) ends the fit with ONE eager
+    ``localCheckpoint`` so downstream consumers reuse the materialized
+    k-row centroid table instead of re-executing the whole Lloyd loop.
+    Caveats: the call is no longer lazy (the fit runs at
+    DataFrame-construction time), checkpoint blocks live on executor
+    local storage — an executor loss invalidates them and fails
+    downstream jobs (rerun the fit; on a real cluster consider writing
+    centroids to a table instead for long-lived reuse) — and they are
+    NOT freed by ``spark.catalog.clearCache()``: loops cycling many
+    fits should unpersist via the returned DataFrame's ``.rdd`` or
+    pass ``checkpoint=False`` and persist explicitly.
 
     Seeds are the ``k`` vectors with the smallest portable 60-bit hash
     of their id (a deterministic stand-in for k-means++ sampling);
@@ -937,7 +950,8 @@ def kmeans_fit(
     # final checkpoint materializes the fit exactly once; checkpointing
     # inside the loop would add a per-iteration job barrier that costs
     # more than the duplicate scans save (measured +50% at sf0.1).
-    return centroids.localCheckpoint()
+    # See the checkpoint caveats in the docstring.
+    return centroids.localCheckpoint() if checkpoint else centroids
 
 
 def kmeans_clusters(

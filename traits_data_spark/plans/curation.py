@@ -66,6 +66,7 @@ def curate_corpus(
     sample_salt: str = "mix",
     n_shards: int = 32,
     shard_salt: str = "ep0",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns one row per document in
     the curated corpus: ``(id, source, ws_tokens, shard, shard_pos)``.
@@ -76,6 +77,11 @@ def curate_corpus(
     resolution), everything else passes. Unplanned sources (weight 0)
     drop entirely. All arithmetic is 64-bit integer, so the kept set
     is reproducible on any engine.
+
+    ``max_bucket_size`` (default ``None`` — engine-exact) caps LSH
+    band buckets in the near-dup stage; set it (e.g. 1000) at corpus
+    scale to kill degenerate quadratic buckets, accepting that capped
+    buckets skip near-dup candidacy.
     """
     weights_ppm = dict(weights_ppm or {})
     base = widen_if_narrow(
@@ -108,9 +114,15 @@ def curate_corpus(
     # Jaccard-verified; drop the larger id of every verified pair —
     # same greedy policy as clean_corpus). widen=False: deduped is
     # already partitioned by the dedup aggregation's shuffle.
+    # Default max_bucket_size=None: the DuckDB oracle
+    # (_near_dup_drop_sql) has no bucket cap, so a capped Spark side
+    # would silently drop candidate pairs the oracle keeps once a band
+    # bucket exceeds the cap. Callers running at corpus scale should
+    # set the cap (1000 is the minhash_lsh_candidates production
+    # default) — and mirror it in any oracle they compare against.
     cand = minhash_lsh_candidates(
         deduped, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        widen=False,
+        max_bucket_size=max_bucket_size, widen=False,
     )
     near = jaccard_verify(
         cand, deduped, text_col, id_col, threshold=jaccard_threshold,
