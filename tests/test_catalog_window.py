@@ -32,10 +32,6 @@ LOAD_BEARING = [
     "line_dedup",
     "semantic_dedup",
     "incremental_near_dups",
-    "funnel_steps",
-    "cohort_retention",
-    "decayed_engagement",
-    "hll_distinct",
     "kmeans_clusters",
     "ivf_topk_kmeans",
     "cms_top_terms",
@@ -61,6 +57,12 @@ LOAD_BEARING = [
     "kmv_overlap",
     "corpus_report",
     "snapshot_diff",
+    # round-8 additions: must be driver-attested before rotating out
+    # (funnel_steps / cohort_retention / decayed_engagement /
+    # hll_distinct rotated out — driver-green rounds 6 AND 7)
+    "bpe_token_counts",
+    "curate_corpus_bpe",
+    "incremental_exact_dedup",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

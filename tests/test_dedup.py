@@ -470,3 +470,102 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # jaccard_verify at the same bar prunes the pair (by design)
     jac = jaccard_verify(cand, docs, "text", "doc_id", threshold=0.9).collect()
     assert not [r for r in jac if (r.id_a, r.id_b) == (1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup against a persisted content-hash index
+# ---------------------------------------------------------------------------
+
+def test_incremental_exact_dedup_matches_sequential_replay(spark, tmp_path):
+    from traits_data_spark.operators.dedup import (
+        content_hash_index,
+        extend_content_index,
+        incremental_exact_dedup,
+        normalized_text,
+    )
+
+    rows = [
+        (1, "alpha beta"),
+        (2, "ALPHA   beta"),        # exact dup of 1 after normalization
+        (3, "gamma delta"),
+        # batch 1
+        (10, "alpha beta"),         # already in history -> dropped
+        (11, "epsilon zeta"),       # new content -> kept
+        (12, "Epsilon  ZETA"),      # in-batch dup of 11 -> dropped (11 < 12)
+        # batch 2
+        (20, "epsilon zeta"),       # kept by batch 1 -> dropped
+        (21, "eta theta"),          # new -> kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    history = docs.filter(F.col("doc_id") < 10)
+    b1 = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    b2 = docs.filter(F.col("doc_id") >= 20)
+
+    index_path = str(tmp_path / "content_index")
+    content_hash_index(history, "text", "doc_id").write.parquet(index_path)
+
+    idx0 = spark.read.parquet(index_path)
+    kept1 = incremental_exact_dedup(b1, idx0, "text", "doc_id")
+    idx1 = extend_content_index(idx0, kept1, "doc_id")
+    kept2 = incremental_exact_dedup(b2, idx1, "text", "doc_id")
+
+    assert {r.doc_id for r in kept1.collect()} == {11}
+    assert {r.doc_id for r in kept2.collect()} == {21}
+    # index after both batches covers every distinct content exactly once
+    final = idx1.unionByName(
+        kept2.select("content_hash", F.col("doc_id").alias("min_id"))
+    )
+    hashes = [r.content_hash for r in final.collect()]
+    assert len(hashes) == len(set(hashes)) == 4
+
+    # first-seen-wins: content already in history keeps its original id
+    # even when the batch re-sends it under a smaller one
+    small = spark.createDataFrame([(0, "gamma delta")], "doc_id long, text string")
+    assert incremental_exact_dedup(small, idx0, "text", "doc_id").count() == 0
+
+
+def test_incremental_exact_dedup_broadcast_off_parity(spark, documents):
+    """broadcast_batch=False (the bulk-backfill escape hatch) must
+    return the identical kept set."""
+    from traits_data_spark.operators.dedup import (
+        content_hash_index,
+        incremental_exact_dedup,
+    )
+
+    docs = documents.select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = content_hash_index(history, "text", "doc_id")
+    on = {
+        r.doc_id
+        for r in incremental_exact_dedup(
+            batch, index, "text", "doc_id"
+        ).collect()
+    }
+    off = {
+        r.doc_id
+        for r in incremental_exact_dedup(
+            batch, index, "text", "doc_id", broadcast_batch=False
+        ).collect()
+    }
+    assert on == off and on
+
+
+def test_incremental_exact_dedup_never_shuffles_history(spark, documents):
+    """The steady-state plan streams the index map-side: no Exchange
+    directly over the index scan when the batch broadcasts."""
+    from traits_data_spark.operators.dedup import (
+        content_hash_index,
+        incremental_exact_dedup,
+    )
+
+    docs = documents.select("doc_id", "text")
+    index = content_hash_index(
+        docs.filter(F.col("doc_id") % 3 != 0), "text", "doc_id"
+    )
+    kept = incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0), index, "text", "doc_id"
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # both index-touching joins are broadcast joins, never sort-merge
+    assert "SortMergeJoin" not in plan

@@ -552,3 +552,89 @@ def test_streaming_anomalies_null_and_flat_baseline(spark, tmp_path):
     # flat baseline: the spike flags (null z), the steady value doesn't
     assert b2_rows[5000.0].is_anomaly and b2_rows[5000.0].zscore is None
     assert not b2_rows[10.0].is_anomaly
+
+
+def test_streaming_exact_dedup_ingest(spark, tmp_path, documents):
+    """E2E: streaming exact-dedup ingest — each micro-batch anti-joins
+    the persisted ``(content_hash, min_id)`` index, appends only
+    unseen content, and extends the index with what it kept. The kept
+    set matches a sequential batch replay; history is hashed once at
+    bootstrap and never again."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.dedup import (
+        content_hash_index,
+        extend_content_index,
+        incremental_exact_dedup,
+    )
+
+    docs = documents.select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") < 300)
+    # the sf0.001 slice has no exact dups in this id range — inject
+    # them: 9001 duplicates history content (must drop), 9002/9003
+    # duplicate each other across batches (first one wins)
+    h_texts = [r.text for r in history.filter(F.col("text").isNotNull()).limit(2).collect()]
+    extra = spark.createDataFrame(
+        [(9001, h_texts[0]), (9002, "brand new content xyz")],
+        "doc_id long, text string",
+    )
+    extra2 = spark.createDataFrame(
+        [(9003, "brand  NEW   content xyz")], "doc_id long, text string"
+    )
+    b1 = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 380)
+    ).unionByName(extra)
+    b2 = docs.filter(
+        (F.col("doc_id") >= 380) & (F.col("doc_id") < 460)
+    ).unionByName(extra2)
+
+    index_path = str(tmp_path / "content_index")
+    content_hash_index(history, "text", "doc_id").write.parquet(index_path)
+
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+    for i, b in enumerate([b1, b2]):
+        p = landing / f"batch{i}.json"
+        p.write_text(b.toPandas().to_json(orient="records", lines=True))
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    out_path = str(tmp_path / "kept")
+
+    def _ingest(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        idx = ss.read.parquet(index_path)
+        kept = incremental_exact_dedup(batch_df, idx, "text", "doc_id")
+        kept.write.mode("append").parquet(out_path)
+        extend_content_index(
+            idx.limit(0), kept, "doc_id"
+        ).write.mode("append").parquet(index_path)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ded"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+
+    # sequential replay through the library API (no parquet round-trip)
+    idx0 = content_hash_index(history, "text", "doc_id")
+    k1 = incremental_exact_dedup(b1, idx0, "text", "doc_id")
+    k2 = incremental_exact_dedup(
+        b2, extend_content_index(idx0, k1, "doc_id"), "text", "doc_id"
+    )
+    want = {r.doc_id for r in k1.collect()} | {r.doc_id for r in k2.collect()}
+    assert got == want and got
+    # the injected dups were deduped: 9001 (history content) and 9003
+    # (normalizes to 9002's batch-1 content) dropped, 9002 kept
+    assert 9002 in got and 9001 not in got and 9003 not in got
+    # final index: one row per distinct content across history + kept
+    final_idx = spark.read.parquet(index_path)
+    hashes = [r.content_hash for r in final_idx.collect()]
+    assert len(hashes) == len(set(hashes))

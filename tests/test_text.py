@@ -242,3 +242,80 @@ def test_gopher_rules_each_rule_discriminates(spark):
     for name in ("short", "longwords", "symbols", "bullets",
                  "ellipsis", "numeric", "nostops"):
         assert out[name].keep == 0, name
+
+
+# ---------------------------------------------------------------------------
+# BPE-lite subword tokenization
+# ---------------------------------------------------------------------------
+
+def _py_greedy_count(word, vocab, cap=24):
+    """Reference greedy longest-match tokenizer (pure Python)."""
+    pieces = sorted({p for p in vocab if len(p) >= 2}, key=len, reverse=True)
+    pos, cnt, i = 0, 0, 0
+    while pos < len(word) and i < cap:
+        step = 1
+        for p in pieces:
+            if word.startswith(p, pos):
+                step = len(p)
+                break
+        pos += step
+        cnt += 1
+        i += 1
+    return cnt + (len(word) - pos)
+
+
+def test_bpe_piece_count_matches_python_reference(spark):
+    from traits_data_spark.operators.text import (
+        BPE_VOCAB,
+        bpe_piece_count,
+    )
+
+    words = [
+        "the", "ordering", "internationalization", "a", "xyz42",
+        "pretraining", "conversation", "overthinking", "qzqzqz",
+        "thisisaverylongwordthatkeepsongoingwellpastthecap",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: r["t"]
+        for r in df.select(
+            "w", bpe_piece_count(F.col("w"), BPE_VOCAB).alias("t")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _py_greedy_count(w, BPE_VOCAB), w
+
+
+def test_bpe_token_counts_doc_sum_and_nulls(spark):
+    from traits_data_spark.operators.text import BPE_VOCAB, bpe_token_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "The ordering   of THE tokens"),
+            (2, ""),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bpe_tokens"] for r in bpe_token_counts(df).collect()}
+    words = ["the", "ordering", "of", "the", "tokens"]  # lowercased split
+    assert out[1] == sum(_py_greedy_count(w, BPE_VOCAB) for w in words)
+    assert out[2] == 0 and out[3] == 0 and out[4] == 0
+
+
+def test_bpe_distinct_words_path_parity(spark, documents):
+    """The scale shape (tokenize each DISTINCT word once, join back)
+    must count identically to the inline projection."""
+    from traits_data_spark.operators.text import bpe_token_counts
+
+    docs = documents.select("doc_id", "text").limit(120)
+    inline = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_token_counts(docs).collect()
+    }
+    via_distinct = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_token_counts(docs, distinct_words=True).collect()
+    }
+    assert inline == via_distinct and inline

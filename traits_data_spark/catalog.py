@@ -43,9 +43,11 @@ from traits_data_spark.operators.dedup import (
     MINHASH_PRIME,
     _hash_coeffs,
     bloom_decontaminate,
+    content_hash_index,
     dedup_clusters,
     dedup_lines,
     exact_dedup,
+    incremental_exact_dedup,
     containment_verify,
     jaccard_verify,
     minhash_lsh_candidates,
@@ -96,6 +98,8 @@ from traits_data_spark.operators.similarity import (
 from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.plans.curation import curate_corpus
 from traits_data_spark.operators.text import (
+    bpe_effective_vocab,
+    bpe_token_counts,
     char_entropy,
     classifier_score,
     document_fingerprint,
@@ -107,6 +111,8 @@ from traits_data_spark.operators.text import (
     tfidf_top_terms,
     token_counts,
     word_array,
+    BPE_CAP,
+    BPE_VOCAB,
     LANG_MARKERS,
 )
 from traits_data_spark.operators.windows import (
@@ -2350,10 +2356,63 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curate_corpus_sql() -> str:
+# Subword-token budget for the BPE-budgeted curation variant: larger
+# than CURATE_BUDGET because a subword count exceeds the whitespace
+# count for the same text (~1.5-2.5x on English prose).
+CURATE_BPE_BUDGET = 7_000
+
+
+def _bpe_tok_ctes(words_cte: str) -> str:
+    """Vocab relation + recursive greedy longest-match tokenizer CTEs
+    (DuckDB), mirroring ``operators.text.bpe_piece_count`` exactly:
+    ``wtok(w, t)`` is the subword piece count of every word in
+    ``words_cte`` (a CTE exposing distinct lowercase words as ``w``).
+    Requires ``WITH RECURSIVE`` on the enclosing query."""
+    vals = ", ".join(f"('{p}')" for p in bpe_effective_vocab(BPE_VOCAB))
+    return f"""vocab(piece) AS (SELECT * FROM (VALUES {vals}) v(piece)),
+tok(w, pos, cnt, i) AS (
+  SELECT w, 1, 0, 0 FROM {words_cte}
+  UNION ALL
+  SELECT w,
+         pos + coalesce((SELECT max(length(piece)) FROM vocab
+                         WHERE piece = substr(w, pos, length(piece))), 1),
+         cnt + 1, i + 1
+  FROM tok WHERE pos <= length(w) AND i < {BPE_CAP}
+),
+wtok AS (SELECT w, max_by(cnt + greatest(length(w) - pos + 1, 0), i) AS t
+         FROM tok GROUP BY w)"""
+
+
+def _curate_corpus_sql(bpe: bool = False) -> str:
     cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in CURATE_WEIGHTS.items())
+    # The bpe variant budgets the mixture in subword tokens: tokenize
+    # the DISTINCT lowercase words of the post-dedup/decon survivors
+    # (same distinct-word shape bpe_token_counts(distinct_words=True)
+    # uses), sum per doc, and drive per/rates/kept off bpe_tokens.
+    if bpe:
+        budget_col, budget = "bpe_tokens", CURATE_BPE_BUDGET
+        surv_cols = "doc_id, source, ws_tokens, nwl"
+        bpe_ctes = f"""
+swords AS (SELECT DISTINCT unnest(nwl) AS w FROM surv),
+{_bpe_tok_ctes('swords')},
+occ AS (SELECT doc_id, unnest(nwl) AS w FROM surv),
+docbpe AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS bpe_tokens
+           FROM occ JOIN wtok USING (w) GROUP BY doc_id),
+survt AS (
+  SELECT s.doc_id, s.source, s.ws_tokens,
+         coalesce(db.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
+  FROM surv s LEFT JOIN docbpe db USING (doc_id)
+),"""
+        token_cols = "ws_tokens, bpe_tokens"
+        recursive = "RECURSIVE "
+    else:
+        budget_col, budget = "ws_tokens", CURATE_BUDGET
+        surv_cols = "doc_id, source, ws_tokens"
+        bpe_ctes = "\nsurvt AS (SELECT * FROM surv),"
+        token_cols = "ws_tokens"
+        recursive = ""
     return rf"""
-WITH w AS (
+WITH {recursive}w AS (
   SELECT doc_id, source, text, {_NORM} AS nt,
     list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
                 x -> length(x) > 0) AS wl,
@@ -2386,14 +2445,14 @@ bg AS (
 ),
 contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
 surv AS (
-  SELECT doc_id, source, ws_tokens FROM nw
+  SELECT {surv_cols} FROM nw
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-),
+),{bpe_ctes}
 per AS (
   SELECT source,
-         CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM({budget_col}) AS BIGINT) AS n_tokens,
          CAST(CASE source {cases} ELSE 0 END AS BIGINT) AS weight_ppm
-  FROM surv GROUP BY source
+  FROM survt GROUP BY source
 ),
 rates AS (
   SELECT source,
@@ -2403,17 +2462,103 @@ rates AS (
                ELSE CAST(0 AS BIGINT) END,
           CAST(1000000 AS BIGINT)) AS rate_ppm
   FROM (SELECT *,
-          CAST({CURATE_BUDGET} AS BIGINT) * weight_ppm // 1000000 AS target_tokens
+          CAST({budget} AS BIGINT) * weight_ppm // 1000000 AS target_tokens
         FROM per)
 ),
 kept AS (
-  SELECT surv.* FROM surv JOIN rates USING (source)
+  SELECT survt.* FROM survt JOIN rates USING (source)
   WHERE ({_H60.format(x="'mix' || CAST(doc_id AS VARCHAR)")} % 10000) * 100 < rate_ppm
 )
-SELECT doc_id, source, ws_tokens,
+SELECT doc_id, source, {token_cols},
        CAST(h % 32 AS INT) AS shard,
        CAST(row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) AS BIGINT) AS shard_pos
 FROM (SELECT *, {_H60.format(x="'ep0' || CAST(doc_id AS VARCHAR)")} AS h FROM kept)
+"""
+
+
+def q_curate_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curate_corpus`` budgeting the mixture in SUBWORD tokens
+    (greedy longest-match against the demo BPE vocab) instead of the
+    whitespace-token proxy — the unit a context window is actually
+    measured in. Same pipeline otherwise; output adds ``bpe_tokens``."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == DECON_BENCH_SOURCE)
+    corpus = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+    return curate_corpus(
+        corpus,
+        bench,
+        min_words=30,
+        stops=CURATE_STOPS,
+        decon_n=DECON_N,
+        decon_min_overlap=1,
+        weights_ppm=CURATE_WEIGHTS,
+        token_budget=CURATE_BPE_BUDGET,
+        bpe_vocab=BPE_VOCAB,
+        bpe_cap=BPE_CAP,
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counting (``operators.text.bpe_token_counts``):
+    greedy longest-match against a broadcast vocabulary — whitespace
+    and subword counts side by side per document."""
+    docs = _docs_wide(spark, sf_dir)
+    return bpe_token_counts(token_counts(docs)).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def _bpe_token_sql() -> str:
+    return rf"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+words AS (SELECT DISTINCT unnest(wl) AS w FROM d),
+{_bpe_tok_ctes('words')},
+occ AS (SELECT doc_id, unnest(wl) AS w FROM d),
+bpe AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS bpe_tokens
+        FROM occ JOIN wtok USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.wl) AS BIGINT) AS ws_tokens,
+       coalesce(b.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
+FROM d LEFT JOIN bpe b USING (doc_id)
+"""
+
+
+def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a persisted content-hash index
+    (``dedup.content_hash_index`` + ``dedup.incremental_exact_dedup``):
+    docs with ``doc_id % 3 == 0`` play the ingest batch, the rest the
+    already-indexed history. Only the batch is hashed; history
+    participates via its ``(content_hash, min_id)`` index and is never
+    re-shuffled (batch-side broadcast). Output: the batch rows whose
+    content the corpus has not seen (first-seen-wins)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = content_hash_index(history, "text", "doc_id")
+    kept = incremental_exact_dedup(batch, index, "text", "doc_id")
+    return kept.select("doc_id", "source", "content_hash")
+
+
+_INCREMENTAL_EXACT_DEDUP_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source, {_H60.format(x=_NORM)} AS content_hash
+  FROM documents
+),
+hist AS (SELECT content_hash FROM h WHERE doc_id % 3 != 0),
+batch AS (SELECT * FROM h WHERE doc_id % 3 = 0),
+bu AS (
+  SELECT content_hash,
+         arg_min(doc_id, doc_id) AS doc_id,
+         arg_min(source, doc_id) AS source
+  FROM batch GROUP BY content_hash
+)
+SELECT doc_id, source, content_hash FROM bu
+WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.content_hash = bu.content_hash)
 """
 
 
@@ -4394,6 +4539,10 @@ QUERIES: Mapping[str, QueryFn] = {
     "kmv_overlap": q_kmv_overlap,
     "corpus_report": q_corpus_report,
     "snapshot_diff": q_snapshot_diff,
+    # -- new round 8: subword tokenization + incremental exact dedup -------
+    "bpe_token_counts": q_bpe_token_counts,
+    "curate_corpus_bpe": q_curate_corpus_bpe,
+    "incremental_exact_dedup": q_incremental_exact_dedup,
     # -- judge-only in round 4 (outside the old window) --------------------
     "feature_filter": q_feature_filter,
     "kmv_distinct": q_kmv_distinct,
@@ -4410,10 +4559,6 @@ QUERIES: Mapping[str, QueryFn] = {
     "line_dedup": q_line_dedup,
     "semantic_dedup": q_semantic_dedup,
     "incremental_near_dups": q_incremental_near_dups,
-    "funnel_steps": q_funnel_steps,
-    "cohort_retention": q_cohort_retention,
-    "decayed_engagement": q_decayed_engagement,
-    "hll_distinct": q_hll_distinct,
     "kmeans_clusters": q_kmeans_clusters,
     "ivf_topk_kmeans": q_ivf_topk_kmeans,
     "cms_top_terms": q_cms_top_terms,
@@ -4438,6 +4583,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "json_props": q_json_props,
     "hash_split": q_hash_split,
     "percentile_profile": q_percentile_profile,
+    # rotated out round 8 (driver-green rounds 6 AND 7):
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+    "decayed_engagement": q_decayed_engagement,
+    "hll_distinct": q_hll_distinct,
     "incremental_new_keys": q_incremental_new_keys,
     "distinct_dims": q_distinct_dims,
     "merge_upsert": q_merge_upsert,
@@ -4526,6 +4676,9 @@ def oracle_sqls() -> dict[str, str]:
         "gopher_rules": _gopher_rules_sql(),
         "containment_pairs": _containment_sql(),
         "curate_corpus": _curate_corpus_sql(),
+        "curate_corpus_bpe": _curate_corpus_sql(bpe=True),
+        "bpe_token_counts": _bpe_token_sql(),
+        "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
         "corpus_report": _corpus_report_sql(),

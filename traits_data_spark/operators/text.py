@@ -249,6 +249,154 @@ def token_counts(
     )
 
 
+# Demo subword vocabulary for bpe_token_counts: frequent English words,
+# prefixes, suffixes, and bigrams — the shape of a BPE/WordPiece merge
+# table (a static model artifact in a real pipeline; swap in the target
+# tokenizer's vocab). Single characters are implicit (the fallback
+# consumes one char as one token), so only multi-char pieces appear.
+BPE_VOCAB: Sequence[str] = (
+    # common whole words
+    "the", "and", "of", "to", "in", "is", "it", "that", "for", "on",
+    "with", "as", "was", "at", "by", "an", "be", "this", "are", "from",
+    "or", "have", "not", "but", "what", "all", "were", "when", "there",
+    # prefixes
+    "con", "com", "pro", "pre", "per", "sub", "dis", "un", "re", "de",
+    "ex", "inter", "over", "under", "trans",
+    # suffixes
+    "ing", "tion", "ation", "ment", "ness", "able", "ible", "ally",
+    "ous", "ive", "ful", "less", "est", "ers", "ed", "ly", "es", "al",
+    "ic", "ty", "ity", "ate", "ize", "ise", "ent", "ance", "ence",
+    # frequent bigrams/trigrams
+    "th", "he", "er", "on", "en", "ar", "or", "st", "ch", "sh", "wh",
+    "qu", "ou", "le", "ck", "ght", "ther", "ion", "ter", "ver", "her",
+    "ight", "ough", "ound",
+)
+
+# Greedy-match iteration cap: words needing more than this many pieces
+# fall back to one-token-per-char for the remainder (both engines apply
+# the same cap, so counts stay bit-identical).
+BPE_CAP = 24
+
+
+def bpe_effective_vocab(vocab: Sequence[str]) -> list[str]:
+    """The pieces that actually participate in matching: deduped,
+    multi-char only (single chars are the implicit fallback). SQL
+    oracles should build their vocab relation from THIS list so both
+    engines tokenize against the identical piece set."""
+    return [p for p in dict.fromkeys(vocab) if len(p) >= 2]
+
+
+def _vocab_by_len(vocab: Sequence[str]) -> dict[int, list[str]]:
+    by_len: dict[int, list[str]] = {}
+    for p in bpe_effective_vocab(vocab):
+        by_len.setdefault(len(p), []).append(p)
+    return by_len
+
+
+def bpe_piece_count(
+    word: Column, vocab: Sequence[str], cap: int = BPE_CAP
+) -> Column:
+    """Subword piece count of one (lowercase) word under greedy
+    longest-match tokenization (WordPiece/BPE-style inference): at each
+    position consume the longest vocabulary piece that matches, else
+    one character. Pure column expression — runs inside whole-stage
+    codegen, and a SQL oracle reproduces it with a recursive CTE
+    (longest match = ``max(length(piece))`` over matching pieces).
+
+    Iteration is ``aggregate`` over ``sequence(1, min(len, cap))`` with
+    a ``(pos, cnt)`` accumulator; every step past the word end is a
+    no-op, and chars left after ``cap`` greedy steps count one token
+    each. Per-position cost is O(|vocab|) literal-array probes — fine
+    for demo-scale vocabs; for a real 50k-piece vocab use
+    ``bpe_token_counts(distinct_words=True)`` so each DISTINCT word is
+    tokenized once (Zipf: distinct words ≪ occurrences).
+    """
+    by_len = _vocab_by_len(vocab)
+    L = F.length(word)
+
+    def step(acc: Column, _i: Column) -> Column:
+        pos = acc.getField("pos")
+        # longest piece matching at pos, else 1 (single-char fallback);
+        # descending-length CASE ladder = longest match wins
+        m = None
+        for ln in sorted(by_len, reverse=True):
+            arr = F.array(*[F.lit(p) for p in by_len[ln]])
+            cond = F.array_contains(arr, F.substring(word, pos, ln))
+            m = F.when(cond, F.lit(ln)) if m is None else m.when(cond, F.lit(ln))
+        m = m.otherwise(F.lit(1)) if m is not None else F.lit(1)
+        stepped = F.struct(
+            (pos + m).alias("pos"), (acc.getField("cnt") + 1).alias("cnt")
+        )
+        return F.when(pos > L, acc).otherwise(stepped)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.least(L, F.lit(cap))),
+        F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt")),
+        step,
+        lambda acc: acc.getField("cnt")
+        + F.greatest(L - acc.getField("pos") + 1, F.lit(0)),
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab: Sequence[str] = BPE_VOCAB,
+    cap: int = BPE_CAP,
+    out_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
+    distinct_words: bool = False,
+) -> DataFrame:
+    """Append a subword token count per document — the model-tokenizer
+    unit every token-budgeted stage (packing, mixture planning,
+    curation) should budget in, rather than the whitespace-token proxy
+    ``token_counts`` reports.
+
+    Text is whitespace-split after lowercasing (vocab is lowercase);
+    each word's pieces come from greedy longest-match against
+    ``vocab`` (see ``bpe_piece_count``); null/empty text counts 0.
+
+    Two execution shapes:
+
+    - ``distinct_words=False`` (default): one pure projection — the
+      nested aggregate runs at scan speed with ZERO shuffles. Right
+      when the vocab is small (probe cost O(|vocab|) per char).
+    - ``distinct_words=True``: explode → tokenize each DISTINCT word
+      once → join counts back → re-aggregate per document. Three
+      exchanges, but each distinct word pays the vocab probe exactly
+      once — the scale shape for big vocabs over Zipf-distributed
+      text, where "the" appears 10^9 times but is tokenized once. The
+      word-keyed join is skewed by nature; AQE skew-join handles it,
+      and the distinct-word side is typically small enough to
+      broadcast.
+    """
+    warr = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
+    )
+    if not distinct_words:
+        total = F.aggregate(
+            warr,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + bpe_piece_count(w, vocab, cap).cast("long"),
+        )
+        return df.withColumn(out_col, F.coalesce(total, F.lit(0)).cast("long"))
+
+    words = df.select(F.col(id_col), F.explode(warr).alias("__w"))
+    wcounts = (
+        words.select("__w")
+        .distinct()
+        .withColumn("__t", bpe_piece_count(F.col("__w"), vocab, cap))
+    )
+    sums = (
+        words.join(wcounts, "__w")
+        .groupBy(id_col)
+        .agg(F.sum("__t").cast("long").alias(out_col))
+    )
+    return df.join(sums, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: DataFrame,

@@ -67,6 +67,8 @@ def curate_corpus(
     n_shards: int = 32,
     shard_salt: str = "ep0",
     max_bucket_size: int | None = None,
+    bpe_vocab: Sequence[str] | None = None,
+    bpe_cap: int = 24,
 ) -> DataFrame:
     """Run the full curation chain; returns one row per document in
     the curated corpus: ``(id, source, ws_tokens, shard, shard_pos)``.
@@ -82,6 +84,15 @@ def curate_corpus(
     band buckets in the near-dup stage; set it (e.g. 1000) at corpus
     scale to kill degenerate quadratic buckets, accepting that capped
     buckets skip near-dup candidacy.
+
+    ``bpe_vocab``: when given, the mixture is budgeted in SUBWORD
+    tokens (greedy longest-match against this vocab — see
+    ``operators.text.bpe_token_counts``) instead of whitespace tokens,
+    the unit a model's context window is actually measured in;
+    ``token_budget`` is then a subword-token budget, and the output
+    gains a ``bpe_tokens`` column next to ``ws_tokens``. The count is
+    a pure projection over the post-dedup/decon survivors, so the
+    only plan change is the extra scan-speed expression.
     """
     weights_ppm = dict(weights_ppm or {})
     base = widen_if_narrow(
@@ -135,11 +146,26 @@ def curate_corpus(
         unique_docs, benchmark, text_col, id_col, id_col,
         n=decon_n, min_overlap=decon_min_overlap,
     ).select(F.col("id").alias(id_col))
-    survivors = unique_docs.join(contaminated, id_col, "left_anti").persist()
+    survivors = unique_docs.join(contaminated, id_col, "left_anti")
+
+    # optional subword-token budget column (pure projection; see
+    # docstring) — computed AFTER dedup/decon so only survivors pay
+    # the per-char vocab probes
+    budget_col = "ws_tokens"
+    out_token_cols = [budget_col]
+    if bpe_vocab is not None:
+        from traits_data_spark.operators.text import bpe_token_counts
+
+        survivors = bpe_token_counts(
+            survivors, text_col, vocab=bpe_vocab, cap=bpe_cap, id_col=id_col
+        )
+        budget_col = "bpe_tokens"
+        out_token_cols.append(budget_col)
+    survivors = survivors.persist()
 
     # mixture execution: per-source plan (one row per source, broadcast)
     plan = mixture_plan(
-        survivors, source_col, "ws_tokens", weights_ppm, token_budget
+        survivors, source_col, budget_col, weights_ppm, token_budget
     ).select(
         F.col("source").alias(source_col),
         F.least(F.col("epochs_ppm"), F.lit(PPM)).alias("__rate_ppm"),
@@ -153,7 +179,7 @@ def curate_corpus(
             split_bucket(F.col(id_col), sample_salt) * per_bucket
             < F.col("__rate_ppm")
         )
-        .select(id_col, source_col, "ws_tokens")
+        .select(id_col, source_col, *out_token_cols)
     )
 
     return shuffle_shards(
