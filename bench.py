@@ -182,7 +182,16 @@ def main() -> None:
     spark = get_spark("traits-data-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    bench_queries = [n for n in BENCH_QUERIES if n in catalog.QUERIES]
+    # Fail loudly on unknown names: a misspelled or not-yet-registered
+    # query silently vanishing from the headline produced a committed
+    # baseline that never benched the round's new flagships once —
+    # never again.
+    missing = [n for n in BENCH_QUERIES if n not in catalog.QUERIES]
+    if missing:
+        raise SystemExit(
+            f"BENCH_QUERIES not in catalog.QUERIES: {missing}"
+        )
+    bench_queries = BENCH_QUERIES
 
     # JVM / whole-stage-codegen warmup: run every benched plan once at
     # the smallest scale factor so the timed pass measures steady-state

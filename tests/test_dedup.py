@@ -569,3 +569,33 @@ def test_incremental_exact_dedup_never_shuffles_history(spark, documents):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     # both index-touching joins are broadcast joins, never sort-merge
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_exact_dedup_replayed_batch(spark):
+    """The kept output (which carries content_hash) must be ingestible
+    as a batch itself — replay/backfill safety."""
+    from traits_data_spark.operators.dedup import (
+        content_hash_index,
+        incremental_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    idx = content_hash_index(docs, "text", "doc_id")
+    kept = incremental_exact_dedup(
+        spark.createDataFrame([(5, "new stuff")], "doc_id long, text string"),
+        idx,
+        "text",
+        "doc_id",
+    )
+    # re-ingest the kept rows (content_hash column present): all seen
+    replay = incremental_exact_dedup(
+        kept,
+        idx.unionByName(
+            kept.select("content_hash", F.col("doc_id").alias("min_id"))
+        ),
+        "text",
+        "doc_id",
+    )
+    assert replay.count() == 0

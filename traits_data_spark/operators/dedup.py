@@ -411,6 +411,11 @@ def incremental_exact_dedup(
     ``content_hash`` (bucket the index parquet by ``content_hash`` to
     make them co-located). Results are identical either way.
     """
+    # A replayed batch (e.g. this function's own kept output) may
+    # already carry content_hash; recompute it fresh — keeping the
+    # stale column would duplicate it in the struct expansion below
+    # and every later reference would be ambiguous.
+    new_docs = new_docs.drop("content_hash")
     row = F.struct(*[F.col(c) for c in new_docs.columns])
     batch_unique = (
         new_docs.withColumn(
