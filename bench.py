@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 
@@ -172,7 +173,18 @@ def headline_line(timings: dict[str, float], sf, load1) -> str:
         line = build(q, load)
         if len(line) <= TAIL_CAPTURE_BUDGET:
             return line
-    return line
+    # Pathological fallback (huge sf repr / load repr): a minimal line
+    # that is ALWAYS under budget — total + sf only, no per-query map.
+    # bench_results.json still carries everything.
+    return json.dumps(
+        {
+            "metric": "catalog_headline_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )[:TAIL_CAPTURE_BUDGET]
 
 
 def main() -> None:
@@ -191,7 +203,18 @@ def main() -> None:
         raise SystemExit(
             f"BENCH_QUERIES not in catalog.QUERIES: {missing}"
         )
-    bench_queries = BENCH_QUERIES
+    # Flagships keep their fixed fresh-JVM slots; the long tail runs in
+    # a RANDOMIZED order so a query's slot position (GC pressure /
+    # code-cache churn accumulating through the shared session) averages
+    # out across rounds instead of biasing the same families every time
+    # — rounds 7 and 8 both mis-read slot drift as plan regressions.
+    # The seed is recorded in bench_results.json; set
+    # SPARK_GRAFT_BENCH_SEED to reproduce a specific order.
+    seed_env = os.environ.get("SPARK_GRAFT_BENCH_SEED")
+    seed = int(seed_env) if seed_env else int.from_bytes(os.urandom(4), "big")
+    tail = [n for n in BENCH_QUERIES if n not in FLAGSHIPS]
+    random.Random(seed).shuffle(tail)
+    bench_queries = FLAGSHIPS + tail
 
     # JVM / whole-stage-codegen warmup: run every benched plan once at
     # the smallest scale factor so the timed pass measures steady-state
@@ -235,6 +258,11 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(min(rep_times), 3)
         if name in FLAGSHIPS:
+            # "first_rep", not "cold": the sf0.001 warmup already
+            # JIT-compiled the plan and prior rounds leave the parquet
+            # in the OS page cache, so rep 1 measures a JVM-warm,
+            # partially cached run — interpret cross-round deltas in
+            # this split as cache state + contention, not plan cost.
             cold[name] = round(rep_times[0], 3)
             warm[name] = round(min(rep_times[1:]), 3)
 
@@ -255,8 +283,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "flagship_cold": cold,
+        "flagship_first_rep": cold,
         "flagship_warm": warm,
+        "tail_order_seed": seed,
+        "tail_order": tail,
         "sf": sf,
         "load_avg_1m": load1,
     }

@@ -16,6 +16,8 @@ exact signatures.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -373,16 +375,31 @@ def content_hash_index(
 
 
 def extend_content_index(
-    index: DataFrame, kept_batch: DataFrame, id_col: str
+    index: DataFrame, kept_batch: DataFrame, id_col: str,
+    reaggregate: bool = False,
 ) -> DataFrame:
     """The updated index after an ingest batch: history entries plus
-    one ``(content_hash, min_id)`` row per kept batch doc (kept rows
-    are already unique per hash, so no re-aggregation is needed)."""
-    return index.select("content_hash", "min_id").unionByName(
+    one ``(content_hash, min_id)`` row per kept batch doc.
+
+    **Precondition**: ``kept_batch`` must already be one row per
+    ``content_hash`` with no hash present in ``index`` — exactly what
+    ``incremental_exact_dedup`` returns. Feeding a raw (un-deduped or
+    un-anti-joined) batch silently breaks the index's
+    one-row-per-distinct-content invariant and corrupts ``min_id``
+    for later audits. If the batch's provenance is uncertain, pass
+    ``reaggregate=True`` to pay one extra map-side-combined
+    aggregation that restores the invariant (min id wins per hash,
+    matching ``content_hash_index`` semantics)."""
+    out = index.select("content_hash", "min_id").unionByName(
         kept_batch.select(
             "content_hash", F.col(id_col).alias("min_id")
         )
     )
+    if reaggregate:
+        out = out.groupBy("content_hash").agg(
+            F.min("min_id").alias("min_id")
+        )
+    return out
 
 
 def incremental_exact_dedup(
@@ -410,12 +427,21 @@ def incremental_exact_dedup(
     ``broadcast_batch=False``: both joins become hash-partitioned on
     ``content_hash`` (bucket the index parquet by ``content_hash`` to
     make them co-located). Results are identical either way.
+
+    **Reserved column name**: ``content_hash`` on ``new_docs`` is
+    always dropped and recomputed from ``text_col`` — a replayed batch
+    (e.g. this function's own kept output) may carry a stale hash, and
+    keeping it would duplicate the column in the struct expansion
+    below. A caller whose batch carries an UNRELATED column of that
+    name loses it; rename it before calling.
     """
-    # A replayed batch (e.g. this function's own kept output) may
-    # already carry content_hash; recompute it fresh — keeping the
-    # stale column would duplicate it in the struct expansion below
-    # and every later reference would be ambiguous.
-    new_docs = new_docs.drop("content_hash")
+    if "content_hash" in new_docs.columns:
+        warnings.warn(
+            "incremental_exact_dedup: dropping and recomputing the "
+            "batch's existing 'content_hash' column (reserved name)",
+            stacklevel=2,
+        )
+        new_docs = new_docs.drop("content_hash")
     row = F.struct(*[F.col(c) for c in new_docs.columns])
     batch_unique = (
         new_docs.withColumn(
