@@ -129,6 +129,9 @@ BENCH_QUERIES = FLAGSHIPS + [
     "bpe_token_counts",
     "curate_corpus_bpe",
     "incremental_exact_dedup",
+    "bpe_token_counts_large",
+    "ann_recall",
+    "video_metadata",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

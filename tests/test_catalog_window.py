@@ -63,6 +63,12 @@ LOAD_BEARING = [
     "bpe_token_counts",
     "curate_corpus_bpe",
     "incremental_exact_dedup",
+    # round-9 additions: must be driver-attested before rotating out
+    # (feature_filter / kmv_distinct rotated out — driver-green rounds
+    # 4 through 8)
+    "bpe_token_counts_large",
+    "ann_recall",
+    "video_metadata",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

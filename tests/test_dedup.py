@@ -589,13 +589,17 @@ def test_incremental_exact_dedup_replayed_batch(spark):
         "text",
         "doc_id",
     )
-    # re-ingest the kept rows (content_hash column present): all seen
-    replay = incremental_exact_dedup(
-        kept,
-        idx.unionByName(
-            kept.select("content_hash", F.col("doc_id").alias("min_id"))
-        ),
-        "text",
-        "doc_id",
-    )
+    # re-ingest the kept rows (content_hash column present): all seen,
+    # and the reserved-name drop announces itself
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="content_hash"):
+        replay = incremental_exact_dedup(
+            kept,
+            idx.unionByName(
+                kept.select("content_hash", F.col("doc_id").alias("min_id"))
+            ),
+            "text",
+            "doc_id",
+        )
     assert replay.count() == 0

@@ -167,3 +167,58 @@ def test_extract_metadata_end_to_end(spark):
         assert r["sample_rate"] == 8_000 + (i % 3) * 4_000
         assert r["n_frames"] == 50 + i % 20
         assert r["rms"] == 1_000.0 + (i % 5) * 100
+
+
+def test_mp4_roundtrip_native_tier():
+    """The stdlib ISO-BMFF generator and parser agree on every field,
+    including version-0 u32 durations, 16.16 dimensions, and extra
+    zero-dimension (audio-style) tracks."""
+    from traits_data_spark.operators.multimodal import decode_video, mp4_bytes
+
+    d = decode_video(mp4_bytes(620, 368, 240, n_extra_tracks=1))
+    assert d["format"] == "mp4" and d["decoder"] == "native"
+    assert d["duration_s"] == 0.62
+    assert (d["width"], d["height"], d["n_tracks"]) == (368, 240, 2)
+
+
+def test_decode_video_poisoned_rows_never_raise():
+    """Garbage, truncation mid-box, and null all degrade, never raise —
+    the one-poisoned-row-at-100TB contract shared by all decoders."""
+    from traits_data_spark.operators.multimodal import decode_video, mp4_bytes
+
+    assert decode_video(None)["decoder"] is None
+    assert decode_video(b"not a container")["decoder"] == "stub"
+    # valid ftyp, moov truncated: header sniff succeeds (native), the
+    # unparseable fields stay null
+    cut = decode_video(mp4_bytes(1000, 100, 100)[:40])
+    assert cut["decoder"] == "native" and cut["width"] is None
+    # size field lying beyond the buffer stops the walk cleanly
+    import struct
+
+    lying = struct.pack(">I", 1 << 30) + b"ftypisom"
+    assert decode_video(lying)["decoder"] == "stub"
+
+
+def test_extract_video_metadata_spark_path(spark):
+    """End-to-end mapInPandas: synthetic MP4s decode to the predicted
+    arithmetic fields (the catalog oracle's contract)."""
+    from traits_data_spark.operators.multimodal import (
+        extract_video_metadata,
+        synthetic_mp4_media,
+    )
+
+    ids = spark.range(30).withColumnRenamed("id", "media_id")
+    out = {
+        r["media_id"]: r
+        for r in extract_video_metadata(
+            synthetic_mp4_media(ids).select("media_id", "payload")
+        ).collect()
+    }
+    assert len(out) == 30
+    for i, r in out.items():
+        assert r["decoder"] == "native"
+        assert r["duration_s"] == (500 + (i % 100) * 40) / 1000
+        assert (r["width"], r["height"]) == (
+            320 + (i % 5) * 16, 180 + (i % 3) * 60,
+        )
+        assert r["n_tracks"] == 1 + i % 2

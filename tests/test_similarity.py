@@ -476,3 +476,26 @@ def test_ann_broadcast_hatch_parity(spark, embeddings):
             ).collect()
         }
         assert hinted == plain and hinted, fn.__name__
+
+
+def test_ann_recall_counts_hits_and_missing_queries(spark):
+    """recall@k = |approx ∩ exact| / k per query; a query the
+    approximate method misses entirely still appears with recall 0."""
+    from traits_data_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = {
+        # q1: one of two right; q2: absent (empty bucket)
+        "m": spark.createDataFrame(
+            [(1, 10), (1, 99)], "query_id long, neighbor_id long"
+        )
+    }
+    out = {
+        (r.method, r.query_id): (r.hits, r.recall_at_k)
+        for r in ann_recall(exact, approx, k=2).collect()
+    }
+    assert out[("m", 1)] == (1, 0.5)
+    assert out[("m", 2)] == (0, 0.0)

@@ -319,3 +319,67 @@ def test_bpe_distinct_words_path_parity(spark, documents):
         for r in bpe_token_counts(docs, distinct_words=True).collect()
     }
     assert inline == via_distinct and inline
+
+
+def test_bpe_table_vocab_matches_column_tokenizer(spark, documents):
+    """The pandas-UDF table-vocab tokenizer must count bit-identically
+    to the pure-column CASE-ladder tokenizer given the same piece set
+    (here the demo vocab, small enough for both shapes)."""
+    from traits_data_spark.operators.text import (
+        BPE_VOCAB,
+        bpe_token_counts,
+        bpe_token_counts_table,
+    )
+
+    docs = documents.select("doc_id", "text").limit(120)
+    inline = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_token_counts(docs, distinct_words=False).collect()
+    }
+    via_table = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_token_counts_table(docs, list(BPE_VOCAB)).collect()
+    }
+    assert inline == via_table and inline
+
+
+def test_bpe_table_vocab_loads_artifact_and_handles_nulls(spark):
+    """The committed 12k-piece parquet artifact loads, tokenizes, and
+    null/empty docs count 0; the Python greedy mirror agrees with the
+    end-to-end pipeline on a known word."""
+    from traits_data_spark.operators.text import (
+        bpe_piece_count_py,
+        bpe_token_counts_table,
+        load_bpe_vocab,
+        _piece_tables,
+    )
+
+    vocab = load_bpe_vocab(spark)
+    assert vocab.count() >= 10_000
+    df = spark.createDataFrame(
+        [(1, "customer order line"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_token_counts_table(df, vocab).collect()
+    }
+    pieces = [r[0] for r in vocab.collect()]
+    tables = _piece_tables(pieces)
+    want = sum(
+        bpe_piece_count_py(w, tables) for w in ["customer", "order", "line"]
+    )
+    assert out[1] == want and out[2] == 0 and out[3] == 0
+
+
+def test_bpe_auto_distinct_threshold():
+    """distinct_words=None auto-selects by effective vocab size."""
+    from traits_data_spark.operators.text import (
+        BPE_AUTO_DISTINCT_MIN_VOCAB,
+        BPE_VOCAB,
+        bpe_effective_vocab,
+    )
+
+    # the demo vocab stays under the threshold (inline shape keeps its
+    # zero-shuffle plan in existing callers)
+    assert len(bpe_effective_vocab(BPE_VOCAB)) <= BPE_AUTO_DISTINCT_MIN_VOCAB

@@ -72,14 +72,17 @@ from traits_data_spark.operators.multimodal import (
     extract_audio_metadata,
     extract_image_features,
     extract_image_metadata,
+    extract_video_metadata,
     frame_sample_plan,
     synthetic_media_table,
+    synthetic_mp4_media,
     synthetic_png_media,
     synthetic_wav_media,
 )
 from traits_data_spark.operators.ratings import WeightsHierarchy
 from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
+    ann_recall,
     ivf_topk_kmeans,
     kmeans_clusters,
     _hyperplanes,
@@ -100,6 +103,8 @@ from traits_data_spark.plans.curation import curate_corpus
 from traits_data_spark.operators.text import (
     bpe_effective_vocab,
     bpe_token_counts,
+    bpe_token_counts_table,
+    load_bpe_vocab,
     char_entropy,
     classifier_score,
     document_fingerprint,
@@ -113,6 +118,7 @@ from traits_data_spark.operators.text import (
     word_array,
     BPE_CAP,
     BPE_VOCAB,
+    BPE_VOCAB_LARGE_PATH,
     LANG_MARKERS,
 )
 from traits_data_spark.operators.windows import (
@@ -1877,6 +1883,85 @@ FROM r WHERE rk <= {TOPK}"""
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation (``operators.similarity.ann_recall``):
+    recall@k of the LSH-bucketed and IVF-kmeans approximate top-k
+    against brute-force cosine top-k on the same query set — the
+    grading loop that was missing while the ANN operators themselves
+    were benched. Every stage is deterministic (seeded planes,
+    hash-seeded Lloyd, neighbor_id tie-breaks), so per-query recall is
+    hash-checked against a DuckDB oracle that recomputes all four
+    top-k sets. Single-table LSH at 6 planes is honestly terrible here
+    (recall 0.02 — 64 buckets over ~1k vectors prune almost every true
+    neighbor); the multiprobe and IVF rows quantify what the extra
+    candidate generation buys, which is exactly the trade an index
+    deployment tunes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_PRED))
+    exact = cosine_topk_bruteforce(emb, q, id_col="vec_id", k=TOPK)
+    approx = {
+        "lsh": lsh_bucketed_topk(
+            emb, q, dim=EMB_DIM, id_col="vec_id", k=TOPK, n_planes=N_PLANES
+        ),
+        "lsh_multiprobe": lsh_topk_multiprobe(
+            emb,
+            q,
+            dim=EMB_DIM,
+            k=TOPK,
+            n_planes=N_PLANES,
+            n_tables=MULTIPROBE_TABLES,
+        ),
+        "ivf_kmeans": ivf_topk_kmeans(
+            emb,
+            q,
+            k=TOPK,
+            n_centroids=KMEANS_K,
+            n_iter=KMEANS_ITER,
+            n_probe=IVF_KMEANS_PROBE,
+            scale=IVF_SCALE,
+        ),
+    }
+    return ann_recall(exact, approx, k=TOPK)
+
+
+def _ann_recall_sql() -> str:
+    # reuse the three attested top-k oracles verbatim as derived
+    # tables; recall is then pure counting over their (query, neighbor)
+    # pairs. hits/k divisions of identical doubles are bit-identical
+    # across engines.
+    def method_ctes(name: str) -> str:
+        return f"""
+h_{name} AS (
+  SELECT e.query_id, count(*) AS hits
+  FROM exact e JOIN {name} a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+r_{name} AS (
+  SELECT '{name}' AS method, qs.query_id,
+         CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         round(CAST(coalesce(h.hits, 0) AS DOUBLE) / {float(TOPK)}, 6)
+           + 0.0 AS recall_at_k
+  FROM qs LEFT JOIN h_{name} h USING (query_id)
+)"""
+
+    return f"""
+WITH
+exact AS (SELECT query_id, neighbor_id FROM ({_COSINE_SQL})),
+lsh AS (SELECT query_id, neighbor_id FROM ({_lsh_topk_sql()})),
+lsh_multiprobe AS (
+  SELECT query_id, neighbor_id FROM ({_lsh_multiprobe_sql()})),
+ivf_kmeans AS (SELECT query_id, neighbor_id FROM ({_ivf_kmeans_sql()})),
+qs AS (SELECT DISTINCT query_id FROM exact),
+{method_ctes('ivf_kmeans')},
+{method_ctes('lsh')},
+{method_ctes('lsh_multiprobe')}
+SELECT * FROM r_ivf_kmeans
+UNION ALL SELECT * FROM r_lsh
+UNION ALL SELECT * FROM r_lsh_multiprobe
+"""
+
+
 def _ivf_sql() -> str:
     bucket = _bucket_sql("vec", IVF_PLANES, IVF_SEED)
     return f"""
@@ -2518,6 +2603,70 @@ d AS (
 ),
 words AS (SELECT DISTINCT unnest(wl) AS w FROM d),
 {_bpe_tok_ctes('words')},
+occ AS (SELECT doc_id, unnest(wl) AS w FROM d),
+bpe AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS bpe_tokens
+        FROM occ JOIN wtok USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.wl) AS BIGINT) AS ws_tokens,
+       coalesce(b.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
+FROM d LEFT JOIN bpe b USING (doc_id)
+"""
+
+
+def q_bpe_token_counts_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counting against the PRODUCTION-scale piece table
+    (``operators.text.bpe_token_counts_table``): the 12k-piece parquet
+    vocab artifact is broadcast as length-bucketed hash sets and each
+    DISTINCT word is tokenized once by an Arrow-batched pandas UDF —
+    the shape a real model tokenizer takes at 100 TB, vs the
+    plan-literal CASE ladder of ``bpe_token_counts``. The DuckDB
+    oracle recomputes every count from the same parquet artifact with
+    a length-bucketed candidate join + recursive greedy advance, so
+    the Python tokenizer is hash-checked end to end."""
+    docs = _docs_wide(spark, sf_dir)
+    vocab = load_bpe_vocab(spark)
+    return bpe_token_counts_table(token_counts(docs), vocab).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def _bpe_token_large_sql() -> str:
+    # max piece length in the artifact is 8 (see tools/build_bpe_vocab)
+    max_len = 8
+    return rf"""
+WITH RECURSIVE
+vocab AS (
+  SELECT DISTINCT piece FROM read_parquet('{BPE_VOCAB_LARGE_PATH}')
+  WHERE length(piece) >= 2
+),
+d AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+words AS (SELECT DISTINCT unnest(wl) AS w FROM d),
+wpos AS (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM words),
+cand AS (
+  SELECT wp.w, wp.p, max(l.len) AS mlen
+  FROM wpos wp
+  CROSS JOIN (SELECT unnest(range(2, {max_len + 1})) AS len) l
+  JOIN vocab v
+    ON length(v.piece) = l.len AND v.piece = substr(wp.w, wp.p, l.len)
+  GROUP BY wp.w, wp.p
+),
+adv AS (
+  SELECT wp.w, wp.p, coalesce(c.mlen, 1) AS step
+  FROM wpos wp LEFT JOIN cand c ON c.w = wp.w AND c.p = wp.p
+),
+tok(w, pos, cnt, i) AS (
+  SELECT w, 1, 0, 0 FROM words
+  UNION ALL
+  SELECT t.w, t.pos + a.step, t.cnt + 1, t.i + 1
+  FROM tok t JOIN adv a ON a.w = t.w AND a.p = t.pos
+  WHERE t.pos <= length(t.w) AND t.i < {BPE_CAP}
+),
+wtok AS (SELECT w, max_by(cnt + greatest(length(w) - pos + 1, 0), i) AS t
+         FROM tok GROUP BY w),
 occ AS (SELECT doc_id, unnest(wl) AS w FROM d),
 bpe AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS bpe_tokens
         FROM occ JOIN wtok USING (w) GROUP BY doc_id)
@@ -3766,6 +3915,37 @@ FROM supplier
 """
 
 
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video-container decode, hash-checked: minimal spec-valid
+    MP4s (ftyp + moov/mvhd + trak/tkhd, stdlib-built) are generated
+    executor-side with known parameters and parsed back by the native
+    ISO-BMFF tier (``operators.multimodal.decode_video``); the oracle
+    predicts duration/width/height/track-count arithmetically — if the
+    box walker breaks, the hash diverges. Frame/pixel decode needs a
+    codec library (absent here); container metadata is what partition
+    planning and ``frame_sample_plan`` consume."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("media_id")
+    )
+    media = synthetic_mp4_media(sup)
+    return extract_video_metadata(media.select("media_id", "payload")).select(
+        "media_id", "format", "duration_s", "width", "height",
+        "n_tracks", "decoder",
+    )
+
+
+_VIDEO_META_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS media_id,
+       'mp4' AS format,
+       CAST(500 + (s_suppkey % 100) * 40 AS DOUBLE) / 1000.0 AS duration_s,
+       CAST(320 + (s_suppkey % 5) * 16 AS INT) AS width,
+       CAST(180 + (s_suppkey % 3) * 60 AS INT) AS height,
+       CAST(1 + s_suppkey % 2 AS INT) AS n_tracks,
+       'native' AS decoder
+FROM supplier
+"""
+
+
 def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio decode, hash-checked: real 16-bit PCM WAVs (square
     wave ⇒ RMS equals the amplitude exactly) generated executor-side,
@@ -4543,9 +4723,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "bpe_token_counts": q_bpe_token_counts,
     "curate_corpus_bpe": q_curate_corpus_bpe,
     "incremental_exact_dedup": q_incremental_exact_dedup,
+    # -- new round 9: production-vocab BPE, ANN recall eval, video meta ----
+    "bpe_token_counts_large": q_bpe_token_counts_large,
+    "ann_recall": q_ann_recall,
+    "video_metadata": q_video_metadata,
     # -- judge-only in round 4 (outside the old window) --------------------
-    "feature_filter": q_feature_filter,
-    "kmv_distinct": q_kmv_distinct,
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
@@ -4583,6 +4765,9 @@ QUERIES: Mapping[str, QueryFn] = {
     "json_props": q_json_props,
     "hash_split": q_hash_split,
     "percentile_profile": q_percentile_profile,
+    # rotated out round 9 (driver-green rounds 4 through 8):
+    "feature_filter": q_feature_filter,
+    "kmv_distinct": q_kmv_distinct,
     # rotated out round 8 (driver-green rounds 6 AND 7):
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
@@ -4678,6 +4863,8 @@ def oracle_sqls() -> dict[str, str]:
         "curate_corpus": _curate_corpus_sql(),
         "curate_corpus_bpe": _curate_corpus_sql(bpe=True),
         "bpe_token_counts": _bpe_token_sql(),
+        "bpe_token_counts_large": _bpe_token_large_sql(),
+        "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
@@ -4756,6 +4943,7 @@ def oracle_sqls() -> dict[str, str]:
         "training_prep": _training_prep_sql(),
         "frame_samples": _FRAME_SQL,
         "image_metadata": _IMAGE_META_SQL,
+        "video_metadata": _VIDEO_META_SQL,
         "audio_metadata": _AUDIO_META_SQL,
         "split_contamination": _split_contamination_sql(),
     }

@@ -536,6 +536,146 @@ def png_bytes(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("sha256", StringType()),
+        StructField("format", StringType()),
+        StructField("duration_s", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+_NULL_VIDEO_META = {
+    "byte_len": None,
+    "sha256": None,
+    "format": None,
+    "duration_s": None,
+    "width": None,
+    "height": None,
+    "n_tracks": None,
+    "decoder": None,
+}
+
+
+def _iter_mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield ``(type, payload_start, payload_end)`` for each ISO-BMFF
+    box in ``buf[start:end]``; tolerates 64-bit largesize boxes and
+    stops (rather than raises) on a malformed size."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos : pos + 4])[0]
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _parse_mp4(payload: bytes) -> dict | None:
+    """ISO-BMFF (MP4/MOV): walk top-level boxes to ``moov``; ``mvhd``
+    holds the movie timescale + duration (u32 in version 0, u64 in
+    version 1), each ``trak``'s ``tkhd`` holds width/height as 16.16
+    fixed-point. Returns the first non-zero track dimensions (video
+    tracks; audio tracks carry 0×0)."""
+    if len(payload) < 16:
+        return None
+    # an MP4 need not start with ftyp, but for header sniffing we
+    # require it (same strictness as the PNG/JPEG/GIF signatures)
+    head = list(_iter_mp4_boxes(payload, 0, len(payload)))
+    if not head or head[0][0] != b"ftyp":
+        return None
+    meta: dict = {"format": "mp4", "duration_s": None, "width": None,
+                  "height": None, "n_tracks": 0}
+    for btype, s, e in head:
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _iter_mp4_boxes(payload, s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                version = payload[cs]
+                if version == 1 and ce - cs >= 28:
+                    timescale = struct.unpack(">I", payload[cs + 20 : cs + 24])[0]
+                    duration = struct.unpack(">Q", payload[cs + 24 : cs + 32])[0]
+                else:
+                    timescale = struct.unpack(">I", payload[cs + 12 : cs + 16])[0]
+                    duration = struct.unpack(">I", payload[cs + 16 : cs + 20])[0]
+                if timescale > 0:
+                    meta["duration_s"] = duration / timescale
+            elif ctype == b"trak":
+                meta["n_tracks"] += 1
+                for ttype, ts, te in _iter_mp4_boxes(payload, cs, ce):
+                    if ttype == b"tkhd" and te - ts >= 8:
+                        w16, h16 = struct.unpack(">II", payload[te - 8 : te])
+                        w, h = w16 >> 16, h16 >> 16
+                        if w and h and meta["width"] is None:
+                            meta["width"], meta["height"] = w, h
+        return meta
+    return meta
+
+
+def decode_video(payload: bytes | None) -> dict:
+    """Tiered video metadata decode, same contract as ``decode_image``:
+    never raises (a poisoned row must not kill an executor), always
+    returns the full ``VIDEO_META_SCHEMA`` value dict, and records the
+    producing tier in ``decoder`` ('native' — stdlib ISO-BMFF parse —
+    or 'stub'). Frame/pixel access needs a codec library (PyAV/ffmpeg,
+    absent in this container) — this kernel reads CONTAINER metadata
+    only, which is exactly what partition planning, duration budgeting,
+    and ``frame_sample_plan`` need."""
+    if payload is None:
+        return dict(_NULL_VIDEO_META)
+    base = {
+        "byte_len": len(payload),
+        "sha256": hashlib.sha256(payload).hexdigest(),
+    }
+    try:
+        meta = _parse_mp4(payload)
+    except Exception:  # malformed container mid-parse
+        meta = None
+    if meta is not None:
+        return {**base, **meta, "decoder": "native"}
+    return {
+        **base,
+        "format": None,
+        "duration_s": None,
+        "width": None,
+        "height": None,
+        "n_tracks": None,
+        "decoder": "stub",
+    }
+
+
+def extract_video_metadata(df: DataFrame) -> DataFrame:
+    """mapInPandas over binary video rows using the tiered decoder —
+    the same narrow Arrow-batched shape as ``extract_image_metadata``
+    (only ``media_id`` + ``payload`` move through Python)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_video)
+            out = pd.DataFrame({"media_id": pdf["media_id"]})
+            for field in (
+                "byte_len", "sha256", "format", "duration_s", "width",
+                "height", "n_tracks", "decoder",
+            ):
+                out[field] = feats.map(lambda d, f=field: d[f])
+            yield out
+
+    return df.mapInPandas(_extract, schema=VIDEO_META_SCHEMA)
+
+
 def wav_bytes(
     sample_rate: int = 8_000, n_frames: int = 100, amplitude: int = 1_000
 ) -> bytes:
@@ -556,6 +696,89 @@ def wav_bytes(
             )
         )
     return buf.getvalue()
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + tag + payload
+
+
+def mp4_bytes(
+    duration_ms: int,
+    width: int,
+    height: int,
+    timescale: int = 1_000,
+    n_extra_tracks: int = 0,
+) -> bytes:
+    """A minimal spec-valid ISO-BMFF container built with only the
+    stdlib: ``ftyp`` + ``moov`` holding a version-0 ``mvhd`` (movie
+    timescale/duration) and one video ``trak``/``tkhd`` (16.16
+    fixed-point width/height), plus ``n_extra_tracks`` zero-dimension
+    (audio-style) tracks. No media data — metadata-complete is all the
+    native tier reads, and tests/oracles can predict every field
+    arithmetically. Deterministic in its arguments (mirror of
+    ``png_bytes``/``wav_bytes``)."""
+    duration = duration_ms * timescale // 1_000
+    matrix = struct.pack(
+        ">9I", 0x0001_0000, 0, 0, 0, 0x0001_0000, 0, 0, 0, 0x4000_0000
+    )
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags 0
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">IHH", 0x0001_0000, 0x0100, 0)  # rate, volume, rsvd
+        + b"\x00" * 8  # reserved
+        + matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2 + n_extra_tracks),  # next_track_ID
+    )
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return _mp4_box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, track_id, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/rsvd
+            + matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    traks = _mp4_box(b"trak", tkhd(1, width, height))
+    for i in range(n_extra_tracks):
+        traks += _mp4_box(b"trak", tkhd(2 + i, 0, 0))
+    return (
+        _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        + _mp4_box(b"moov", mvhd + traks)
+    )
+
+
+def synthetic_mp4_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Attach a real MP4 payload per row, executor-side: duration
+    ``500 + (id % 100) * 40`` ms at timescale 1000, width
+    ``320 + (id % 5) * 16``, height ``180 + (id % 3) * 60``, plus
+    ``id % 2`` extra zero-dimension (audio-style) tracks."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": ids.map(
+                        lambda i: mp4_bytes(
+                            duration_ms=500 + (i % 100) * 40,
+                            width=320 + (i % 5) * 16,
+                            height=180 + (i % 3) * 60,
+                            n_extra_tracks=int(i % 2),
+                        )
+                    ),
+                    "mime": "video/mp4",
+                }
+            )
+
+    return df.mapInPandas(_gen, schema=MEDIA_GEN_SCHEMA)
 
 
 MEDIA_GEN_SCHEMA = StructType(

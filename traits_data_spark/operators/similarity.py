@@ -1073,3 +1073,58 @@ def ivf_topk_kmeans(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx_by_method: dict[str, DataFrame],
+    k: int,
+) -> DataFrame:
+    """Recall@k of each approximate top-k method against the exact
+    brute-force top-k on the same query set — the evaluation loop every
+    ANN deployment needs before trusting an index (FAISS's standard
+    metric). Deterministic given deterministic inputs (both sides
+    break cosine ties on neighbor_id), hence fully oracle-able.
+
+    Inputs are ``(query_id, neighbor_id, ...)`` top-k frames as
+    produced by ``cosine_topk_bruteforce`` / ``lsh_bucketed_topk`` /
+    ``ivf_topk_kmeans``. Output: one row per (method, query) —
+    ``(method, query_id, hits, recall_at_k)`` with
+    ``recall = hits / k``. Queries an approximate method misses
+    entirely (empty LSH bucket) still appear, with recall 0 — macro
+    averages over this frame are honest.
+
+    Scale shape: the exact top-k is |Q|·k rows — persisted once and
+    reused for every method, so the |Q|·|C| brute-force scan behind it
+    runs exactly once; each per-method join is a broadcast of bounded
+    evaluation frames. The expensive parts (the top-k computations
+    themselves) are the INPUTS, not this operator.
+    """
+    exact_pairs = exact.select("query_id", "neighbor_id").persist()
+    base = exact_pairs.select("query_id").distinct()
+    outs = []
+    for method in sorted(approx_by_method):
+        hits = (
+            exact_pairs.join(
+                approx_by_method[method].select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        got = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+        outs.append(
+            base.join(hits, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                got.alias("hits"),
+                (
+                    F.round(got.cast("double") / F.lit(float(k)), 6)
+                    + F.lit(0.0)
+                ).alias("recall_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -10,8 +10,10 @@ so correctness oracles can recompute them exactly.
 from __future__ import annotations
 
 import math
+import os
 from typing import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -338,6 +340,14 @@ def bpe_piece_count(
     )
 
 
+# Auto-select threshold for bpe_token_counts(distinct_words=None):
+# above this many effective pieces the O(|vocab|) per-char literal
+# probe of the inline shape costs more than the distinct-word shape's
+# three exchanges (measured crossover is corpus-dependent; the demo
+# ~100-piece vocab stays inline, any production vocab flips).
+BPE_AUTO_DISTINCT_MIN_VOCAB = 256
+
+
 def bpe_token_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -345,7 +355,7 @@ def bpe_token_counts(
     cap: int = BPE_CAP,
     out_col: str = "bpe_tokens",
     id_col: str = "doc_id",
-    distinct_words: bool = False,
+    distinct_words: bool | None = None,
 ) -> DataFrame:
     """Append a subword token count per document — the model-tokenizer
     unit every token-budgeted stage (packing, mixture planning,
@@ -369,7 +379,17 @@ def bpe_token_counts(
       word-keyed join is skewed by nature; AQE skew-join handles it,
       and the distinct-word side is typically small enough to
       broadcast.
+
+    ``distinct_words=None`` (default) auto-selects: inline for small
+    vocabs, distinct-word once the effective vocab exceeds
+    ``BPE_AUTO_DISTINCT_MIN_VOCAB`` pieces (the probe cost is
+    plan-time-known via the vocab size; corpus size only sharpens the
+    same choice). Both shapes produce identical counts.
     """
+    if distinct_words is None:
+        distinct_words = (
+            len(bpe_effective_vocab(vocab)) > BPE_AUTO_DISTINCT_MIN_VOCAB
+        )
     warr = F.filter(
         F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
     )
@@ -386,6 +406,122 @@ def bpe_token_counts(
         words.select("__w")
         .distinct()
         .withColumn("__t", bpe_piece_count(F.col("__w"), vocab, cap))
+    )
+    sums = (
+        words.join(wcounts, "__w")
+        .groupBy(id_col)
+        .agg(F.sum("__t").cast("long").alias(out_col))
+    )
+    return df.join(sums, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
+    )
+
+
+# Committed production-scale piece table (parquet, one ``piece``
+# column, 12k pieces) — see tools/build_bpe_vocab.py for provenance.
+BPE_VOCAB_LARGE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "bpe_vocab_large.parquet",
+)
+
+
+def load_bpe_vocab(spark, path: str = BPE_VOCAB_LARGE_PATH) -> DataFrame:
+    """Load a tokenizer piece table (parquet with a ``piece`` VARCHAR
+    column). The vocab is a model artifact of bounded size (tens of
+    thousands of pieces, a few MB) — it does NOT grow with the corpus,
+    so collecting and broadcasting it is the same contract as a
+    broadcast-dim join."""
+    return spark.read.parquet(path)
+
+
+def _piece_tables(
+    pieces: Sequence[str],
+) -> list[tuple[int, frozenset[str]]]:
+    """Length-bucketed piece sets, longest first — greedy longest-match
+    probes O(#distinct-lengths) hash lookups per position instead of
+    O(|vocab|) comparisons."""
+    by_len: dict[int, set[str]] = {}
+    for p in dict.fromkeys(pieces):
+        if len(p) >= 2:  # single chars are the implicit fallback
+            by_len.setdefault(len(p), set()).add(p)
+    return [
+        (ln, frozenset(by_len[ln])) for ln in sorted(by_len, reverse=True)
+    ]
+
+
+def bpe_piece_count_py(
+    word: str, tables: list[tuple[int, frozenset[str]]], cap: int = BPE_CAP
+) -> int:
+    """Python mirror of ``bpe_piece_count``'s exact semantics (greedy
+    longest-match, at most ``cap`` greedy steps, one token per
+    remaining char past the cap) over length-bucketed piece sets."""
+    L = len(word)
+    pos = 0
+    cnt = 0
+    steps = 0
+    while pos < L and steps < cap:
+        m = 1
+        for ln, pieces in tables:
+            if ln <= L - pos and word[pos : pos + ln] in pieces:
+                m = ln
+                break
+        cnt += 1
+        pos += m
+        steps += 1
+    return cnt + (L - pos)
+
+
+def bpe_token_counts_table(
+    df: DataFrame,
+    vocab: DataFrame | Sequence[str],
+    text_col: str = "text",
+    cap: int = BPE_CAP,
+    out_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``bpe_token_counts`` for PRODUCTION vocabularies loaded from a
+    piece table (``load_bpe_vocab``): greedy longest-match subword
+    counts where the vocab is data, not plan literals.
+
+    Execution shape (always distinct-word — the only sane shape at
+    this vocab size): the piece table is collected once (bounded model
+    artifact) into length-bucketed hash sets and broadcast to every
+    executor; the corpus explodes to words, each DISTINCT word is
+    tokenized exactly once by an Arrow-batched pandas UDF
+    (O(#lengths) set probes per char — ~7 probes vs 12,000 literal
+    comparisons for the inline CASE-ladder, which would also blow the
+    codegen method-size limit at this vocab size), counts join back
+    word-keyed, and a final per-doc sum restores the input grain.
+    Zipf does the heavy lifting: "the" is tokenized once, not 10^9
+    times. The word join is skew-prone by the same Zipf argument — AQE
+    skew-join splits the hot word keys, and the distinct-word side
+    broadcasts when small.
+
+    Counts are bit-identical to ``bpe_token_counts`` given the same
+    piece set (property-tested), and the DuckDB oracle reproduces them
+    from the same parquet artifact via a recursive CTE.
+    """
+    if isinstance(vocab, DataFrame):
+        pieces = [r[0] for r in vocab.select("piece").collect()]
+    else:
+        pieces = list(vocab)
+    tables = _piece_tables(pieces)
+    bc = df.sparkSession.sparkContext.broadcast(tables)
+
+    @F.pandas_udf("long")
+    def _tok(words: pd.Series) -> pd.Series:
+        t = bc.value
+        return words.map(lambda w: bpe_piece_count_py(w, t, cap)).astype(
+            "int64"
+        )
+
+    warr = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
+    )
+    words = df.select(F.col(id_col), F.explode(warr).alias("__w"))
+    wcounts = (
+        words.select("__w").distinct().withColumn("__t", _tok(F.col("__w")))
     )
     sums = (
         words.join(wcounts, "__w")
