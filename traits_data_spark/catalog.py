@@ -1895,8 +1895,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall 0.02 — 64 buckets over ~1k vectors prune almost every true
     neighbor); the multiprobe and IVF rows quantify what the extra
     candidate generation buys, which is exactly the trade an index
-    deployment tunes."""
-    emb = _t(spark, sf_dir, "embeddings")
+    deployment tunes.
+
+    The eval corpus is persisted ONCE and shared by all four top-k
+    pipelines — without the barrier each method re-scans the
+    embeddings source (10 scans total; the audit gate rightly flags
+    it). At 100 TB an ANN eval runs on a sampled slice, which is
+    exactly what this persist holds."""
+    emb = _t(spark, sf_dir, "embeddings").persist()
     q = emb.filter(F.expr(_QUERY_PRED))
     exact = cosine_topk_bruteforce(emb, q, id_col="vec_id", k=TOPK)
     approx = {
