@@ -499,3 +499,73 @@ def test_ann_recall_counts_hits_and_missing_queries(spark):
     }
     assert out[("m", 1)] == (1, 0.5)
     assert out[("m", 2)] == (0, 0.0)
+
+
+def test_probe_masks_enumerate_hamming_ball():
+    from traits_data_spark.operators.similarity import probe_masks
+
+    masks = probe_masks(5, 2)
+    # C(5,0) + C(5,1) + C(5,2) = 1 + 5 + 10
+    assert len(masks) == 16
+    assert len(set(masks)) == 16
+    assert all(bin(m).count("1") <= 2 and m < 32 for m in masks)
+    assert probe_masks(8, 0) == [0]
+
+
+def test_multiprobe_bits_recall_monotone_and_subset(spark, embeddings):
+    """Bit-flip probing only ADDS candidates: the probed result's
+    recall dominates the unprobed one at the same planes/tables, and
+    every scored pair is a genuine pair (scores match brute force)."""
+    from traits_data_spark.operators.similarity import lsh_topk_multiprobe
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(embeddings, queries, id_col="vec_id", k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    plain = lsh_topk_multiprobe(
+        embeddings, queries, dim=64, k=5, n_planes=12, n_tables=2
+    )
+    probed = lsh_topk_multiprobe(
+        embeddings, queries, dim=64, k=5, n_planes=12, n_tables=2,
+        probe_bits=2,
+    )
+    r_plain = len(
+        {(r["query_id"], r["neighbor_id"]) for r in plain.collect()} & truth
+    ) / len(truth)
+    r_probed = len(
+        {(r["query_id"], r["neighbor_id"]) for r in probed.collect()} & truth
+    ) / len(truth)
+    assert r_probed >= r_plain
+    assert r_probed > 0.0
+    # probed scores are genuine cosines (subset of exhaustive pairs)
+    all_pairs = cosine_topk_bruteforce(
+        embeddings, queries, id_col="vec_id", k=10_000
+    )
+    e = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in all_pairs.collect()
+    }
+    p = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in probed.collect()
+    }
+    assert p <= e
+
+
+def test_ivf_precomputed_centroids_match_inline_fit(spark, embeddings):
+    """Passing a kmeans_fit result reproduces the inline-fit output
+    exactly — the index-reuse path a deployment sweeps n_probe with."""
+    from traits_data_spark.operators.similarity import (
+        ivf_topk_kmeans,
+        kmeans_fit,
+    )
+
+    emb = embeddings.limit(200).cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = ivf_topk_kmeans(emb, queries, k=5, n_centroids=8, n_probe=3)
+    cents = kmeans_fit(emb, k=8, n_iter=2)
+    reused = ivf_topk_kmeans(
+        emb, queries, k=5, n_probe=3, centroids=cents
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, reused.collect())
+    )

@@ -85,6 +85,8 @@ from traits_data_spark.operators.similarity import (
     ann_recall,
     ivf_topk_kmeans,
     kmeans_clusters,
+    kmeans_fit,
+    probe_masks,
     _hyperplanes,
     cosine_topk_bruteforce,
     cosine_topk_quantized,
@@ -1717,6 +1719,60 @@ SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= {TOPK}
 """
 
 
+def _lsh_multiprobe_probed_sql(
+    n_planes: int, n_tables: int, probe_bits: int
+) -> str:
+    """Oracle for ``lsh_topk_multiprobe(probe_bits>0)``: per-table
+    signatures from a planes VALUES table (each plane literal written
+    once — 16 planes x 8 tables would otherwise repeat 256 CASE
+    chains), then the query side expands each signature by XOR with
+    every Hamming-<=probe_bits mask, exactly like the Spark operator's
+    broadcast mask frame."""
+    plane_rows = ", ".join(
+        f"({t}, {i}, ["
+        + ", ".join(repr(x) for x in p)
+        + "]::DOUBLE[])"
+        for t in range(n_tables)
+        for i, p in enumerate(_hyperplanes(EMB_DIM, n_planes, 42 + t))
+    )
+    masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_bits))
+    return f"""
+WITH planes AS (
+  SELECT * FROM (VALUES {plane_rows}) AS pl(t, i, p)
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+sig AS (
+  SELECT v.vec_id, pl.t,
+         CAST(SUM(CASE WHEN list_dot_product(v.vec, pl.p) > 0
+                       THEN (CAST(1 AS BIGINT) << pl.i)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes pl GROUP BY v.vec_id, pl.t
+),
+masks AS (SELECT unnest([{masks}]::BIGINT[]) AS mask),
+probes AS (
+  SELECT s.vec_id AS query_id, s.t, xor(s.bucket, m.mask) AS bucket
+  FROM sig s CROSS JOIN masks m
+  WHERE s.vec_id IN (SELECT vec_id FROM embeddings WHERE {_QUERY_PRED})
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN sig c ON c.t = p.t AND c.bucket = p.bucket
+  WHERE c.vec_id != p.query_id
+),
+s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(qv.vec, cv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec))
+                  * sqrt(list_dot_product(cv.vec, cv.vec))), 6) + 0.0 AS cosine
+  FROM cand JOIN v cv ON cand.neighbor_id = cv.vec_id
+            JOIN v qv ON cand.query_id = qv.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= {TOPK}
+"""
+
+
 IVF_PLANES = 4  # 16 cells
 IVF_PROBE = 4
 IVF_SEED = 7
@@ -1883,6 +1939,23 @@ FROM r WHERE rk <= {TOPK}"""
     )
 
 
+# Tuned ANN operating point (round 10): the round-9 ann_recall eval
+# proved the shipped presets undeployable (recall@5 = 0.02 single-table
+# / 0.12 multi-table / 0.52 IVF). tools/tune_ann.py swept the knobs
+# with an exact numpy replica of the Spark math on the sf0.1 eval
+# corpus (near-isotropic synthetic embeddings — the hard case for any
+# sublinear index): bit-flip multi-probe (Lv et al., VLDB'07) at
+# planes=16 / tables=12 / probe_bits=4 reaches recall@5 = 0.944 at
+# sf0.1 (100 queries) and 0.80 on the tiny sf0.01 10-query eval,
+# scoring ~40% of the corpus — with a ~3x smaller corpus-side index
+# than the best plain multi-table point (32 tables, 41% scored, 0.83).
+# The full recall-vs-cost ladder lives in SCALE.md (round 10).
+ANN_TUNED_PLANES = 16
+ANN_TUNED_TABLES = 12
+ANN_TUNED_PROBE_BITS = 4
+IVF_TUNED_PROBE = 6  # 8 centroids, probe 6 -> recall 0.92 (ladder)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index evaluation (``operators.similarity.ann_recall``):
     recall@k of the LSH-bucketed and IVF-kmeans approximate top-k
@@ -1890,21 +1963,27 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     grading loop that was missing while the ANN operators themselves
     were benched. Every stage is deterministic (seeded planes,
     hash-seeded Lloyd, neighbor_id tie-breaks), so per-query recall is
-    hash-checked against a DuckDB oracle that recomputes all four
+    hash-checked against a DuckDB oracle that recomputes all six
     top-k sets. Single-table LSH at 6 planes is honestly terrible here
     (recall 0.02 — 64 buckets over ~1k vectors prune almost every true
     neighbor); the multiprobe and IVF rows quantify what the extra
     candidate generation buys, which is exactly the trade an index
-    deployment tunes.
+    deployment tunes. The round-10 ``*_tuned`` rows grade the shipped
+    deployable presets (``ANN_TUNED_*``: bit-flip multi-probe LSH;
+    ``IVF_TUNED_PROBE``) found by the tools/tune_ann.py sweep.
 
-    The eval corpus is persisted ONCE and shared by all four top-k
+    The eval corpus is persisted ONCE and shared by all top-k
     pipelines — without the barrier each method re-scans the
     embeddings source (10 scans total; the audit gate rightly flags
-    it). At 100 TB an ANN eval runs on a sampled slice, which is
-    exactly what this persist holds."""
+    it); likewise the two IVF probe depths share ONE kmeans fit via
+    the precomputed-centroids path. At 100 TB an ANN eval runs on a
+    sampled slice, which is exactly what this persist holds."""
     emb = _t(spark, sf_dir, "embeddings").persist()
     q = emb.filter(F.expr(_QUERY_PRED))
     exact = cosine_topk_bruteforce(emb, q, id_col="vec_id", k=TOPK)
+    centroids = kmeans_fit(
+        emb, k=KMEANS_K, n_iter=KMEANS_ITER, scale=IVF_SCALE
+    )
     approx = {
         "lsh": lsh_bucketed_topk(
             emb, q, dim=EMB_DIM, id_col="vec_id", k=TOPK, n_planes=N_PLANES
@@ -1917,14 +1996,30 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_planes=N_PLANES,
             n_tables=MULTIPROBE_TABLES,
         ),
+        "lsh_multiprobe_tuned": lsh_topk_multiprobe(
+            emb,
+            q,
+            dim=EMB_DIM,
+            k=TOPK,
+            n_planes=ANN_TUNED_PLANES,
+            n_tables=ANN_TUNED_TABLES,
+            probe_bits=ANN_TUNED_PROBE_BITS,
+        ),
         "ivf_kmeans": ivf_topk_kmeans(
             emb,
             q,
             k=TOPK,
-            n_centroids=KMEANS_K,
-            n_iter=KMEANS_ITER,
             n_probe=IVF_KMEANS_PROBE,
             scale=IVF_SCALE,
+            centroids=centroids,
+        ),
+        "ivf_kmeans_tuned": ivf_topk_kmeans(
+            emb,
+            q,
+            k=TOPK,
+            n_probe=IVF_TUNED_PROBE,
+            scale=IVF_SCALE,
+            centroids=centroids,
         ),
     }
     return ann_recall(exact, approx, k=TOPK)
@@ -1957,14 +2052,24 @@ exact AS (SELECT query_id, neighbor_id FROM ({_COSINE_SQL})),
 lsh AS (SELECT query_id, neighbor_id FROM ({_lsh_topk_sql()})),
 lsh_multiprobe AS (
   SELECT query_id, neighbor_id FROM ({_lsh_multiprobe_sql()})),
+lsh_multiprobe_tuned AS (
+  SELECT query_id, neighbor_id FROM ({_lsh_multiprobe_probed_sql(
+      ANN_TUNED_PLANES, ANN_TUNED_TABLES, ANN_TUNED_PROBE_BITS)})),
 ivf_kmeans AS (SELECT query_id, neighbor_id FROM ({_ivf_kmeans_sql()})),
+ivf_kmeans_tuned AS (
+  SELECT query_id, neighbor_id FROM ({_ivf_kmeans_sql(
+      n_probe=IVF_TUNED_PROBE)})),
 qs AS (SELECT DISTINCT query_id FROM exact),
 {method_ctes('ivf_kmeans')},
+{method_ctes('ivf_kmeans_tuned')},
 {method_ctes('lsh')},
-{method_ctes('lsh_multiprobe')}
+{method_ctes('lsh_multiprobe')},
+{method_ctes('lsh_multiprobe_tuned')}
 SELECT * FROM r_ivf_kmeans
+UNION ALL SELECT * FROM r_ivf_kmeans_tuned
 UNION ALL SELECT * FROM r_lsh
 UNION ALL SELECT * FROM r_lsh_multiprobe
+UNION ALL SELECT * FROM r_lsh_multiprobe_tuned
 """
 
 
@@ -2637,14 +2742,16 @@ def q_bpe_token_counts_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_token_large_sql() -> str:
-    # max piece length in the artifact is 8 (see tools/build_bpe_vocab)
-    max_len = 8
+    # derive the max piece length from the artifact itself so a vocab
+    # rebuilt with a different MAX_LEN can never desync the oracle
+    # from the Spark tokenizer (which probes every length present)
     return rf"""
 WITH RECURSIVE
 vocab AS (
   SELECT DISTINCT piece FROM read_parquet('{BPE_VOCAB_LARGE_PATH}')
   WHERE length(piece) >= 2
 ),
+vlen AS (SELECT max(length(piece)) AS max_len FROM vocab),
 d AS (
   SELECT doc_id,
     list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
@@ -2655,7 +2762,7 @@ wpos AS (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM words),
 cand AS (
   SELECT wp.w, wp.p, max(l.len) AS mlen
   FROM wpos wp
-  CROSS JOIN (SELECT unnest(range(2, {max_len + 1})) AS len) l
+  CROSS JOIN (SELECT unnest(range(2, (SELECT max_len FROM vlen) + 1)) AS len) l
   JOIN vocab v
     ON length(v.piece) = l.len AND v.piece = substr(wp.w, wp.p, l.len)
   GROUP BY wp.w, wp.p

@@ -605,7 +605,7 @@ def _parse_mp4(payload: bytes) -> dict | None:
         for ctype, cs, ce in _iter_mp4_boxes(payload, s, e):
             if ctype == b"mvhd" and ce - cs >= 20:
                 version = payload[cs]
-                if version == 1 and ce - cs >= 28:
+                if version == 1 and ce - cs >= 32:
                     timescale = struct.unpack(">I", payload[cs + 20 : cs + 24])[0]
                     duration = struct.unpack(">Q", payload[cs + 24 : cs + 32])[0]
                 else:

@@ -19,6 +19,8 @@ expression.
 from __future__ import annotations
 
 import random
+from itertools import combinations
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -546,6 +548,18 @@ def ivf_topk_hyperplane(
     )
 
 
+def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """XOR masks enumerating every bucket id within Hamming distance
+    <= probe_bits of a signature — the probing sequence of multi-probe
+    LSH (Lv et al., VLDB'07). ``probe_bits=0`` -> [0] (exact bucket
+    only)."""
+    masks = [0]
+    for m in range(1, probe_bits + 1):
+        for bits in combinations(range(n_planes), m):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def lsh_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
@@ -557,6 +571,7 @@ def lsh_topk_multiprobe(
     n_tables: int = 4,
     seed: int = 42,
     broadcast_queries: bool = True,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Multi-table LSH top-k: union the candidate pairs of
     ``n_tables`` independent hash tables (seeds ``seed..seed+T-1``),
@@ -567,6 +582,19 @@ def lsh_topk_multiprobe(
     (1 - p^n_planes), at the cost of one more shuffle of the *id
     pairs* (not the vectors: candidates are collected as ids only and
     vectors are joined back exactly once for scoring).
+
+    ``probe_bits > 0`` turns on true multi-probe (Lv et al., VLDB'07):
+    each query additionally probes every bucket within Hamming
+    distance ``probe_bits`` of its signature, in every table. This
+    multiplies QUERY-side work (sum of C(n_planes, 0..probe_bits)
+    probe keys per query per table) but leaves the corpus-side index
+    untouched — at 100 TB the index size (corpus rows × n_tables) is
+    the dominant cost, so probing buys recall ~4× cheaper than extra
+    tables do. Measured on the sf0.1 eval corpus (near-isotropic
+    synthetic embeddings, the hard case): planes=16/tables=8/bits=4
+    reaches recall@5 = 0.85 scoring 30% of the corpus with an 8-table
+    index, where plain multi-table needs 32 tables and 41% scored for
+    0.83 (tools/tune_ann.py ladder, SCALE.md round 10).
     """
     c_ids = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -601,6 +629,20 @@ def lsh_topk_multiprobe(
 
     cb = melt(c_ids, "neighbor_id", "__cv")
     qb = melt(q_ids, "query_id", "__qv")
+    if probe_bits > 0:
+        # expand each query signature into its Hamming-<=probe_bits
+        # probe set via a broadcast mask frame: query-side rows only,
+        # the corpus melt is untouched
+        spark = corpus.sparkSession
+        masks = spark.createDataFrame(
+            [(m,) for m in probe_masks(n_planes, probe_bits)],
+            "mask long",
+        )
+        qb = (
+            qb.crossJoin(F.broadcast(masks))
+            .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("mask")))
+            .drop("mask")
+        )
     # (table_idx, bucket) has only n_tables·2^n_planes distinct values —
     # broadcast the query-side melt so the corpus melt never exchanges
     cands = (
@@ -991,6 +1033,7 @@ def ivf_topk_kmeans(
     n_probe: int = 2,
     scale: int = 1_000_000,
     broadcast_queries: bool = True,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k with a *deterministic k-means* coarse
     quantizer — the classic FAISS IVF-Flat shape, but oracle-checkable:
@@ -1005,15 +1048,20 @@ def ivf_topk_kmeans(
     ``n_probe`` nearest cells, so the only corpus-sized shuffle is the
     cell-id join. ``n_probe == n_centroids`` degenerates to exact
     brute force.
+
+    Pass ``centroids`` (a ``kmeans_fit`` result) to reuse an existing
+    index across calls — what a deployment sweeping ``n_probe`` or
+    serving many query batches does instead of refitting per batch.
     """
-    centroids = kmeans_fit(
-        corpus,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=n_centroids,
-        n_iter=n_iter,
-        scale=scale,
-    )
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=n_centroids,
+            n_iter=n_iter,
+            scale=scale,
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
@@ -1099,14 +1147,32 @@ def ann_recall(
     runs exactly once; each per-method join is a broadcast of bounded
     evaluation frames. The expensive parts (the top-k computations
     themselves) are the INPUTS, not this operator.
+
+    Persist lifecycle: the exact pairs stay cached for the session
+    (the returned frame is lazy, so eager unpersist would defeat the
+    single-scan shape). Long-lived callers should
+    ``spark.catalog.clearCache()`` (or unpersist via
+    ``df.sparkSession``) once the result is materialized; the bench
+    harness already clears cache between queries.
+
+    Both sides are deduplicated on (query_id, neighbor_id) before the
+    hit join, so recall stays <= 1.0 even if a caller passes a
+    candidate frame with repeated pairs (e.g. a multi-table LSH union
+    without its final dedup).
     """
-    exact_pairs = exact.select("query_id", "neighbor_id").persist()
+    exact_pairs = (
+        exact.select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .persist()
+    )
     base = exact_pairs.select("query_id").distinct()
     outs = []
     for method in sorted(approx_by_method):
         hits = (
             exact_pairs.join(
-                approx_by_method[method].select("query_id", "neighbor_id"),
+                approx_by_method[method]
+                .select("query_id", "neighbor_id")
+                .dropDuplicates(["query_id", "neighbor_id"]),
                 ["query_id", "neighbor_id"],
             )
             .groupBy("query_id")
