@@ -46,17 +46,15 @@ LOAD_BEARING = [
     "lsh_candidates",
     "jaccard_verify",
     "decontaminate",
-    # round-7 additions: must be driver-attested before rotating out
+    # round-7 additions still in-window (epoch_expand / kmv_overlap /
+    # snapshot_diff / shuffle_shards rotated out round 10 — driver-green
+    # rounds 7 through 9)
     "bloom_decontaminate",
-    "shuffle_shards",
     "mixture_plan",
     "gopher_rules",
     "containment_pairs",
     "curate_corpus",
-    "epoch_expand",
-    "kmv_overlap",
     "corpus_report",
-    "snapshot_diff",
     # round-8 additions: must be driver-attested before rotating out
     # (funnel_steps / cohort_retention / decayed_engagement /
     # hll_distinct rotated out — driver-green rounds 6 AND 7)
@@ -69,6 +67,8 @@ LOAD_BEARING = [
     "bpe_token_counts_large",
     "ann_recall",
     "video_metadata",
+    # round-10 additions: must be driver-attested before rotating out
+    "bpe_merge_token_counts",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

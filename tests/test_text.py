@@ -383,3 +383,109 @@ def test_bpe_auto_distinct_threshold():
     # the demo vocab stays under the threshold (inline shape keeps its
     # zero-shuffle plan in existing callers)
     assert len(bpe_effective_vocab(BPE_VOCAB)) <= BPE_AUTO_DISTINCT_MIN_VOCAB
+
+
+def _load_merge_ranks():
+    import pyarrow.parquet as pq
+
+    from traits_data_spark.operators.text import BPE_MERGES_PATH
+
+    t = pq.read_table(BPE_MERGES_PATH)
+    return {
+        (l, r): int(k)
+        for l, r, k in zip(
+            t.column("left").to_pylist(),
+            t.column("right").to_pylist(),
+            t.column("rank").to_pylist(),
+        )
+    }
+
+
+def test_bpe_merge_rank_differs_from_greedy_where_it_should():
+    """The motivating case for merge-rank inference: greedy
+    longest-match grabs the longest piece even when the merge table
+    could never have built it in rank order."""
+    from traits_data_spark.operators.text import (
+        bpe_merge_tokens_py,
+        bpe_piece_count_py,
+        _piece_tables,
+    )
+
+    # merges: (b,c) first, then (a,b). "abc" -> a|bc under merge-rank
+    # ((b,c) fires first; (a,'bc') is not a merge), but a greedy vocab
+    # holding the piece "abc" would emit 1 token.
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert bpe_merge_tokens_py("abc", ranks) == 2
+    assert bpe_piece_count_py("abc", _piece_tables(["abc"])) == 1
+
+
+def test_bpe_merge_tokens_engine_matches_naive_reference_on_artifact():
+    """Parity lock: the engine's all-occurrences-per-pass tokenizer and
+    the oracle builder's one-occurrence-at-a-time reference agree on
+    every corpus word and on adversarial words over the same alphabet,
+    using the COMMITTED ranked-merge artifact (well-founded ranks)."""
+    import pyarrow.parquet as pq
+
+    from tools.build_bpe_merges import naive_merge_tokenize
+    from traits_data_spark.operators.text import (
+        BPE_MERGE_COUNTS_PATH,
+        bpe_merge_tokens_py,
+    )
+
+    ranks = _load_merge_ranks()
+    t = pq.read_table(BPE_MERGE_COUNTS_PATH)
+    words = t.column("word").to_pylist()
+    expected = t.column("n_tokens").to_pylist()
+    for w, n in zip(words, expected):
+        assert bpe_merge_tokens_py(w, ranks) == n == naive_merge_tokenize(w, ranks)
+    # adversarial shapes: overlaps ("aaa"), repeats, concatenations
+    extra = ["aaa", "aaaa", "ababab", "thethe", "customerorder",
+             "zzzzzzzz", "abcabcabc", "qqq", "thea", "athe"]
+    for w in extra:
+        assert bpe_merge_tokens_py(w, ranks) == naive_merge_tokenize(w, ranks)
+
+
+def test_bpe_merge_tokens_hypothesis_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tools.build_bpe_merges import naive_merge_tokenize
+    from traits_data_spark.operators.text import bpe_merge_tokens_py
+
+    ranks = _load_merge_ranks()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", max_size=24))
+    def check(w):
+        assert bpe_merge_tokens_py(w, ranks) == naive_merge_tokenize(w, ranks)
+
+    check()
+
+
+def test_bpe_merge_token_counts_operator(spark):
+    """End-to-end distinct-word pipeline: doc sums, null/empty docs,
+    and the long-word char-fallback guard."""
+    from traits_data_spark.operators.text import (
+        bpe_merge_token_counts,
+        bpe_merge_tokens_py,
+        load_bpe_merges,
+    )
+
+    merges = load_bpe_merges(spark)
+    assert merges.count() >= 10_000
+    long_word = "q" * 100  # > BPE_MERGE_MAX_WORD_LEN -> counts as chars
+    df = spark.createDataFrame(
+        [(1, "Customer  ORDER line"), (2, None), (3, "   "), (4, long_word)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["bpe_merge_tokens"]
+        for r in bpe_merge_token_counts(df, merges).collect()
+    }
+    ranks = _load_merge_ranks()
+    want = sum(
+        bpe_merge_tokens_py(w, ranks) for w in ["customer", "order", "line"]
+    )
+    assert out[1] == want
+    assert out[2] == 0 and out[3] == 0
+    assert out[4] == 100

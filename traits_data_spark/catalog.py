@@ -103,9 +103,12 @@ from traits_data_spark.operators.similarity import (
 from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.plans.curation import curate_corpus
 from traits_data_spark.operators.text import (
+    BPE_MERGE_COUNTS_PATH,
     bpe_effective_vocab,
+    bpe_merge_token_counts,
     bpe_token_counts,
     bpe_token_counts_table,
+    load_bpe_merges,
     load_bpe_vocab,
     char_entropy,
     classifier_score,
@@ -2790,6 +2793,53 @@ FROM d LEFT JOIN bpe b USING (doc_id)
 """
 
 
+def q_bpe_merge_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-BPE (merge-rank) token counting
+    (``operators.text.bpe_merge_token_counts``): merges applied in
+    training-rank order against the committed 12k-row ranked-merge
+    artifact (``data/bpe_merges.parquet``, built by
+    ``tools/build_bpe_merges.py``), closing the round-9 gap where the
+    greedy longest-match path (kept as the WordPiece variant,
+    ``bpe_token_counts*``) could diverge from a real model tokenizer's
+    counts. Same scale shape as the WordPiece path: broadcast rank
+    dict, one Arrow-batched tokenization per DISTINCT word, word-keyed
+    join back, per-doc sum. The DuckDB oracle joins the per-word
+    counts PRECOMPUTED by the independent naive reference tokenizer in
+    tools/build_bpe_merges.py (one merge occurrence at a time, full
+    rescan per step) — parity between the two implementations is
+    hypothesis-tested in tests/test_text.py."""
+    docs = _docs_wide(spark, sf_dir)
+    merges = load_bpe_merges(spark)
+    return bpe_merge_token_counts(token_counts(docs), merges).select(
+        "doc_id", "ws_tokens", "bpe_merge_tokens"
+    )
+
+
+# A word missing from the expected-counts artifact must surface as a
+# LOUD mismatch (NULL count for its docs), never a silently-skipped
+# NULL inside sum() — hence the bool_and guard.
+_BPE_MERGE_TOKEN_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+exp AS (SELECT word, n_tokens FROM read_parquet('{BPE_MERGE_COUNTS_PATH}')),
+occ AS (SELECT doc_id, unnest(wl) AS w FROM d),
+bpe AS (
+  SELECT occ.doc_id,
+         CASE WHEN bool_and(e.word IS NOT NULL)
+              THEN CAST(sum(e.n_tokens) AS BIGINT) END AS bpe_merge_tokens
+  FROM occ LEFT JOIN exp e ON e.word = occ.w
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.wl) AS BIGINT) AS ws_tokens,
+       coalesce(b.bpe_merge_tokens, CAST(0 AS BIGINT)) AS bpe_merge_tokens
+FROM d LEFT JOIN bpe b USING (doc_id)
+"""
+
+
 def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup against a persisted content-hash index
     (``dedup.content_hash_index`` + ``dedup.incremental_exact_dedup``):
@@ -4821,17 +4871,14 @@ QUERIES: Mapping[str, QueryFn] = {
     # -- round-3 gate failures (fixed in r4; driver must re-attest) --------
     "asof_join": q_asof_join,
     "range_join": q_range_join,
-    # -- new round 7: Bloom decontamination, sharded shuffle, mixture plan -
+    # -- round 7 (epoch_expand / kmv_overlap / snapshot_diff /
+    #    shuffle_shards rotated out round 10 — driver-green rounds 7-9) ----
     "bloom_decontaminate": q_bloom_decontaminate,
-    "shuffle_shards": q_shuffle_shards,
     "mixture_plan": q_mixture_plan,
     "gopher_rules": q_gopher_rules,
     "containment_pairs": q_containment_pairs,
     "curate_corpus": q_curate_corpus,
-    "epoch_expand": q_epoch_expand,
-    "kmv_overlap": q_kmv_overlap,
     "corpus_report": q_corpus_report,
-    "snapshot_diff": q_snapshot_diff,
     # -- new round 8: subword tokenization + incremental exact dedup -------
     "bpe_token_counts": q_bpe_token_counts,
     "curate_corpus_bpe": q_curate_corpus_bpe,
@@ -4840,6 +4887,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "bpe_token_counts_large": q_bpe_token_counts_large,
     "ann_recall": q_ann_recall,
     "video_metadata": q_video_metadata,
+    # -- new round 10: merge-rank BPE, tuned-ANN eval lives in ann_recall --
+    "bpe_merge_token_counts": q_bpe_merge_token_counts,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4881,6 +4930,11 @@ QUERIES: Mapping[str, QueryFn] = {
     # rotated out round 9 (driver-green rounds 4 through 8):
     "feature_filter": q_feature_filter,
     "kmv_distinct": q_kmv_distinct,
+    # rotated out round 10 (driver-green rounds 7 through 9):
+    "shuffle_shards": q_shuffle_shards,
+    "epoch_expand": q_epoch_expand,
+    "kmv_overlap": q_kmv_overlap,
+    "snapshot_diff": q_snapshot_diff,
     # rotated out round 8 (driver-green rounds 6 AND 7):
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
@@ -4977,6 +5031,7 @@ def oracle_sqls() -> dict[str, str]:
         "curate_corpus_bpe": _curate_corpus_sql(bpe=True),
         "bpe_token_counts": _bpe_token_sql(),
         "bpe_token_counts_large": _bpe_token_large_sql(),
+        "bpe_merge_token_counts": _BPE_MERGE_TOKEN_SQL,
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

@@ -533,6 +533,136 @@ def bpe_token_counts_table(
     )
 
 
+# Committed ranked-merge BPE artifacts — see tools/build_bpe_merges.py
+# for provenance (learned from the corpus, padded to production size
+# with well-founded a-z merges) and for the naive reference tokenizer
+# the oracle counts come from.
+BPE_MERGES_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "bpe_merges.parquet",
+)
+BPE_MERGE_COUNTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "bpe_merge_counts.parquet",
+)
+BPE_MERGE_MAX_WORD_LEN = 64
+
+
+def load_bpe_merges(spark, path: str = BPE_MERGES_PATH) -> DataFrame:
+    """Load a ranked-merge table (parquet with ``rank`` BIGINT,
+    ``left``/``right`` VARCHAR). Same bounded-model-artifact contract
+    as ``load_bpe_vocab``."""
+    return spark.read.parquet(path)
+
+
+def bpe_merge_tokens_py(
+    word: str,
+    ranks: Mapping[tuple[str, str], int],
+    max_word_len: int = BPE_MERGE_MAX_WORD_LEN,
+) -> int:
+    """Merge-rank BPE token count for one word — TRUE BPE inference
+    (merges applied in training-rank order), unlike the greedy
+    longest-match of ``bpe_piece_count_py`` (which is WordPiece-style
+    inference and can diverge from a shipped model tokenizer's counts
+    on the same text).
+
+    GPT-2-shaped implementation: find the lowest-rank adjacent pair
+    present, merge ALL its occurrences in one left-to-right pass,
+    repeat until no mergeable pair remains. For WELL-FOUNDED merge
+    tables (each merge's operand tokens are single characters or
+    outputs of strictly earlier merges — true of any table produced by
+    BPE training, and of the committed artifact's padding order) this
+    is provably equivalent to the one-occurrence-at-a-time reference
+    in tools/build_bpe_merges.py: merging an occurrence of the minimal
+    pair P can only create pairs ranked after P, so the reference
+    keeps re-selecting P's occurrences left-to-right — exactly this
+    pass. Parity is hypothesis-tested over the committed artifact.
+
+    Words longer than ``max_word_len`` count as one token per char
+    (no merging) — the byte-fallback a real tokenizer applies to
+    pathological unsplit blobs, and an O(L^2) guard.
+    """
+    L = len(word)
+    if L > max_word_len:
+        return L
+    seq = list(word)
+    while len(seq) >= 2:
+        best = None
+        for pair in zip(seq, seq[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best is None or r < best[0]):
+                best = (r, pair)
+        if best is None:
+            break
+        a, b = best[1]
+        out = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return len(seq)
+
+
+def bpe_merge_token_counts(
+    df: DataFrame,
+    merges: DataFrame | Mapping[tuple[str, str], int],
+    text_col: str = "text",
+    out_col: str = "bpe_merge_tokens",
+    id_col: str = "doc_id",
+    max_word_len: int = BPE_MERGE_MAX_WORD_LEN,
+) -> DataFrame:
+    """Per-document merge-rank BPE token counts — the TRUE-BPE
+    counterpart of ``bpe_token_counts_table`` (which stays as the
+    WordPiece-style greedy variant). Same execution shape, because the
+    shape is what scales: the ranked-merge table is a bounded model
+    artifact, collected once into a broadcast ``(left, right) -> rank``
+    dict; the corpus explodes to words; each DISTINCT word is
+    tokenized exactly once by an Arrow-batched pandas UDF (Zipf: "the"
+    merges once, not 10^9 times); counts join back word-keyed (AQE
+    skew-join handles the hot words) and a per-doc sum restores the
+    input grain. Counts are parity-locked to the naive reference
+    implementation in tools/build_bpe_merges.py, whose precomputed
+    per-word outputs are the DuckDB oracle artifact."""
+    if isinstance(merges, DataFrame):
+        ranks = {
+            (r["left"], r["right"]): int(r["rank"])
+            for r in merges.select("left", "right", "rank").collect()
+        }
+    else:
+        ranks = dict(merges)
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("long")
+    def _tok(words: pd.Series) -> pd.Series:
+        t = bc.value
+        return words.map(
+            lambda w: bpe_merge_tokens_py(w, t, max_word_len)
+        ).astype("int64")
+
+    warr = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
+    )
+    words = df.select(F.col(id_col), F.explode(warr).alias("__w"))
+    wcounts = (
+        words.select("__w").distinct().withColumn("__t", _tok(F.col("__w")))
+    )
+    sums = (
+        words.join(wcounts, "__w")
+        .groupBy(id_col)
+        .agg(F.sum("__t").cast("long").alias(out_col))
+    )
+    return df.join(sums, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: DataFrame,
