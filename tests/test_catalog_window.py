@@ -69,6 +69,8 @@ LOAD_BEARING = [
     "video_metadata",
     # round-10 additions: must be driver-attested before rotating out
     "bpe_merge_token_counts",
+    "lm_perplexity",
+    "webm_metadata",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

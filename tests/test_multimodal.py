@@ -222,3 +222,83 @@ def test_extract_video_metadata_spark_path(spark):
             320 + (i % 5) * 16, 180 + (i % 3) * 60,
         )
         assert r["n_tracks"] == 1 + i % 2
+
+
+def test_webm_roundtrip_native_ebml_tier():
+    """The stdlib EBML generator and parser agree on every field:
+    DocType, float64 Duration x TimestampScale, PixelWidth/Height,
+    and audio-style extra TrackEntries."""
+    from traits_data_spark.operators.multimodal import decode_video, webm_bytes
+
+    d = decode_video(webm_bytes(1500, 640, 360, n_extra_tracks=2))
+    assert d["format"] == "webm" and d["decoder"] == "native_ebml"
+    assert d["duration_s"] == 1.5
+    assert (d["width"], d["height"], d["n_tracks"]) == (640, 360, 3)
+    # non-default timestamp scale (0.5 ms units)
+    d2 = decode_video(webm_bytes(750, 100, 50, timescale_ns=500_000))
+    assert d2["duration_s"] == 0.75 and d2["decoder"] == "native_ebml"
+
+
+def test_webm_poisoned_rows_never_raise():
+    """Truncated EBML headers/VINTs degrade (null fields or stub),
+    never raise; an mp4 payload still routes to the ISO-BMFF tier."""
+    from traits_data_spark.operators.multimodal import (
+        decode_video,
+        mp4_bytes,
+        webm_bytes,
+    )
+
+    b = webm_bytes(1000, 320, 180)
+    for cut in (3, 4, 7, 12, len(b) // 2, len(b) - 1):
+        r = decode_video(b[:cut])
+        assert r["decoder"] in ("native_ebml", "stub")
+    # unknown-size Segment (streamed form): all size bits set
+    assert decode_video(mp4_bytes(100, 8, 8))["decoder"] == "native"
+
+
+def test_ebml_unknown_size_segment_extends_to_end():
+    """Streamed Matroska writes Segment with the reserved all-ones
+    size; the walker must treat it as extending to the buffer end."""
+    from traits_data_spark.operators.multimodal import (
+        _EBML_ID_SEGMENT,
+        decode_video,
+        webm_bytes,
+    )
+
+    b = webm_bytes(2000, 320, 180)
+    # rebuild: header + Segment re-wrapped with the unknown-size VINT
+    seg_id = _EBML_ID_SEGMENT.to_bytes(4, "big")
+    hdr_end = b.index(seg_id)
+    seg = b[hdr_end:]
+    size_len = 9 - seg[len(seg_id)].bit_length()  # real size-VINT len
+    payload = seg[len(seg_id) + size_len:]
+    unknown = seg_id + b"\xff"  # 1-byte size VINT, all data bits set
+    d = decode_video(b[:hdr_end] + unknown + payload)
+    assert d["decoder"] == "native_ebml"
+    assert d["duration_s"] == 2.0
+    assert (d["width"], d["height"]) == (320, 180)
+
+
+def test_extract_webm_metadata_spark_path(spark):
+    """End-to-end mapInPandas: synthetic WebMs decode to the predicted
+    arithmetic fields (the webm_metadata oracle's contract)."""
+    from traits_data_spark.operators.multimodal import (
+        extract_video_metadata,
+        synthetic_webm_media,
+    )
+
+    ids = spark.range(30).withColumnRenamed("id", "media_id")
+    out = {
+        r["media_id"]: r
+        for r in extract_video_metadata(
+            synthetic_webm_media(ids).select("media_id", "payload")
+        ).collect()
+    }
+    assert len(out) == 30
+    for i, r in out.items():
+        assert r["decoder"] == "native_ebml" and r["format"] == "webm"
+        assert r["duration_s"] == (400 + (i % 90) * 50) * 1000000.0 / 1e9
+        assert (r["width"], r["height"]) == (
+            256 + (i % 6) * 32, 144 + (i % 4) * 72,
+        )
+        assert r["n_tracks"] == 1 + i % 3

@@ -1,0 +1,139 @@
+"""LM-perplexity quality filter: hand-computed tiny-LM scores, OOV
+mapping, empty/null docs, decile arithmetic, and the curate_corpus
+hook."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from traits_data_spark.operators.perplexity import (
+    MICRO,
+    doc_lp_sums,
+    load_word_lm,
+    score_perplexity,
+)
+
+
+def _tiny_lm(spark):
+    """Vocab {a, b}; V = 3 (incl <unk>). Counts from training text
+    'a b': c(<s>)=1, c(a)=1; c(<s>,a)=1, c(a,b)=1."""
+    def lp(num, den):
+        return int(round(math.log(num / den) * MICRO))
+
+    bigram = spark.createDataFrame(
+        [("<s>", "a", lp(2, 4)), ("a", "b", lp(2, 4))],
+        "u string, w string, lp_micro long",
+    )
+    context = spark.createDataFrame(
+        [
+            ("<s>", lp(1, 4)),
+            ("a", lp(1, 4)),
+            ("b", lp(1, 3)),
+            ("<unk>", lp(1, 3)),
+        ],
+        "u string, unseen_lp_micro long",
+    )
+    return bigram, context, lp
+
+
+def test_doc_lp_sums_hand_computed(spark):
+    bigram, context, lp = _tiny_lm(spark)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a zzz"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    sums = {
+        r["__id"]: (r["n_scored"], r["sum_lp_micro"])
+        for r in doc_lp_sums(df, bigram, context).collect()
+    }
+    # doc 1: p(a|<s>) seen + p(b|a) seen
+    assert sums[1] == (2, lp(2, 4) + lp(2, 4))
+    # doc 2: p(a|<s>) seen + p(<unk>|a) unseen-continuation of context a
+    assert sums[2] == (2, lp(2, 4) + lp(1, 4))
+    # empty/null docs never reach the sums frame
+    assert 3 not in sums and 4 not in sums
+
+
+def test_score_perplexity_buckets_and_empty_docs(spark):
+    bigram, context, _ = _tiny_lm(spark)
+    rows = [(i, "a b") for i in range(5)] + [
+        (10, "zzz zzz"),  # all-unk: worst score
+        (11, None),
+        (12, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in score_perplexity(df, bigram, context, n_buckets=3).collect()
+    }
+    assert len(out) == 8
+    # unscored docs: zero counts, null avg, null bucket
+    for d in (11, 12):
+        assert out[d]["n_scored"] == 0
+        assert out[d]["sum_lp_micro"] == 0
+        assert out[d]["avg_lp_micro"] is None
+        assert out[d]["ppl_bucket"] is None
+    # 6 scored docs into 3 buckets: the all-unk doc has the lowest
+    # avg log-prob -> bucket 0; the identical 'a b' docs fill the rest
+    assert out[10]["ppl_bucket"] == 0
+    buckets = sorted(out[i]["ppl_bucket"] for i in range(5))
+    assert buckets == [0, 1, 1, 2, 2]
+    # avg is sum/n rounded to 6 dp
+    r = out[0]
+    assert r["avg_lp_micro"] == pytest.approx(
+        round(r["sum_lp_micro"] / r["n_scored"], 6)
+    )
+
+
+def test_score_perplexity_emit_perplexity_display(spark):
+    bigram, context, _ = _tiny_lm(spark)
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    r = score_perplexity(
+        df, bigram, context, emit_perplexity=True
+    ).collect()[0]
+    assert r["perplexity"] == pytest.approx(
+        math.exp(-r["avg_lp_micro"] / MICRO)
+    )
+    # perplexity of a probability-product is >= 1
+    assert r["perplexity"] >= 1.0
+
+
+def test_committed_artifact_loads_and_scores(spark, documents):
+    bigram, context = load_word_lm(spark)
+    assert bigram.count() > 100
+    out = score_perplexity(documents.limit(50), bigram, context)
+    rows = out.collect()
+    assert all(
+        r["sum_lp_micro"] < 0 for r in rows if r["n_scored"] > 0
+    )  # log-probs are negative
+    assert all(
+        0 <= r["ppl_bucket"] <= 9 for r in rows if r["ppl_bucket"] is not None
+    )
+
+
+def test_curate_corpus_lm_hook_drops_high_nll_docs(spark, documents):
+    from traits_data_spark.plans.curation import curate_corpus
+
+    bench = spark.createDataFrame(
+        [(1, "completely unrelated benchmark text")],
+        "doc_id long, text string",
+    )
+    weights = {"src1": 500_000, "src2": 300_000, "src3": 200_000}
+    kw = dict(
+        weights_ppm=weights, min_words=10,
+        stops=("the", "a", "spark", "stream"), token_budget=2_000,
+    )
+    base = curate_corpus(documents, bench, **kw)
+    # an absurdly tight threshold (0 micro-nats) drops every doc; a
+    # loose one (20 nats/token) keeps the baseline corpus
+    tight = curate_corpus(
+        documents, bench, lm=load_word_lm(spark), lm_max_nll_micro=0, **kw
+    )
+    loose = curate_corpus(
+        documents, bench,
+        lm=load_word_lm(spark), lm_max_nll_micro=20 * MICRO, **kw
+    )
+    n_base, n_tight, n_loose = base.count(), tight.count(), loose.count()
+    assert n_tight == 0
+    assert n_loose == n_base > 0

@@ -46,10 +46,25 @@ COPY (
 ) TO '{dst}' (FORMAT PARQUET)
 """
     )
-    # non-document tables: symlink so any query in the chain resolves
+    # embeddings also replicate 20x (vec_id offset) so the ANN family
+    # gets a real corpus-side stress, not a symlink of the 1x table
+    edst = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.islink(edst):  # scratch dir from an older tool version
+        os.remove(edst)
+    if not os.path.exists(edst):
+        duckdb.connect().sql(
+            f"""
+COPY (
+  SELECT e.vec_id + r.r * 1000000 AS vec_id, e.embedding, e.label
+  FROM read_parquet('{BASE}/embeddings.parquet') e
+  CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+) TO '{edst}' (FORMAT PARQUET)
+"""
+        )
+    # remaining tables: symlink so any query in the chain resolves
     for f in os.listdir(BASE):
-        if f != "documents.parquet" and not os.path.exists(
-            os.path.join(out_dir, f)
+        if f not in ("documents.parquet", "embeddings.parquet") and (
+            not os.path.exists(os.path.join(out_dir, f))
         ):
             os.symlink(os.path.join(BASE, f), os.path.join(out_dir, f))
 

@@ -76,6 +76,7 @@ from traits_data_spark.operators.multimodal import (
     frame_sample_plan,
     synthetic_media_table,
     synthetic_mp4_media,
+    synthetic_webm_media,
     synthetic_png_media,
     synthetic_wav_media,
 )
@@ -99,6 +100,12 @@ from traits_data_spark.operators.similarity import (
     lsh_bucketed_topk,
     lsh_topk_multiprobe,
     quantize_int8,
+)
+from traits_data_spark.operators.perplexity import (
+    WORD_LM_BIGRAM_PATH,
+    WORD_LM_CONTEXT_PATH,
+    load_word_lm,
+    score_perplexity,
 )
 from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.plans.curation import curate_corpus
@@ -1948,14 +1955,16 @@ FROM r WHERE rk <= {TOPK}"""
 # with an exact numpy replica of the Spark math on the sf0.1 eval
 # corpus (near-isotropic synthetic embeddings — the hard case for any
 # sublinear index): bit-flip multi-probe (Lv et al., VLDB'07) at
-# planes=16 / tables=12 / probe_bits=4 reaches recall@5 = 0.944 at
-# sf0.1 (100 queries) and 0.80 on the tiny sf0.01 10-query eval,
-# scoring ~40% of the corpus — with a ~3x smaller corpus-side index
-# than the best plain multi-table point (32 tables, 41% scored, 0.83).
-# The full recall-vs-cost ladder lives in SCALE.md (round 10).
-ANN_TUNED_PLANES = 16
-ANN_TUNED_TABLES = 12
-ANN_TUNED_PROBE_BITS = 4
+# planes=12 / tables=8 / probe_bits=3 reaches recall@5 = 0.926 at
+# sf0.1 (100 queries) and 0.88 on the tiny sf0.01 10-query eval,
+# scoring ~46% of the corpus — with 96 signature dots/row (the
+# interpreted-HOF cost that actually dominates wall time, see
+# _bucket_expr) and a 4x smaller corpus-side index than the best
+# plain multi-table point (32 tables, 41% scored, 0.83). The full
+# recall-vs-cost ladder lives in SCALE.md (round 10).
+ANN_TUNED_PLANES = 12
+ANN_TUNED_TABLES = 8
+ANN_TUNED_PROBE_BITS = 3
 IVF_TUNED_PROBE = 6  # 8 centroids, probe 6 -> recall 0.92 (ladder)
 
 
@@ -2837,6 +2846,86 @@ SELECT d.doc_id,
        CAST(len(d.wl) AS BIGINT) AS ws_tokens,
        coalesce(b.bpe_merge_tokens, CAST(0 AS BIGINT)) AS bpe_merge_tokens
 FROM d LEFT JOIN bpe b USING (doc_id)
+"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality scoring
+    (``operators.perplexity.score_perplexity``): every document scored
+    under the committed Laplace-smoothed word-bigram LM
+    (``data/word_lm*.parquet``, trained on the ``doc_id % 10 == 0``
+    held-out slice by ``tools/build_word_lm.py``) and bucketed into
+    perplexity deciles — the missing model-based stratifier next to
+    ``gopher_rules``/``quality_classifier``. All transcendental math
+    lives in the artifact (integer micro-nat log-probs); the plan does
+    integer sums + one IEEE-exact division + integer DIV bucketing, so
+    the DuckDB oracle recomputes every value from the same parquet
+    artifacts bit-for-bit."""
+    docs = _docs_wide(spark, sf_dir)
+    bigram, context = load_word_lm(spark)
+    return score_perplexity(docs, bigram, context).select(
+        "doc_id", "n_scored", "sum_lp_micro", "avg_lp_micro", "ppl_bucket"
+    )
+
+
+_LM_PERPLEXITY_SQL = f"""
+WITH bi AS (SELECT u, w, lp_micro FROM read_parquet('{WORD_LM_BIGRAM_PATH}')),
+ctx AS (SELECT u, unseen_lp_micro FROM read_parquet('{WORD_LM_CONTEXT_PATH}')),
+d AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i.pos, wl[i.pos] AS w0
+  FROM d CROSS JOIN LATERAL
+    (SELECT unnest(range(1, len(wl) + 1)) AS pos) i
+),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN w0 IN (SELECT u FROM ctx) THEN w0
+              ELSE '<unk>' END AS w
+  FROM tok
+),
+p AS (
+  SELECT doc_id, pos, w,
+         coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '<s>') AS u
+  FROM m
+),
+s AS (
+  SELECT p.doc_id, coalesce(bi.lp_micro, ctx.unseen_lp_micro) AS lp
+  FROM p LEFT JOIN bi ON bi.u = p.u AND bi.w = p.w
+         LEFT JOIN ctx ON ctx.u = p.u
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(lp) AS BIGINT) AS sum_lp_micro
+  FROM s GROUP BY doc_id
+),
+a2 AS (
+  SELECT *,
+         round(CAST(sum_lp_micro AS DOUBLE) / n_scored, 6) + 0.0
+           AS avg_lp_micro
+  FROM agg
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY avg_lp_micro, doc_id) - 1 AS rn0,
+         count(*) OVER () AS cnt
+  FROM a2
+),
+b AS (
+  SELECT doc_id, n_scored, sum_lp_micro, avg_lp_micro,
+         CAST((rn0 * 10) // cnt AS BIGINT) AS ppl_bucket
+  FROM r
+)
+SELECT d.doc_id,
+       CAST(coalesce(b.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(b.sum_lp_micro, 0) AS BIGINT) AS sum_lp_micro,
+       b.avg_lp_micro,
+       b.ppl_bucket
+FROM d LEFT JOIN b USING (doc_id)
 """
 
 
@@ -4109,6 +4198,40 @@ FROM supplier
 """
 
 
+def q_webm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBML/WebM container decode, hash-checked — the round-10
+    extension of the ``video_metadata`` tier pattern to the second
+    major video container family: minimal spec-valid WebM files (EBML
+    header + Segment/Info/Tracks, stdlib-built) generated
+    executor-side with known parameters and parsed back by the
+    native_ebml tier (``operators.multimodal._parse_webm`` — VINT
+    walker tolerant of malformed/unknown-size elements). The oracle
+    predicts every field arithmetically: duration_s =
+    ms·10⁶/10⁹ (exact integer multiply then one IEEE division,
+    mirrored in SQL), dims/track-count from the id formulas."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("media_id")
+    )
+    media = synthetic_webm_media(sup)
+    return extract_video_metadata(media.select("media_id", "payload")).select(
+        "media_id", "format", "duration_s", "width", "height",
+        "n_tracks", "decoder",
+    )
+
+
+_WEBM_META_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS media_id,
+       'webm' AS format,
+       CAST(400 + (s_suppkey % 90) * 50 AS DOUBLE) * 1000000.0
+         / 1000000000.0 AS duration_s,
+       CAST(256 + (s_suppkey % 6) * 32 AS INT) AS width,
+       CAST(144 + (s_suppkey % 4) * 72 AS INT) AS height,
+       CAST(1 + s_suppkey % 3 AS INT) AS n_tracks,
+       'native_ebml' AS decoder
+FROM supplier
+"""
+
+
 def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio decode, hash-checked: real 16-bit PCM WAVs (square
     wave ⇒ RMS equals the amplitude exactly) generated executor-side,
@@ -4887,8 +5010,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "bpe_token_counts_large": q_bpe_token_counts_large,
     "ann_recall": q_ann_recall,
     "video_metadata": q_video_metadata,
-    # -- new round 10: merge-rank BPE, tuned-ANN eval lives in ann_recall --
+    # -- new round 10: merge-rank BPE, LM perplexity filter; the tuned-ANN
+    #    eval lives in ann_recall --------------------------------------------
     "bpe_merge_token_counts": q_bpe_merge_token_counts,
+    "lm_perplexity": q_lm_perplexity,
+    "webm_metadata": q_webm_metadata,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5032,6 +5158,8 @@ def oracle_sqls() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_sql(),
         "bpe_token_counts_large": _bpe_token_large_sql(),
         "bpe_merge_token_counts": _BPE_MERGE_TOKEN_SQL,
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "webm_metadata": _WEBM_META_SQL,
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

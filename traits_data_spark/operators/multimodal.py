@@ -625,12 +625,137 @@ def _parse_mp4(payload: bytes) -> dict | None:
     return meta
 
 
+# --- EBML / Matroska / WebM (round 10) ------------------------------------
+# Element IDs (raw, marker bit included — EBML IDs are stored verbatim)
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_EBML_ID_DOCTYPE = 0x4282
+_EBML_ID_SEGMENT = 0x18538067
+_EBML_ID_INFO = 0x1549A966
+_EBML_ID_TIMESTAMP_SCALE = 0x2AD7B1
+_EBML_ID_DURATION = 0x4489
+_EBML_ID_TRACKS = 0x1654AE6B
+_EBML_ID_TRACK_ENTRY = 0xAE
+_EBML_ID_VIDEO = 0xE0
+_EBML_ID_PIXEL_WIDTH = 0xB0
+_EBML_ID_PIXEL_HEIGHT = 0xBA
+_EBML_ID_TRACK_TYPE = 0x83
+
+
+def _iter_ebml(buf: bytes, start: int, end: int):
+    """Yield ``(element_id, payload_start, payload_end)`` for each EBML
+    element in ``buf[start:end]`` — the Matroska counterpart of
+    ``_iter_mp4_boxes``, equally tolerant: stops (never raises) on a
+    malformed VINT or a size past the window. Unknown-size elements
+    (all size bits set — streamed Segments) extend to the window
+    end."""
+    pos = start
+    while pos + 2 <= end:
+        b0 = buf[pos]
+        if b0 == 0:
+            return
+        idn = 9 - b0.bit_length()  # leading zeros + 1
+        if idn > 4 or pos + idn > end:
+            return
+        eid = int.from_bytes(buf[pos : pos + idn], "big")
+        spos = pos + idn
+        if spos >= end:
+            return
+        s0 = buf[spos]
+        if s0 == 0:
+            return
+        sn = 9 - s0.bit_length()
+        if sn > 8 or spos + sn > end:
+            return
+        data_bits = s0 & ((0x80 >> (sn - 1)) - 1)
+        size = int.from_bytes(
+            bytes([data_bits]) + buf[spos + 1 : spos + sn], "big"
+        )
+        max_unknown = (1 << (7 * sn)) - 1
+        ps = spos + sn
+        pe = end if size == max_unknown else ps + size
+        if pe > end:
+            return
+        yield eid, ps, pe
+        pos = pe
+
+
+def _ebml_uint(buf: bytes, s: int, e: int) -> int | None:
+    if e - s < 1 or e - s > 8:
+        return None
+    return int.from_bytes(buf[s:e], "big")
+
+
+def _parse_webm(payload: bytes) -> dict | None:
+    """EBML (WebM/Matroska): the EBML header's DocType names the
+    format; Segment→Info carries TimestampScale (ns per timestamp
+    unit, default 1,000,000) and Duration (float32/float64 in
+    timestamp units — ``duration_s = duration · scale / 1e9``);
+    Segment→Tracks→TrackEntry elements carry the track count and the
+    first Video child's PixelWidth/PixelHeight."""
+    if len(payload) < 8 or payload[:4] != _EBML_MAGIC:
+        return None
+    meta: dict = {"format": "matroska", "duration_s": None, "width": None,
+                  "height": None, "n_tracks": 0}
+    scale = 1_000_000
+    duration_units: float | None = None
+    for eid, s, e in _iter_ebml(payload, 0, len(payload)):
+        if eid == int.from_bytes(_EBML_MAGIC, "big"):
+            for hid, hs, he in _iter_ebml(payload, s, e):
+                if hid == _EBML_ID_DOCTYPE:
+                    meta["format"] = (
+                        payload[hs:he].split(b"\x00")[0].decode(
+                            "ascii", "replace"
+                        )
+                        or "matroska"
+                    )
+        elif eid == _EBML_ID_SEGMENT:
+            for cid, cs, ce in _iter_ebml(payload, s, e):
+                if cid == _EBML_ID_INFO:
+                    for iid, is_, ie in _iter_ebml(payload, cs, ce):
+                        if iid == _EBML_ID_TIMESTAMP_SCALE:
+                            v = _ebml_uint(payload, is_, ie)
+                            if v:
+                                scale = v
+                        elif iid == _EBML_ID_DURATION:
+                            if ie - is_ == 4:
+                                duration_units = struct.unpack(
+                                    ">f", payload[is_:ie]
+                                )[0]
+                            elif ie - is_ == 8:
+                                duration_units = struct.unpack(
+                                    ">d", payload[is_:ie]
+                                )[0]
+                elif cid == _EBML_ID_TRACKS:
+                    for tid, ts, te in _iter_ebml(payload, cs, ce):
+                        if tid != _EBML_ID_TRACK_ENTRY:
+                            continue
+                        meta["n_tracks"] += 1
+                        for vid, vs, ve in _iter_ebml(payload, ts, te):
+                            if vid != _EBML_ID_VIDEO:
+                                continue
+                            w = h = None
+                            for pid, p_s, p_e in _iter_ebml(
+                                payload, vs, ve
+                            ):
+                                if pid == _EBML_ID_PIXEL_WIDTH:
+                                    w = _ebml_uint(payload, p_s, p_e)
+                                elif pid == _EBML_ID_PIXEL_HEIGHT:
+                                    h = _ebml_uint(payload, p_s, p_e)
+                            if w and h and meta["width"] is None:
+                                meta["width"], meta["height"] = w, h
+            break  # first Segment only
+    if duration_units is not None:
+        meta["duration_s"] = duration_units * scale / 1e9
+    return meta
+
+
 def decode_video(payload: bytes | None) -> dict:
     """Tiered video metadata decode, same contract as ``decode_image``:
     never raises (a poisoned row must not kill an executor), always
     returns the full ``VIDEO_META_SCHEMA`` value dict, and records the
     producing tier in ``decoder`` ('native' — stdlib ISO-BMFF parse —
-    or 'stub'). Frame/pixel access needs a codec library (PyAV/ffmpeg,
+    'native_ebml' — stdlib EBML/Matroska/WebM parse — or 'stub').
+    Frame/pixel access needs a codec library (PyAV/ffmpeg,
     absent in this container) — this kernel reads CONTAINER metadata
     only, which is exactly what partition planning, duration budgeting,
     and ``frame_sample_plan`` need."""
@@ -646,6 +771,12 @@ def decode_video(payload: bytes | None) -> dict:
         meta = None
     if meta is not None:
         return {**base, **meta, "decoder": "native"}
+    try:
+        meta = _parse_webm(payload)
+    except Exception:
+        meta = None
+    if meta is not None:
+        return {**base, **meta, "decoder": "native_ebml"}
     return {
         **base,
         "format": None,
@@ -752,6 +883,95 @@ def mp4_bytes(
         _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
         + _mp4_box(b"moov", mvhd + traks)
     )
+
+
+def _ebml_size(n: int) -> bytes:
+    """Minimal EBML size VINT (marker bit + 7·len data bits)."""
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:  # all-ones is reserved (unknown)
+            return ((1 << (7 * ln)) | n).to_bytes(ln, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return idb + _ebml_size(len(payload)) + payload
+
+
+def _ebml_uint_bytes(n: int) -> bytes:
+    return n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+
+
+def webm_bytes(
+    duration_ms: int,
+    width: int,
+    height: int,
+    timescale_ns: int = 1_000_000,
+    n_extra_tracks: int = 0,
+) -> bytes:
+    """A minimal spec-valid EBML/WebM container built with only the
+    stdlib: EBML header (DocType 'webm') + Segment holding Info
+    (TimestampScale in ns, Duration as float64 in timestamp units) and
+    a Tracks element with one video TrackEntry (PixelWidth/Height)
+    plus ``n_extra_tracks`` audio-style entries. No clusters/media
+    data — metadata-complete is all the native_ebml tier reads, so
+    tests/oracles can predict every field arithmetically (duration_s
+    = duration_ms·10⁶/scale · scale/10⁹ = duration_ms/1000 exactly in
+    IEEE doubles at the default scale). Mirror of ``mp4_bytes``."""
+    duration_units = duration_ms * 1_000_000 / timescale_ns
+    header = _ebml_el(
+        int.from_bytes(_EBML_MAGIC, "big"),
+        _ebml_el(_EBML_ID_DOCTYPE, b"webm"),
+    )
+    info = _ebml_el(
+        _EBML_ID_INFO,
+        _ebml_el(_EBML_ID_TIMESTAMP_SCALE, _ebml_uint_bytes(timescale_ns))
+        + _ebml_el(_EBML_ID_DURATION, struct.pack(">d", duration_units)),
+    )
+    video_trak = _ebml_el(
+        _EBML_ID_TRACK_ENTRY,
+        _ebml_el(_EBML_ID_TRACK_TYPE, b"\x01")
+        + _ebml_el(
+            _EBML_ID_VIDEO,
+            _ebml_el(_EBML_ID_PIXEL_WIDTH, _ebml_uint_bytes(width))
+            + _ebml_el(_EBML_ID_PIXEL_HEIGHT, _ebml_uint_bytes(height)),
+        ),
+    )
+    traks = video_trak + b"".join(
+        _ebml_el(_EBML_ID_TRACK_ENTRY, _ebml_el(_EBML_ID_TRACK_TYPE, b"\x02"))
+        for _ in range(n_extra_tracks)
+    )
+    segment = _ebml_el(
+        _EBML_ID_SEGMENT, info + _ebml_el(_EBML_ID_TRACKS, traks)
+    )
+    return header + segment
+
+
+def synthetic_webm_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Attach a real WebM payload per row, executor-side: duration
+    ``400 + (id % 90) * 50`` ms, width ``256 + (id % 6) * 32``, height
+    ``144 + (id % 4) * 72``, plus ``id % 3`` extra audio-style
+    tracks — the EBML mirror of ``synthetic_mp4_media``."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": ids.map(
+                        lambda i: webm_bytes(
+                            duration_ms=400 + (i % 90) * 50,
+                            width=256 + (i % 6) * 32,
+                            height=144 + (i % 4) * 72,
+                            n_extra_tracks=int(i % 3),
+                        )
+                    ),
+                    "mime": "video/webm",
+                }
+            )
+
+    return df.mapInPandas(_gen, schema=MEDIA_GEN_SCHEMA)
 
 
 def synthetic_mp4_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import random
 from itertools import combinations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,7 +105,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def _bucket_expr(v: Column, dim: int, n_planes: int, seed: int) -> Column:
-    """Random-hyperplane signature expression: Σ 2^i·[v·p_i > 0]."""
+    """Random-hyperplane signature expression: Σ 2^i·[v·p_i > 0].
+
+    Stays on the ``dot`` left-fold (zip_with + aggregate) deliberately:
+    an unrolled flat-sum variant was measured (round 10) and the
+    ~n_planes·dim·3 expression nodes blow the JVM 64KB codegen method
+    limit at 16 planes — Spark logs an InternalCompilerException and
+    falls back to interpreted anyway, paying the compile attempt on
+    top. The per-row HOF cost is the price of cross-engine exactness
+    (the fold order matches DuckDB's list_dot_product); tune signature
+    budgets by n_planes·n_tables, not by micro-optimizing this
+    expression (see the ANN ladder in SCALE.md round 10)."""
     planes = _hyperplanes(dim, n_planes, seed)
     bucket: Column = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -548,6 +559,60 @@ def ivf_topk_hyperplane(
     )
 
 
+def _multitable_signature_udf(
+    dim: int, n_planes: int, n_tables: int, seed: int
+):
+    """Arrow-batched hyperplane signatures for ALL tables at once:
+    returns an ``array<long>`` of ``n_tables`` bucket ids per vector.
+
+    Bit-identical to ``_bucket_expr``/``dot`` (and to DuckDB's
+    ``list_dot_product`` oracles) by construction: each projection
+    accumulates ``acc = acc + v[j]·p[j]`` STRICTLY left-to-right —
+    vectorized across ROWS (one numpy op per j), never across the
+    reduction axis, so every per-element IEEE rounding step matches
+    the Catalyst fold. Justified Python (the BPE-tokenizer precedent):
+    the interpreted zip_with/aggregate fold costs ~1 ms/row at
+    production signature budgets (96 plane-dots/row measured 10 s for
+    2 k rows — SCALE.md round 10), while this batch path does the
+    same arithmetic in n_tables·n_planes·dim numpy column ops.
+
+    Vectors that are NULL or not ``dim``-long yield a NULL signature
+    array (the expression path's NULL-poisoned bucket), which
+    ``posexplode`` then drops."""
+    import numpy as np
+
+    planes = [
+        np.array(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
+    ]
+    pows = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(vs: pd.Series) -> pd.Series:
+        res: list = [None] * len(vs)
+        idx = [
+            i
+            for i, v in enumerate(vs)
+            if v is not None and len(v) == dim
+        ]
+        if idx:
+            V = np.asarray([vs.iloc[i] for i in idx], dtype=np.float64)
+            out = np.empty((len(idx), n_tables), dtype=np.int64)
+            for t, P in enumerate(planes):
+                bits = np.empty((len(idx), n_planes), dtype=bool)
+                for pi in range(n_planes):
+                    p = P[pi]
+                    acc = np.zeros(len(idx), dtype=np.float64)
+                    for j in range(dim):  # left-to-right, like the fold
+                        acc = acc + V[:, j] * p[j]
+                    bits[:, pi] = acc > 0
+                out[:, t] = bits @ pows
+            for k, i in enumerate(idx):
+                res[i] = [int(x) for x in out[k]]
+        return pd.Series(res)
+
+    return _sig
+
+
 def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
     """XOR masks enumerating every bucket id within Hamming distance
     <= probe_bits of a signature — the probing sequence of multi-probe
@@ -591,10 +656,11 @@ def lsh_topk_multiprobe(
     untouched — at 100 TB the index size (corpus rows × n_tables) is
     the dominant cost, so probing buys recall ~4× cheaper than extra
     tables do. Measured on the sf0.1 eval corpus (near-isotropic
-    synthetic embeddings, the hard case): planes=16/tables=8/bits=4
-    reaches recall@5 = 0.85 scoring 30% of the corpus with an 8-table
-    index, where plain multi-table needs 32 tables and 41% scored for
-    0.83 (tools/tune_ann.py ladder, SCALE.md round 10).
+    synthetic embeddings, the hard case): the shipped tuned preset
+    planes=12/tables=8/bits=3 reaches recall@5 = 0.926 scoring 46% of
+    the corpus with an 8-table index, where plain multi-table needs
+    32 tables and 41% scored for a lower 0.83 (tools/tune_ann.py
+    ladder, SCALE.md round 10).
     """
     c_ids = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -608,23 +674,16 @@ def lsh_topk_multiprobe(
     # melt: one (id, table_idx, bucket) row per table, then ONE join on
     # the composite key — same candidate set as per-table joins+union,
     # at one exchange instead of n_tables (the band-melt shape from
-    # minhash_lsh_candidates)
+    # minhash_lsh_candidates). ALL tables' signatures come from one
+    # Arrow-batched pass (_multitable_signature_udf — bit-identical to
+    # the _bucket_expr fold, ~50x faster at production table·plane
+    # budgets); posexplode restores the melt grain.
+    sig = _multitable_signature_udf(dim, n_planes, n_tables, seed)
+
     def melt(df: DataFrame, id_name: str, vec_name: str) -> DataFrame:
-        tables = [
-            F.struct(
-                F.lit(t).alias("table_idx"),
-                _bucket_expr(
-                    F.col(vec_name), dim, n_planes, seed + t
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
         return df.select(
-            id_name, F.explode(F.array(*tables)).alias("__t")
-        ).select(
             id_name,
-            F.col("__t.table_idx").alias("table_idx"),
-            F.col("__t.bucket").alias("bucket"),
+            F.posexplode(sig(F.col(vec_name))).alias("table_idx", "bucket"),
         )
 
     cb = melt(c_ids, "neighbor_id", "__cv")

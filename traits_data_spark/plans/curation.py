@@ -69,6 +69,8 @@ def curate_corpus(
     max_bucket_size: int | None = None,
     bpe_vocab: Sequence[str] | None = None,
     bpe_cap: int = 24,
+    lm: tuple[DataFrame, DataFrame] | None = None,
+    lm_max_nll_micro: int | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns one row per document in
     the curated corpus: ``(id, source, ws_tokens, shard, shard_pos)``.
@@ -101,6 +103,13 @@ def curate_corpus(
     gains a ``bpe_tokens`` column next to ``ws_tokens``. The count is
     a pure projection over the post-dedup/decon survivors, so the
     only plan change is the extra scan-speed expression.
+
+    ``lm`` + ``lm_max_nll_micro`` (round 10): when both are given, a
+    CCNet-style LM-perplexity filter runs on the quality-kept set —
+    docs whose mean negative log-likelihood under the broadcast
+    word-bigram LM exceeds ``lm_max_nll_micro`` micro-nats are
+    dropped before dedup. ``lm`` is the ``load_word_lm(spark)`` pair;
+    thresholds are integers, so the kept set stays engine-exact.
     """
     weights_ppm = dict(weights_ppm or {})
     base = widen_if_narrow(
@@ -114,6 +123,27 @@ def curate_corpus(
         base, min_words=min_words, stops=stops, emit_tokens="ws_tokens"
     ).persist()
     kept_quality = scored.filter(F.col("keep") == 1)
+
+    # optional CCNet-style LM-perplexity filter (round 10): keep docs
+    # whose mean negative log-likelihood under the broadcast bigram LM
+    # is at most lm_max_nll_micro micro-nats (avg_lp_micro >=
+    # -lm_max_nll_micro). Runs on the quality-kept set, BEFORE dedup —
+    # the same quality-stage position CCNet applies its KenLM filter
+    # at. Pure broadcast joins + one doc-keyed aggregate; see
+    # operators.perplexity for the exact-arithmetic contract.
+    if lm is not None and lm_max_nll_micro is not None:
+        from traits_data_spark.operators.perplexity import doc_lp_sums
+
+        bigram_lp, context_lp = lm
+        lp = doc_lp_sums(
+            kept_quality, bigram_lp, context_lp, text_col, id_col
+        ).filter(
+            F.col("avg_lp_micro") >= F.lit(-int(lm_max_nll_micro))
+        ).select(F.col("__id").alias(id_col))
+        # corpus-sized keep-set: a plain id-keyed semi join (no
+        # broadcast — AQE picks the strategy; the LM TABLES broadcast,
+        # the per-doc score frame must not)
+        kept_quality = kept_quality.join(lp, id_col, "semi")
 
     # exact dedup: ONE map-side-combined min_by per content hash.
     # Persisted — the exact-kept set feeds near-dup shingling, both
