@@ -132,6 +132,9 @@ BENCH_QUERIES = FLAGSHIPS + [
     "bpe_token_counts_large",
     "ann_recall",
     "video_metadata",
+    "bpe_merge_token_counts",
+    "lm_perplexity",
+    "webm_metadata",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the
@@ -190,6 +193,22 @@ def headline_line(timings: dict[str, float], sf, load1) -> str:
     )[:TAIL_CAPTURE_BUDGET]
 
 
+def _free_storage(spark) -> None:
+    """Free EVERY storage block between benched queries: clearCache()
+    drops plan-cache persists, but ``localCheckpoint`` blocks (kmeans
+    fits, CC iteration checkpoints) are NOT registered there and
+    survive it — measured (round 10) to degrade later heavy-persist
+    queries in the same session: curate_corpus warm floor 6.2 s
+    isolated → 9.0 s after the checkpoint-heavy ANN/dedup family, and
+    the cause of round 9's warm>first_rep inversion. Unpersisting via
+    the JVM persistent-RDD registry restores the isolated floor
+    (measured 6.7 s). Safe between queries: nothing references the
+    checkpointed plans once the noop write completes."""
+    spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+
+
 def main() -> None:
     from traits_data_spark import catalog
     from traits_data_spark.session import get_spark
@@ -233,7 +252,7 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-        spark.catalog.clearCache()
+        _free_storage(spark)
 
     # Local-mode wall clocks vary ±20% run-to-run (GC, JIT, OS cache);
     # min-of-N is the stable statistic for regression tracking. The
@@ -258,7 +277,7 @@ def main() -> None:
             # corpus barriers) must not leak cache blocks into the next
             # run — eviction thrash would charge query N's cost to
             # query N+1.
-            spark.catalog.clearCache()
+            _free_storage(spark)
         timings[name] = round(min(rep_times), 3)
         if name in FLAGSHIPS:
             # "first_rep", not "cold": the sf0.001 warmup already
