@@ -194,19 +194,26 @@ def headline_line(timings: dict[str, float], sf, load1) -> str:
 
 
 def _free_storage(spark) -> None:
-    """Free EVERY storage block between benched queries: clearCache()
-    drops plan-cache persists, but ``localCheckpoint`` blocks (kmeans
-    fits, CC iteration checkpoints) are NOT registered there and
-    survive it — measured (round 10) to degrade later heavy-persist
-    queries in the same session: curate_corpus warm floor 6.2 s
-    isolated → 9.0 s after the checkpoint-heavy ANN/dedup family, and
-    the cause of round 9's warm>first_rep inversion. Unpersisting via
-    the JVM persistent-RDD registry restores the isolated floor
-    (measured 6.7 s). Safe between queries: nothing references the
-    checkpointed plans once the noop write completes."""
-    spark.catalog.clearCache()
+    """Free EVERY storage block between benched queries, BLOCKING.
+    Two measured round-10 mechanisms behind the warm>first_rep
+    inversions (SCALE.md):
+
+    - ``clearCache()`` never drops ``localCheckpoint`` blocks (kmeans
+      fits, CC iteration checkpoints) — they outlive it and degrade
+      later heavy-persist queries (curate_corpus floor 6.2 s isolated
+      → 9.0 s after the checkpoint-heavy ANN/dedup family). The
+      persistent-RDD registry sweep below catches them.
+    - ``clearCache()``/``unpersist()`` default to ASYNC block removal,
+      so rep N's drop work lands inside rep N+1's timed window on
+      persist-heavy plans — curate_corpus reps [7.5, 9.4, 6.8, 6.1]
+      async vs [6.1, 6.2, 6.4, 7.2] with blocking unpersist.
+      ``unpersist(True)`` moves that cost out here, untimed.
+
+    Safe between queries: nothing references the cached/checkpointed
+    plans once the noop write completes."""
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist()
+        jrdd.unpersist(True)
+    spark.catalog.clearCache()
 
 
 def main() -> None:

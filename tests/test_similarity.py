@@ -569,3 +569,50 @@ def test_ivf_precomputed_centroids_match_inline_fit(spark, embeddings):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, reused.collect())
     )
+
+
+def test_tuned_ann_presets_stay_deployable(spark, embeddings):
+    """The round-10 Done criterion, pinned: the shipped tuned presets
+    (catalog ANN_TUNED_* multi-probe LSH and IVF_TUNED_PROBE) must
+    keep mean recall@5 >= 0.8 against brute force on the eval corpus —
+    if a preset or the signature path regresses into the round-9
+    situation (recall 0.02-0.12 presets shipped as defaults), this
+    fails before the driver gate ever sees it."""
+    from traits_data_spark.catalog import (
+        ANN_TUNED_PLANES,
+        ANN_TUNED_TABLES,
+        ANN_TUNED_PROBE_BITS,
+        IVF_TUNED_PROBE,
+        KMEANS_K,
+        KMEANS_ITER,
+        IVF_SCALE,
+        TOPK,
+        EMB_DIM,
+    )
+    from traits_data_spark.operators.similarity import (
+        ann_recall,
+        ivf_topk_kmeans,
+        lsh_topk_multiprobe,
+    )
+
+    emb = embeddings.persist()
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, q, id_col="vec_id", k=TOPK)
+    approx = {
+        "lsh_tuned": lsh_topk_multiprobe(
+            emb, q, dim=EMB_DIM, k=TOPK, n_planes=ANN_TUNED_PLANES,
+            n_tables=ANN_TUNED_TABLES, probe_bits=ANN_TUNED_PROBE_BITS,
+        ),
+        "ivf_tuned": ivf_topk_kmeans(
+            emb, q, k=TOPK, n_centroids=KMEANS_K, n_iter=KMEANS_ITER,
+            n_probe=IVF_TUNED_PROBE, scale=IVF_SCALE,
+        ),
+    }
+    rows = ann_recall(exact, approx, k=TOPK).collect()
+    by_method: dict = {}
+    for r in rows:
+        by_method.setdefault(r.method, []).append(r.recall_at_k)
+    for method, vals in by_method.items():
+        mean = sum(vals) / len(vals)
+        assert mean >= 0.8, f"{method} mean recall@5 {mean:.2f} < 0.8"
+    emb.unpersist()

@@ -2,18 +2,18 @@
 ``ann_recall`` eval exposed as undeployable (recall@5 = 0.02 single-table
 LSH / 0.12 multiprobe / 0.52 IVF at the shipped presets).
 
-Phase 1 (this script, numpy): exact replica of the Spark LSH math —
-same seeded ``random.Random`` hyperplanes, same sign-of-dot bucket, same
-multi-table union — swept over a (n_planes, n_tables) grid, reporting
-recall@k and the candidate fraction (the cost axis: expected fraction of
-the corpus scored per query, which is what scales to 100 TB).
-
-Phase 2 (``--spark``): run the actual Spark operators for the finalist
-configs + the IVF n_probe ladder and record wall times.
+Method: exact numpy replicas of the Spark math — same seeded
+``random.Random`` hyperplanes, same sign-of-dot buckets, the same
+md5-hash-seeded fixed-point Lloyd for IVF, multi-table union AND
+bit-flip probing (Lv et al. multi-probe) — swept over the knob grid,
+reporting recall@k and the candidate fraction (the cost axis: expected
+fraction of the corpus scored per query, which is what scales to
+100 TB). Spark parity of the replica was spot-checked at equal recall
+on sf0.01 before trusting the sweep; wall-times for finalists were
+measured separately with the actual operators (SCALE.md round 10).
 
 Usage:
-    python tools/tune_ann.py                 # numpy LSH grid at sf0.1
-    python tools/tune_ann.py --spark         # Spark finalists + IVF
+    python tools/tune_ann.py    # full grid at sf0.1, Pareto summary
 """
 from __future__ import annotations
 
