@@ -28,15 +28,17 @@ REPLICAS = 20
 def build(out_dir: str, suffix_words: bool) -> None:
     os.makedirs(out_dir, exist_ok=True)
     dst = os.path.join(out_dir, "documents.parquet")
-    if os.path.exists(dst):
-        return
-    text_expr = (
-        "regexp_replace(text, '(\\S+)', '\\1x' || r.r, 'g')"
-        if suffix_words
-        else "text"
-    )
-    duckdb.connect().sql(
-        f"""
+    # per-table existence checks (no early return): a scratch dir from
+    # an older tool version has 20x documents but only a 1x embeddings
+    # symlink, and the embeddings repair below must still run
+    if not os.path.exists(dst):
+        text_expr = (
+            "regexp_replace(text, '(\\S+)', '\\1x' || r.r, 'g')"
+            if suffix_words
+            else "text"
+        )
+        duckdb.connect().sql(
+            f"""
 COPY (
   SELECT d.doc_id + r.r * 1000000 AS doc_id,
          {text_expr} AS text,
@@ -45,7 +47,7 @@ COPY (
   CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
 ) TO '{dst}' (FORMAT PARQUET)
 """
-    )
+        )
     # embeddings also replicate 20x (vec_id offset) so the ANN family
     # gets a real corpus-side stress, not a symlink of the 1x table
     edst = os.path.join(out_dir, "embeddings.parquet")
@@ -75,6 +77,7 @@ def main() -> None:
     out_dir = "/tmp/sf0.1x20" + ("_sw" if suffix_words else "")
     build(out_dir, suffix_words)
 
+    from bench import _free_storage
     from traits_data_spark import catalog
     from traits_data_spark.session import get_spark
 
@@ -88,7 +91,10 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 times.append(round(time.time() - t0, 2))
-                spark.catalog.clearCache()
+                # blocking full-storage sweep (see bench._free_storage:
+                # clearCache leaks localCheckpoint blocks and drops the
+                # rest async, contaminating the next timed rep)
+                _free_storage(spark)
             print(
                 {
                     "query": name,

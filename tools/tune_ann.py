@@ -130,26 +130,37 @@ def kmeans_centroids(
         [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids]
     )
     order = np.lexsort((ids, h))[:k]
-    cents = vecs[order].copy()
+    # keep ORIGINAL cid values throughout: the Spark fit drops empty
+    # clusters from the centroid table but surviving cids keep their
+    # ids, and assignment tie-breaks on (d2, cid) — compacting/
+    # renumbering here would desync tie-breaks and probe identities
+    # from the shipped operator (review finding, round 10)
+    cents: dict[int, np.ndarray] = {
+        cid: vecs[order[cid]].copy() for cid in range(len(order))
+    }
     for _ in range(n_iter):
+        cids = sorted(cents)
+        C = np.array([cents[c] for c in cids])
         d2 = np.round(
             (vecs**2).sum(1)[:, None]
-            - 2.0 * (vecs @ cents.T)
-            + (cents**2).sum(1)[None, :],
+            - 2.0 * (vecs @ C.T)
+            + (C**2).sum(1)[None, :],
             6,
         )
-        assign = d2.argmin(1)  # argmin takes first on ties == cid asc
-        new = []
-        for c in range(len(cents)):
+        # argmin over columns sorted by cid == (d2, cid) tie-break
+        assign = np.array(cids)[d2.argmin(1)]
+        new: dict[int, np.ndarray] = {}
+        for c in cids:
             members = vecs[assign == c]
             if len(members) == 0:
-                continue  # empty clusters drop out, like the Spark fit
-            new.append(
+                continue  # empty clusters drop out, cids keep values
+            new[c] = (
                 np.round(members * scale).astype(np.int64).sum(0)
                 / (float(scale) * len(members))
             )
-        cents = np.array(new)
-    return cents
+        cents = new
+    cids = sorted(cents)
+    return np.array([cents[c] for c in cids]), np.array(cids)
 
 
 def ivf_recall(
@@ -224,7 +235,7 @@ def main() -> None:
     print("--- IVF-kmeans (exact replica of kmeans_fit) ---")
     for k_cent in (8, 16, 32):
         for n_iter in (2, 4):
-            cents = kmeans_centroids(ids, vecs, k_cent, n_iter)
+            cents, _cids = kmeans_centroids(ids, vecs, k_cent, n_iter)
             for n_probe in (1, 2, 3, 4, 6, 8, 12, 16):
                 if n_probe > len(cents):
                     continue

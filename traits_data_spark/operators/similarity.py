@@ -112,10 +112,11 @@ def _bucket_expr(v: Column, dim: int, n_planes: int, seed: int) -> Column:
     ~n_planes·dim·3 expression nodes blow the JVM 64KB codegen method
     limit at 16 planes — Spark logs an InternalCompilerException and
     falls back to interpreted anyway, paying the compile attempt on
-    top. The per-row HOF cost is the price of cross-engine exactness
-    (the fold order matches DuckDB's list_dot_product); tune signature
-    budgets by n_planes·n_tables, not by micro-optimizing this
-    expression (see the ANN ladder in SCALE.md round 10)."""
+    top. Cross-engine bucket agreement rests on SIGN robustness, not
+    fold-order identity (DuckDB's list_dot_product reassociates at
+    dim 64 — see _multitable_signature_udf); tune signature budgets
+    by n_planes·n_tables, not by micro-optimizing this expression
+    (see the ANN ladder in SCALE.md round 10)."""
     planes = _hyperplanes(dim, n_planes, seed)
     bucket: Column = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -565,37 +566,57 @@ def _multitable_signature_udf(
     """Arrow-batched hyperplane signatures for ALL tables at once:
     returns an ``array<long>`` of ``n_tables`` bucket ids per vector.
 
-    Bit-identical to ``_bucket_expr``/``dot`` (and to DuckDB's
-    ``list_dot_product`` oracles) by construction: each projection
-    accumulates ``acc = acc + v[j]·p[j]`` STRICTLY left-to-right —
-    vectorized across ROWS (one numpy op per j), never across the
-    reduction axis, so every per-element IEEE rounding step matches
-    the Catalyst fold. Justified Python (the BPE-tokenizer precedent):
-    the interpreted zip_with/aggregate fold costs ~1 ms/row at
-    production signature budgets (96 plane-dots/row measured 10 s for
-    2 k rows — SCALE.md round 10), while this batch path does the
-    same arithmetic in n_tables·n_planes·dim numpy column ops.
+    Bit-identical to ``_bucket_expr``/``dot`` by construction: each
+    projection accumulates ``acc = acc + v[j]·p[j]`` STRICTLY
+    left-to-right — vectorized across ROWS (one numpy op per j),
+    never across the reduction axis, so every per-element IEEE
+    rounding step matches the Catalyst fold, and swapping the melt to
+    this path cannot move any row's bucket. DuckDB's
+    ``list_dot_product`` is NOT element-order-stable at dim 64
+    (measured: pairwise/SIMD reassociation, few-ulp deltas vs the
+    fold), so Spark↔oracle bucket agreement was never exact-by-
+    construction on EITHER path — it rests on sign-of-dot robustness
+    (a bit flips only when a projection lands within the ~ulp
+    reassociation error of 0.0; continuous data makes that
+    measure-zero in practice, and every shipped LSH oracle
+    hash-matches). Do NOT write future oracles that repr-compare raw
+    dot-derived doubles — only signs (buckets) and 6-dp-rounded
+    cosines are portable. Justified Python (the BPE-tokenizer
+    precedent): the interpreted zip_with/aggregate fold costs
+    ~1 ms/row at production signature budgets (96 plane-dots/row
+    measured 10 s for 2 k rows — SCALE.md round 10), while this batch
+    path does the same arithmetic in n_tables·n_planes·dim numpy
+    column ops.
 
-    Vectors that are NULL or not ``dim``-long yield a NULL signature
-    array (the expression path's NULL-poisoned bucket), which
-    ``posexplode`` then drops."""
+    Vectors that are NULL, ragged, or containing null elements take
+    bucket 0 in every table — exactly like the expression path
+    (``when(NULL > 0).otherwise(0)`` sums to 0) and the SQL oracles'
+    ``CASE WHEN … ELSE 0`` (NaN/NULL projections compare false
+    per-plane)."""
     import numpy as np
 
     planes = [
         np.array(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
     ]
     pows = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
+    zeros = [0] * n_tables
 
     @F.pandas_udf("array<long>")
     def _sig(vs: pd.Series) -> pd.Series:
-        res: list = [None] * len(vs)
+        res: list = [zeros] * len(vs)
         idx = [
             i
             for i, v in enumerate(vs)
             if v is not None and len(v) == dim
         ]
         if idx:
-            V = np.asarray([vs.iloc[i] for i in idx], dtype=np.float64)
+            V = np.asarray(
+                [
+                    [x if x is not None else np.nan for x in vs.iloc[i]]
+                    for i in idx
+                ],
+                dtype=np.float64,
+            )
             out = np.empty((len(idx), n_tables), dtype=np.int64)
             for t, P in enumerate(planes):
                 bits = np.empty((len(idx), n_planes), dtype=bool)
@@ -604,7 +625,7 @@ def _multitable_signature_udf(
                     acc = np.zeros(len(idx), dtype=np.float64)
                     for j in range(dim):  # left-to-right, like the fold
                         acc = acc + V[:, j] * p[j]
-                    bits[:, pi] = acc > 0
+                    bits[:, pi] = acc > 0  # NaN > 0 is False, like NULL
                 out[:, t] = bits @ pows
             for k, i in enumerate(idx):
                 res[i] = [int(x) for x in out[k]]
