@@ -135,6 +135,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "bpe_merge_token_counts",
     "lm_perplexity",
     "webm_metadata",
+    "curate_corpus_ppl",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

@@ -71,6 +71,7 @@ LOAD_BEARING = [
     "bpe_merge_token_counts",
     "lm_perplexity",
     "webm_metadata",
+    "curate_corpus_ppl",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

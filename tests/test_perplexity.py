@@ -137,3 +137,33 @@ def test_curate_corpus_lm_hook_drops_high_nll_docs(spark, documents):
     n_base, n_tight, n_loose = base.count(), tight.count(), loose.count()
     assert n_tight == 0
     assert n_loose == n_base > 0
+
+
+def test_curate_corpus_ppl_variant_filters_real_docs(spark):
+    """The catalog's curate_corpus_ppl: the LM stage does real work
+    (fewer survivors than plain curate_corpus) and every survivor
+    clears the NLL ceiling. NOT a subset check: the filter runs before
+    dedup (the CCNet position), so dropping a duplicate's low-id copy
+    legitimately promotes a different surviving doc_id."""
+    from traits_data_spark.catalog import (
+        CURATE_PPL_MAX_NLL_MICRO,
+        q_curate_corpus,
+        q_curate_corpus_ppl,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plain = {r.doc_id for r in q_curate_corpus(spark, sf).collect()}
+    ppl = {r.doc_id for r in q_curate_corpus_ppl(spark, sf).collect()}
+    assert ppl and plain
+    assert len(ppl) < len(plain)
+    # every survivor clears the ceiling under the committed LM
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bigram, context = load_word_lm(spark)
+    kept = docs.join(
+        spark.createDataFrame([(i,) for i in sorted(ppl)], "doc_id long"),
+        "doc_id",
+    )
+    sums = doc_lp_sums(kept, bigram, context).collect()
+    assert sums and all(
+        r["avg_lp_micro"] >= -CURATE_PPL_MAX_NLL_MICRO for r in sums
+    )

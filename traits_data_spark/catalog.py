@@ -2591,7 +2591,64 @@ wtok AS (SELECT w, max_by(cnt + greatest(length(w) - pos + 1, 0), i) AS t
          FROM tok GROUP BY w)"""
 
 
-def _curate_corpus_sql(bpe: bool = False) -> str:
+# LM-perplexity ceiling for the curate_corpus_ppl variant: 3.43
+# nats/token in micro-nats, chosen near the corpus median mean-NLL
+# (sf0.01 range 3.30-3.73) so the filter demonstrably drops the
+# worst-perplexity half rather than being a no-op.
+CURATE_PPL_MAX_NLL_MICRO = 3_430_000
+
+
+def _lm_filter_ctes(src_cte: str, out_cte: str) -> str:
+    """CTE chain applying the CCNet-position LM filter to a CTE that
+    exposes (doc_id, nt, ...): keep docs whose mean log-prob under the
+    committed bigram LM artifact clears -CURATE_PPL_MAX_NLL_MICRO.
+    Mirrors operators.perplexity.doc_lp_sums + the curate_corpus hook
+    exactly (same artifact, same unk-mapping, same one-division
+    rounding, integer threshold)."""
+    return f"""
+lmbi AS (SELECT u, w, lp_micro FROM read_parquet('{WORD_LM_BIGRAM_PATH}')),
+lmctx AS (SELECT u, unseen_lp_micro
+          FROM read_parquet('{WORD_LM_CONTEXT_PATH}')),
+lmw AS (
+  SELECT doc_id,
+         list_filter(string_split(nt, ' '), x -> length(x) > 0) AS wlm
+  FROM {src_cte}
+),
+lmtok AS (
+  SELECT doc_id, i.pos, wlm[i.pos] AS w0
+  FROM lmw CROSS JOIN LATERAL
+    (SELECT unnest(range(1, len(wlm) + 1)) AS pos) i
+),
+lmm AS (
+  SELECT doc_id, pos,
+         CASE WHEN w0 IN (SELECT u FROM lmctx) THEN w0
+              ELSE '<unk>' END AS w
+  FROM lmtok
+),
+lmp AS (
+  SELECT doc_id, pos, w,
+         coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '<s>') AS u
+  FROM lmm
+),
+lms AS (
+  SELECT lmp.doc_id,
+         coalesce(lmbi.lp_micro, lmctx.unseen_lp_micro) AS lp
+  FROM lmp LEFT JOIN lmbi ON lmbi.u = lmp.u AND lmbi.w = lmp.w
+           LEFT JOIN lmctx ON lmctx.u = lmp.u
+),
+lmagg AS (
+  SELECT doc_id,
+         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) + 0.0 AS avg_lp
+  FROM lms GROUP BY doc_id
+),
+{out_cte} AS (
+  SELECT {src_cte}.* FROM {src_cte} JOIN lmagg USING (doc_id)
+  WHERE avg_lp >= -{CURATE_PPL_MAX_NLL_MICRO}
+)"""
+
+
+def _curate_corpus_sql(bpe: bool = False, lm: bool = False) -> str:
     cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in CURATE_WEIGHTS.items())
     # The bpe variant budgets the mixture in subword tokens: tokenize
     # the DISTINCT lowercase words of the post-dedup/decon survivors
@@ -2636,9 +2693,10 @@ g AS (
   SELECT doc_id, source, nt, CAST(n_words AS BIGINT) AS ws_tokens
   FROM m
   WHERE {_gopher_keep_sql()}
-),
-keepers AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY {_H60.format(x='nt')}),
-ded AS (SELECT g.* FROM g JOIN keepers USING (doc_id)),
+),{(_lm_filter_ctes('g', 'gq') + ',') if lm else '''
+gq AS (SELECT * FROM g),'''}
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM gq GROUP BY {_H60.format(x='nt')}),
+ded AS (SELECT gq.* FROM gq JOIN keepers USING (doc_id)),
 {_near_dup_drop_sql('ded', 0.8)},
 uniq AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT id_b FROM cnear)),
 nw AS (SELECT doc_id, source, ws_tokens,
@@ -2682,6 +2740,33 @@ SELECT doc_id, source, {token_cols},
        CAST(row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) AS BIGINT) AS shard_pos
 FROM (SELECT *, {_H60.format(x="'ep0' || CAST(doc_id AS VARCHAR)")} AS h FROM kept)
 """
+
+
+def q_curate_corpus_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curate_corpus`` with the round-10 CCNet-position LM-perplexity
+    hook ON (``lm=``, ``lm_max_nll_micro=``): docs whose mean NLL under
+    the committed bigram LM exceeds 3.43 nats/token are dropped after
+    the Gopher gate and before dedup — the full curation chain with the
+    model-based quality stage a web-corpus pipeline actually runs. The
+    threshold sits near the corpus median mean-NLL, so the stage
+    verifiably halves the quality-kept set (not a no-op), and the
+    DuckDB oracle replays the filter from the same LM artifacts with
+    the same integer threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return curate_corpus(
+        corpus,
+        bench,
+        min_words=30,
+        stops=CURATE_STOPS,
+        decon_n=DECON_N,
+        decon_min_overlap=1,
+        weights_ppm=CURATE_WEIGHTS,
+        token_budget=CURATE_BUDGET,
+        lm=load_word_lm(spark),
+        lm_max_nll_micro=CURATE_PPL_MAX_NLL_MICRO,
+    )
 
 
 def q_curate_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5015,6 +5100,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "bpe_merge_token_counts": q_bpe_merge_token_counts,
     "lm_perplexity": q_lm_perplexity,
     "webm_metadata": q_webm_metadata,
+    "curate_corpus_ppl": q_curate_corpus_ppl,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5160,6 +5246,7 @@ def oracle_sqls() -> dict[str, str]:
         "bpe_merge_token_counts": _BPE_MERGE_TOKEN_SQL,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "webm_metadata": _WEBM_META_SQL,
+        "curate_corpus_ppl": _curate_corpus_sql(lm=True),
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),
