@@ -47,12 +47,11 @@ LOAD_BEARING = [
     "jaccard_verify",
     "decontaminate",
     # round-7 additions still in-window (epoch_expand / kmv_overlap /
-    # snapshot_diff / shuffle_shards rotated out round 10 — driver-green
-    # rounds 7 through 9)
+    # snapshot_diff / shuffle_shards / containment_pairs rotated out
+    # round 10 — driver-green rounds 7 through 9)
     "bloom_decontaminate",
     "mixture_plan",
     "gopher_rules",
-    "containment_pairs",
     "curate_corpus",
     "corpus_report",
     # round-8 additions: must be driver-attested before rotating out
@@ -72,6 +71,7 @@ LOAD_BEARING = [
     "lm_perplexity",
     "webm_metadata",
     "curate_corpus_ppl",
+    "lm_perplexity_sampled",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

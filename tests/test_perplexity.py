@@ -167,3 +167,52 @@ def test_curate_corpus_ppl_variant_filters_real_docs(spark):
     assert sums and all(
         r["avg_lp_micro"] >= -CURATE_PPL_MAX_NLL_MICRO for r in sums
     )
+
+
+def test_score_perplexity_sampled_buckets(spark, documents):
+    """Sampled-cut buckets: monotone in avg_lp_micro, bounded, roughly
+    balanced at a 100% sample, and the rank-window and sampled paths
+    agree exactly when the sample is the full population (cuts from
+    the same discrete selection formula)."""
+    from traits_data_spark.operators.perplexity import (
+        score_perplexity_sampled,
+    )
+
+    bigram, context = load_word_lm(spark)
+    docs = documents.limit(200)
+    out = score_perplexity_sampled(
+        docs, bigram, context, n_buckets=10, rate_bp=10_000
+    ).collect()
+    scored = [r for r in out if r["ppl_bucket_sampled"] is not None]
+    assert scored
+    assert all(0 <= r["ppl_bucket_sampled"] <= 9 for r in scored)
+    # monotone: sorting by avg must sort (non-strictly) by bucket
+    by_avg = sorted(scored, key=lambda r: (r["avg_lp_micro"], r["doc_id"]))
+    buckets = [r["ppl_bucket_sampled"] for r in by_avg]
+    assert buckets == sorted(buckets)
+    # full-sample cuts at rank (q*(n-1)) DIV 10 + 1 -> every decile
+    # is populated on 150+ scored docs
+    assert len(set(buckets)) == 10
+
+
+def test_score_perplexity_sampled_empty_sample_is_bucket_zero(spark):
+    """rate_bp so low no doc samples: zero cuts -> every scored doc
+    lands in bucket 0 (the conservative everything-is-tail answer),
+    and nothing errors."""
+    from traits_data_spark.operators.perplexity import (
+        score_perplexity_sampled,
+    )
+
+    bigram, context, _ = _tiny_lm(spark)
+    df = spark.createDataFrame(
+        [(i, "a b") for i in range(5)] + [(9, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["ppl_bucket_sampled"]
+        for r in score_perplexity_sampled(
+            df, bigram, context, rate_bp=1
+        ).collect()
+    }
+    assert all(out[i] == 0 for i in range(5))
+    assert out[9] is None

@@ -106,6 +106,7 @@ from traits_data_spark.operators.perplexity import (
     WORD_LM_CONTEXT_PATH,
     load_word_lm,
     score_perplexity,
+    score_perplexity_sampled,
 )
 from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.plans.curation import curate_corpus
@@ -2953,8 +2954,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_PERPLEXITY_SQL = f"""
-WITH bi AS (SELECT u, w, lp_micro FROM read_parquet('{WORD_LM_BIGRAM_PATH}')),
+# shared LM scoring chain (artifact lookups → per-doc integer sums →
+# exact avg): both perplexity oracles build on ``a2``
+_LM_SCORE_CTES = f"""bi AS (SELECT u, w, lp_micro FROM read_parquet('{WORD_LM_BIGRAM_PATH}')),
 ctx AS (SELECT u, unseen_lp_micro FROM read_parquet('{WORD_LM_CONTEXT_PATH}')),
 d AS (
   SELECT doc_id,
@@ -2993,7 +2995,10 @@ a2 AS (
          round(CAST(sum_lp_micro AS DOUBLE) / n_scored, 6) + 0.0
            AS avg_lp_micro
   FROM agg
-),
+)"""
+
+_LM_PERPLEXITY_SQL = f"""
+WITH {_LM_SCORE_CTES},
 r AS (
   SELECT *,
          row_number() OVER (ORDER BY avg_lp_micro, doc_id) - 1 AS rn0,
@@ -3012,6 +3017,75 @@ SELECT d.doc_id,
        b.ppl_bucket
 FROM d LEFT JOIN b USING (doc_id)
 """
+
+LM_SAMPLED_RATE_BP = 2_000  # 20% deterministic hash sample for cuts
+LM_SAMPLED_BUCKETS = 10
+
+_LM_PERPLEXITY_SAMPLED_SQL = f"""
+WITH {_LM_SCORE_CTES},
+samp AS (
+  SELECT avg_lp_micro, doc_id FROM a2
+  WHERE {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 10000
+        < {LM_SAMPLED_RATE_BP}
+),
+rk AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY avg_lp_micro, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM samp
+),
+-- one cut row per DISTINCT selected rank (two q hitting the same rank
+-- must not duplicate the cut: the Spark side matches each sample row
+-- at most once via array_contains)
+cuts AS (
+  SELECT avg_lp_micro AS cut FROM (
+    SELECT DISTINCT rk.rn, rk.avg_lp_micro
+    FROM rk CROSS JOIN
+      (SELECT unnest(range(1, {LM_SAMPLED_BUCKETS})) AS q) qs
+    WHERE rk.rn = (qs.q * (rk.n - 1)) // {LM_SAMPLED_BUCKETS} + 1
+  )
+),
+b AS (
+  SELECT a2.doc_id, a2.n_scored, a2.sum_lp_micro, a2.avg_lp_micro,
+         CAST((SELECT count(*) FROM cuts
+               WHERE cuts.cut <= a2.avg_lp_micro) AS BIGINT)
+           AS ppl_bucket_sampled
+  FROM a2
+)
+SELECT d.doc_id,
+       CAST(coalesce(b.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(b.sum_lp_micro, 0) AS BIGINT) AS sum_lp_micro,
+       b.avg_lp_micro,
+       b.ppl_bucket_sampled
+FROM d LEFT JOIN b USING (doc_id)
+"""
+
+
+def q_lm_perplexity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lm_perplexity`` with the SCALE-SAFE bucket path
+    (``operators.perplexity.score_perplexity_sampled``): decile cut
+    values come from a 20% deterministic hash sample ranked in one
+    small window, broadcast as a single array row, and every document
+    buckets by comparison — no corpus-wide total order anywhere (the
+    ``sampled_quantiles`` discipline applied to the CCNet stratifier).
+    Discrete selection + integer rank arithmetic + exact double
+    compares, so the oracle replays every bucket bit-for-bit."""
+    docs = _docs_wide(spark, sf_dir)
+    bigram, context = load_word_lm(spark)
+    return score_perplexity_sampled(
+        docs,
+        bigram,
+        context,
+        n_buckets=LM_SAMPLED_BUCKETS,
+        rate_bp=LM_SAMPLED_RATE_BP,
+    ).select(
+        "doc_id",
+        "n_scored",
+        "sum_lp_micro",
+        "avg_lp_micro",
+        "ppl_bucket_sampled",
+    )
 
 
 def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5080,11 +5154,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     # -- round 7 (epoch_expand / kmv_overlap / snapshot_diff /
-    #    shuffle_shards rotated out round 10 — driver-green rounds 7-9) ----
+    #    shuffle_shards / containment_pairs rotated out round 10 —
+    #    driver-green rounds 7-9) -------------------------------------------
     "bloom_decontaminate": q_bloom_decontaminate,
     "mixture_plan": q_mixture_plan,
     "gopher_rules": q_gopher_rules,
-    "containment_pairs": q_containment_pairs,
     "curate_corpus": q_curate_corpus,
     "corpus_report": q_corpus_report,
     # -- new round 8: subword tokenization + incremental exact dedup -------
@@ -5101,6 +5175,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "lm_perplexity": q_lm_perplexity,
     "webm_metadata": q_webm_metadata,
     "curate_corpus_ppl": q_curate_corpus_ppl,
+    "lm_perplexity_sampled": q_lm_perplexity_sampled,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5147,6 +5222,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "epoch_expand": q_epoch_expand,
     "kmv_overlap": q_kmv_overlap,
     "snapshot_diff": q_snapshot_diff,
+    "containment_pairs": q_containment_pairs,
     # rotated out round 8 (driver-green rounds 6 AND 7):
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
@@ -5247,6 +5323,7 @@ def oracle_sqls() -> dict[str, str]:
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "webm_metadata": _WEBM_META_SQL,
         "curate_corpus_ppl": _curate_corpus_sql(lm=True),
+        "lm_perplexity_sampled": _LM_PERPLEXITY_SAMPLED_SQL,
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

@@ -184,3 +184,88 @@ def score_perplexity(
             F.exp(-F.col("avg_lp_micro") / F.lit(float(MICRO))),
         )
     return out
+
+
+def score_perplexity_sampled(
+    df: DataFrame,
+    bigram_lp: DataFrame,
+    context_lp: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    rate_bp: int = 2_000,
+) -> DataFrame:
+    """``score_perplexity`` with the SCALE-SAFE bucket path: instead of
+    ranking every document in one global window (one row per doc, but
+    still a total order), bucket cut values come from a deterministic
+    hash sample — the ``sampled_quantiles`` discipline applied to the
+    perplexity stratifier, which is how CCNet actually buckets (cuts
+    from a sample, corpus assigned by comparison).
+
+    Pipeline: per-doc scores (``doc_lp_sums``) → keep docs whose
+    ``portable_hash64(id) % 10000 < rate_bp`` → rank the SAMPLE by
+    ``(avg_lp_micro, id)`` → select the ``n_buckets-1`` discrete cut
+    values at 1-based ranks ``(q·(n-1)) DIV n_buckets + 1`` → collect
+    them into one broadcast array row → every doc's
+    ``ppl_bucket_sampled = Σ [avg >= cut]`` (0..n_buckets-1,
+    0 = most perplexing). Only the sample shuffles into a sort window;
+    the corpus-sized stages are scans, broadcast joins, and one
+    doc-keyed aggregate. All selection is discrete (actual sample
+    values, integer rank arithmetic, exact double comparisons), so a
+    SQL oracle reproduces every bucket bit-for-bit.
+    """
+    from traits_data_spark.functions.scalars import portable_hash64
+
+    sums = doc_lp_sums(df, bigram_lp, context_lp, text_col, id_col)
+    h = F.pmod(portable_hash64(F.col("__id").cast("string")), F.lit(10_000))
+    sample = sums.filter(h < rate_bp).select("avg_lp_micro", "__id")
+    w = Window.orderBy(F.col("avg_lp_micro").asc(), F.col("__id").asc())
+    ranked = (
+        sample.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+        )
+    )
+    # 1-based cut ranks (q·(n-1)) DIV n_buckets + 1 — floor division of
+    # non-negative ints via the exact subtract-pmod-divide form (the
+    # double division of an exact multiple is exact; no DIV operator is
+    # reachable inside a transform lambda)
+    def cut_rank(q):
+        x = q.cast("long") * (F.col("__n") - 1)
+        nb = F.lit(int(n_buckets))
+        return ((x - F.pmod(x, nb)) / nb).cast("long") + F.lit(1)
+
+    ranks = F.transform(
+        F.sequence(F.lit(1), F.lit(int(n_buckets) - 1)), cut_rank
+    )
+    cuts = (
+        ranked.filter(F.array_contains(ranks, F.col("__rn")))
+        .agg(
+            F.array_sort(F.collect_list("avg_lp_micro")).alias("__cuts")
+        )
+    )
+    bucket = F.aggregate(
+        F.col("__cuts"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.when(F.col("avg_lp_micro") >= c, F.lit(1)).otherwise(0),
+    )
+    scored = (
+        sums.crossJoin(F.broadcast(cuts))
+        .withColumn("ppl_bucket_sampled", bucket)
+        .select(
+            F.col("__id").alias(id_col),
+            "n_scored",
+            "sum_lp_micro",
+            "avg_lp_micro",
+            "ppl_bucket_sampled",
+        )
+    )
+    return df.join(scored, id_col, "left").withColumns(
+        {
+            "n_scored": F.coalesce(F.col("n_scored"), F.lit(0)).cast("long"),
+            "sum_lp_micro": F.coalesce(
+                F.col("sum_lp_micro"), F.lit(0)
+            ).cast("long"),
+        }
+    )
