@@ -136,6 +136,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "lm_perplexity",
     "webm_metadata",
     "curate_corpus_ppl",
+    "lm_perplexity_sampled",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

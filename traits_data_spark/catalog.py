@@ -2546,13 +2546,14 @@ cnear AS (
 )"""
 
 
-def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-7 curation flagship (``plans.curation.curate_corpus``):
-    Gopher filter → exact dedup → decontamination vs the src0 slice →
-    mixture-plan-driven deterministic sampling → sharded shuffle."""
+def _curate_call(spark: SparkSession, sf_dir: str, **extra) -> DataFrame:
+    """The ONE copy of the flagship curation invocation (src0 bench
+    split + the shared stop/decon/weights/budget config); the bpe and
+    ppl variants differ only in the ``extra`` kwargs, so a change to
+    the shared defaults lands in all three catalog entrypoints."""
     docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("source") == "src0")
-    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == DECON_BENCH_SOURCE)
+    corpus = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
     return curate_corpus(
         corpus,
         bench,
@@ -2561,8 +2562,15 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         decon_n=DECON_N,
         decon_min_overlap=1,
         weights_ppm=CURATE_WEIGHTS,
-        token_budget=CURATE_BUDGET,
+        **{"token_budget": CURATE_BUDGET, **extra},
     )
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 curation flagship (``plans.curation.curate_corpus``):
+    Gopher filter → exact dedup → decontamination vs the src0 slice →
+    mixture-plan-driven deterministic sampling → sharded shuffle."""
+    return _curate_call(spark, sf_dir)
 
 
 # Subword-token budget for the BPE-budgeted curation variant: larger
@@ -2599,53 +2607,68 @@ wtok AS (SELECT w, max_by(cnt + greatest(length(w) - pos + 1, 0), i) AS t
 CURATE_PPL_MAX_NLL_MICRO = 3_430_000
 
 
-def _lm_filter_ctes(src_cte: str, out_cte: str) -> str:
-    """CTE chain applying the CCNet-position LM filter to a CTE that
-    exposes (doc_id, nt, ...): keep docs whose mean log-prob under the
-    committed bigram LM artifact clears -CURATE_PPL_MAX_NLL_MICRO.
-    Mirrors operators.perplexity.doc_lp_sums + the curate_corpus hook
-    exactly (same artifact, same unk-mapping, same one-division
-    rounding, integer threshold)."""
-    return f"""
-lmbi AS (SELECT u, w, lp_micro FROM read_parquet('{WORD_LM_BIGRAM_PATH}')),
-lmctx AS (SELECT u, unseen_lp_micro
-          FROM read_parquet('{WORD_LM_CONTEXT_PATH}')),
-lmw AS (
-  SELECT doc_id,
-         list_filter(string_split(nt, ' '), x -> length(x) > 0) AS wlm
-  FROM {src_cte}
+def _lm_chain(p: str, src: str) -> str:
+    """The ONE copy of the exactness-critical LM scoring SQL chain
+    (artifact lookups → tokenize → unk-map → lag context → lookup →
+    per-doc integer sums → exact avg), name-prefixed with ``p`` so the
+    standalone perplexity oracles (prefix '') and the curate filter
+    stage (prefix 'lm') share it verbatim — a fix to the unk-mapping
+    or rounding form lands in every oracle at once. ``src`` must be a
+    CTE exposing ``(doc_id, wl)``; the chain ends at ``{p}a2`` with
+    ``(doc_id, n_scored, sum_lp_micro, avg_lp_micro)``. Mirrors
+    ``operators.perplexity.doc_lp_sums`` exactly."""
+    return f"""{p}bi AS (SELECT u, w, lp_micro FROM read_parquet('{WORD_LM_BIGRAM_PATH}')),
+{p}ctx AS (SELECT u, unseen_lp_micro FROM read_parquet('{WORD_LM_CONTEXT_PATH}')),
+{p}tok AS (
+  SELECT doc_id, i.pos, wl[i.pos] AS w0
+  FROM {src} CROSS JOIN LATERAL
+    (SELECT unnest(range(1, len(wl) + 1)) AS pos) i
 ),
-lmtok AS (
-  SELECT doc_id, i.pos, wlm[i.pos] AS w0
-  FROM lmw CROSS JOIN LATERAL
-    (SELECT unnest(range(1, len(wlm) + 1)) AS pos) i
-),
-lmm AS (
+{p}m AS (
   SELECT doc_id, pos,
-         CASE WHEN w0 IN (SELECT u FROM lmctx) THEN w0
+         CASE WHEN w0 IN (SELECT u FROM {p}ctx) THEN w0
               ELSE '<unk>' END AS w
-  FROM lmtok
+  FROM {p}tok
 ),
-lmp AS (
+{p}p AS (
   SELECT doc_id, pos, w,
          coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos),
                   '<s>') AS u
-  FROM lmm
+  FROM {p}m
 ),
-lms AS (
-  SELECT lmp.doc_id,
-         coalesce(lmbi.lp_micro, lmctx.unseen_lp_micro) AS lp
-  FROM lmp LEFT JOIN lmbi ON lmbi.u = lmp.u AND lmbi.w = lmp.w
-           LEFT JOIN lmctx ON lmctx.u = lmp.u
+{p}s AS (
+  SELECT {p}p.doc_id, coalesce({p}bi.lp_micro, {p}ctx.unseen_lp_micro) AS lp
+  FROM {p}p LEFT JOIN {p}bi ON {p}bi.u = {p}p.u AND {p}bi.w = {p}p.w
+            LEFT JOIN {p}ctx ON {p}ctx.u = {p}p.u
 ),
-lmagg AS (
+{p}agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(lp) AS BIGINT) AS sum_lp_micro
+  FROM {p}s GROUP BY doc_id
+),
+{p}a2 AS (
+  SELECT *,
+         round(CAST(sum_lp_micro AS DOUBLE) / n_scored, 6) + 0.0
+           AS avg_lp_micro
+  FROM {p}agg
+)"""
+
+
+def _lm_filter_ctes(src_cte: str, out_cte: str) -> str:
+    """CCNet-position LM filter over a CTE exposing (doc_id, nt, ...):
+    keep docs whose mean log-prob clears -CURATE_PPL_MAX_NLL_MICRO.
+    Shares the scoring chain with the perplexity oracles via
+    ``_lm_chain`` (prefix 'lm')."""
+    return f"""
+lmw AS (
   SELECT doc_id,
-         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) + 0.0 AS avg_lp
-  FROM lms GROUP BY doc_id
+         list_filter(string_split(nt, ' '), x -> length(x) > 0) AS wl
+  FROM {src_cte}
 ),
+{_lm_chain('lm', 'lmw')},
 {out_cte} AS (
-  SELECT {src_cte}.* FROM {src_cte} JOIN lmagg USING (doc_id)
-  WHERE avg_lp >= -{CURATE_PPL_MAX_NLL_MICRO}
+  SELECT {src_cte}.* FROM {src_cte} JOIN lma2 USING (doc_id)
+  WHERE lma2.avg_lp_micro >= -{CURATE_PPL_MAX_NLL_MICRO}
 )"""
 
 
@@ -2753,18 +2776,9 @@ def q_curate_corpus_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiably halves the quality-kept set (not a no-op), and the
     DuckDB oracle replays the filter from the same LM artifacts with
     the same integer threshold."""
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("source") == "src0")
-    corpus = docs.filter(F.col("source") != "src0")
-    return curate_corpus(
-        corpus,
-        bench,
-        min_words=30,
-        stops=CURATE_STOPS,
-        decon_n=DECON_N,
-        decon_min_overlap=1,
-        weights_ppm=CURATE_WEIGHTS,
-        token_budget=CURATE_BUDGET,
+    return _curate_call(
+        spark,
+        sf_dir,
         lm=load_word_lm(spark),
         lm_max_nll_micro=CURATE_PPL_MAX_NLL_MICRO,
     )
@@ -2775,17 +2789,9 @@ def q_curate_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (greedy longest-match against the demo BPE vocab) instead of the
     whitespace-token proxy — the unit a context window is actually
     measured in. Same pipeline otherwise; output adds ``bpe_tokens``."""
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("source") == DECON_BENCH_SOURCE)
-    corpus = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
-    return curate_corpus(
-        corpus,
-        bench,
-        min_words=30,
-        stops=CURATE_STOPS,
-        decon_n=DECON_N,
-        decon_min_overlap=1,
-        weights_ppm=CURATE_WEIGHTS,
+    return _curate_call(
+        spark,
+        sf_dir,
         token_budget=CURATE_BPE_BUDGET,
         bpe_vocab=BPE_VOCAB,
         bpe_cap=BPE_CAP,
@@ -2954,48 +2960,15 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared LM scoring chain (artifact lookups → per-doc integer sums →
-# exact avg): both perplexity oracles build on ``a2``
-_LM_SCORE_CTES = f"""bi AS (SELECT u, w, lp_micro FROM read_parquet('{WORD_LM_BIGRAM_PATH}')),
-ctx AS (SELECT u, unseen_lp_micro FROM read_parquet('{WORD_LM_CONTEXT_PATH}')),
-d AS (
+# shared LM scoring chain for the standalone perplexity oracles
+# (prefix '' — reads the whole documents table); the curate filter
+# stage reuses the same chain via _lm_filter_ctes (prefix 'lm')
+_LM_SCORE_CTES = f"""d AS (
   SELECT doc_id,
     list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
   FROM documents
 ),
-tok AS (
-  SELECT doc_id, i.pos, wl[i.pos] AS w0
-  FROM d CROSS JOIN LATERAL
-    (SELECT unnest(range(1, len(wl) + 1)) AS pos) i
-),
-m AS (
-  SELECT doc_id, pos,
-         CASE WHEN w0 IN (SELECT u FROM ctx) THEN w0
-              ELSE '<unk>' END AS w
-  FROM tok
-),
-p AS (
-  SELECT doc_id, pos, w,
-         coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos),
-                  '<s>') AS u
-  FROM m
-),
-s AS (
-  SELECT p.doc_id, coalesce(bi.lp_micro, ctx.unseen_lp_micro) AS lp
-  FROM p LEFT JOIN bi ON bi.u = p.u AND bi.w = p.w
-         LEFT JOIN ctx ON ctx.u = p.u
-),
-agg AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
-         CAST(sum(lp) AS BIGINT) AS sum_lp_micro
-  FROM s GROUP BY doc_id
-),
-a2 AS (
-  SELECT *,
-         round(CAST(sum_lp_micro AS DOUBLE) / n_scored, 6) + 0.0
-           AS avg_lp_micro
-  FROM agg
-)"""
+{_lm_chain('', 'd')}"""
 
 _LM_PERPLEXITY_SQL = f"""
 WITH {_LM_SCORE_CTES},

@@ -226,6 +226,8 @@ def score_perplexity_sampled(
             "__n", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
         )
     )
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
     # 1-based cut ranks (q·(n-1)) DIV n_buckets + 1 — floor division of
     # non-negative ints via the exact subtract-pmod-divide form (the
     # double division of an exact multiple is exact; no DIV operator is
@@ -235,14 +237,20 @@ def score_perplexity_sampled(
         nb = F.lit(int(n_buckets))
         return ((x - F.pmod(x, nb)) / nb).cast("long") + F.lit(1)
 
-    ranks = F.transform(
-        F.sequence(F.lit(1), F.lit(int(n_buckets) - 1)), cut_rank
-    )
-    cuts = (
-        ranked.filter(F.array_contains(ranks, F.col("__rn")))
-        .agg(
-            F.array_sort(F.collect_list("avg_lp_micro")).alias("__cuts")
+    if n_buckets == 1:
+        # zero cuts — everything in bucket 0. Guard explicitly:
+        # F.sequence(1, 0) would DESCEND ([1, 0]) and select spurious
+        # cut rows (review finding, round 10).
+        is_cut = F.lit(False)
+    else:
+        is_cut = F.array_contains(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(int(n_buckets) - 1)), cut_rank
+            ),
+            F.col("__rn"),
         )
+    cuts = ranked.filter(is_cut).agg(
+        F.array_sort(F.collect_list("avg_lp_micro")).alias("__cuts")
     )
     bucket = F.aggregate(
         F.col("__cuts"),
