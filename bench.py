@@ -137,6 +137,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "webm_metadata",
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
+    "winnow_fingerprints",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

@@ -54,10 +54,9 @@ LOAD_BEARING = [
     "gopher_rules",
     "curate_corpus",
     "corpus_report",
-    # round-8 additions: must be driver-attested before rotating out
-    # (funnel_steps / cohort_retention / decayed_engagement /
-    # hll_distinct rotated out — driver-green rounds 6 AND 7)
-    "bpe_token_counts",
+    # round-8 additions (bpe_token_counts rotated out round 10 —
+    # driver-green rounds 8 AND 9; funnel_steps / cohort_retention /
+    # decayed_engagement / hll_distinct rotated out round 8)
     "curate_corpus_bpe",
     "incremental_exact_dedup",
     # round-9 additions: must be driver-attested before rotating out
@@ -72,6 +71,7 @@ LOAD_BEARING = [
     "webm_metadata",
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
+    "winnow_fingerprints",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

@@ -216,3 +216,65 @@ def test_score_perplexity_sampled_empty_sample_is_bucket_zero(spark):
     }
     assert all(out[i] == 0 for i in range(5))
     assert out[9] is None
+
+
+def test_doc_lp_sums_matches_pure_python_reference(spark, documents):
+    """Independent-implementation parity (the BPE-parity discipline
+    applied to the LM scorer): recompute every document's (n_scored,
+    sum_lp_micro) in plain Python from the committed artifacts and
+    require exact equality with the Spark pipeline on real corpus
+    text."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from traits_data_spark.operators.perplexity import (
+        WORD_LM_BIGRAM_PATH,
+        WORD_LM_CONTEXT_PATH,
+    )
+
+    bt = pq.read_table(WORD_LM_BIGRAM_PATH)
+    bi = {
+        (u, w): lp
+        for u, w, lp in zip(
+            bt.column("u").to_pylist(),
+            bt.column("w").to_pylist(),
+            bt.column("lp_micro").to_pylist(),
+        )
+    }
+    ct = pq.read_table(WORD_LM_CONTEXT_PATH)
+    ctx = dict(
+        zip(ct.column("u").to_pylist(),
+            ct.column("unseen_lp_micro").to_pylist())
+    )
+    vocab = set(ctx)
+
+    def score(text):
+        if text is None:
+            return None
+        words = [
+            w for w in re.sub(r"\s+", " ", text).strip().lower().split(" ")
+            if w
+        ]
+        if not words:
+            return None
+        total, prev = 0, "<s>"
+        for w0 in words:
+            w = w0 if w0 in vocab else "<unk>"
+            lp = bi.get((prev, w))
+            total += lp if lp is not None else ctx[prev]
+            prev = w
+        return (len(words), total)
+
+    docs = documents.limit(120)
+    bigram, context = load_word_lm(spark)
+    got = {
+        r["__id"]: (r["n_scored"], r["sum_lp_micro"])
+        for r in doc_lp_sums(docs, bigram, context).collect()
+    }
+    want = {
+        r["doc_id"]: score(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    want = {k: v for k, v in want.items() if v is not None}
+    assert got == want

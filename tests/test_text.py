@@ -489,3 +489,58 @@ def test_bpe_merge_token_counts_operator(spark):
     assert out[1] == want
     assert out[2] == 0 and out[3] == 0
     assert out[4] == 100
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """The winnowing guarantee (SIGMOD'03): two documents sharing a
+    passage of >= w+k-1 words share at least one fingerprint VALUE;
+    selection density is far below 1 gram per position; disjoint texts
+    share nothing."""
+    from traits_data_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 = w+k-1
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "red green blue " + shared + " cyan magenta"),
+        (3, "totally different words without any overlap here at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=4, w=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared >= w+k-1 passage must share a fp"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert 4 not in fps  # null text -> no rows
+    # density: doc 1 has 13 words -> 10 grams; selections << grams
+    assert len(fps[1]) < 10
+
+
+def test_winnow_fingerprints_rightmost_min_and_short_docs(spark):
+    """Tie-break is the RIGHTMOST minimum (the paper's rule — maximizes
+    overlap between neighboring windows), pinned via a repeated gram;
+    docs shorter than k words still emit their single whole-doc gram."""
+    from traits_data_spark.functions.scalars import portable_hash64
+    from traits_data_spark.operators.text import winnow_fingerprints
+
+    # "a b a b a b": 4-grams are "a b a b" / "b a b a" / "a b a b" —
+    # positions 1 and 3 carry the SAME hash; in the window covering
+    # both, the selected pos must be the rightmost (3)
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, k=4, w=3).collect()
+    d1 = {(r["pos"], r["fp"]) for r in rows if r["doc_id"] == 1}
+    h_abab = spark.range(1).select(
+        portable_hash64(F.lit("a b a b")).alias("h")
+    ).collect()[0]["h"]
+    assert any(p == 3 and f == h_abab for p, f in d1)
+    assert not any(p == 1 and f == h_abab for p, f in d1)
+    # short doc: one gram ("tiny doc"), one window, one fingerprint
+    d2 = [(r["pos"], r["fp"]) for r in rows if r["doc_id"] == 2]
+    h_tiny = spark.range(1).select(
+        portable_hash64(F.lit("tiny doc")).alias("h")
+    ).collect()[0]["h"]
+    assert d2 == [(1, h_tiny)]

@@ -128,6 +128,7 @@ from traits_data_spark.operators.text import (
     repetition_features,
     tfidf_top_terms,
     token_counts,
+    winnow_fingerprints,
     word_array,
     BPE_CAP,
     BPE_VOCAB,
@@ -3061,6 +3062,65 @@ def q_lm_perplexity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (``operators.text.winnow_fingerprints``,
+    the SIGMOD'03 MOSS algorithm): rightmost-minimum selection over
+    every window of w=4 consecutive word-4-gram hashes — the standard
+    copy-detection sketch whose guarantee (any shared ≥ w+k-1-word
+    passage shares a fingerprint) the rolling-hash
+    ``document_fingerprint`` family lacked. Pure per-doc expressions,
+    zero shuffles; the oracle replays gram hashing, the per-window
+    rightmost-min (row_number over (hash asc, pos desc)), and the
+    dedup."""
+    docs = _docs_wide(spark, sf_dir)
+    return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W).select(
+        "doc_id", "pos", "fp"
+    )
+
+
+_WINNOW_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, i.i AS p,
+         {_H60.format(
+             x=f"array_to_string(list_slice(wl, i.i::INT, i.i::INT + {WINNOW_K - 1}), ' ')"
+         )} AS h
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(wl) - {WINNOW_K - 1}, 1) + 1)) AS i
+  ) i
+),
+ws AS (
+  SELECT doc_id, s.s AS s
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(range(1,
+      greatest(greatest(len(wl) - {WINNOW_K - 1}, 1) - {WINNOW_W - 1}, 1) + 1
+    )) AS s
+  ) s
+),
+j AS (
+  SELECT ws.doc_id, ws.s, g.h, g.p
+  FROM ws JOIN g ON g.doc_id = ws.doc_id
+                AND g.p BETWEEN ws.s AND ws.s + {WINNOW_W - 1}
+),
+pick AS (
+  SELECT doc_id, s, h, p,
+         row_number() OVER (PARTITION BY doc_id, s
+                            ORDER BY h ASC, p DESC) AS rn
+  FROM j
+)
+SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, CAST(h AS BIGINT) AS fp
+FROM pick WHERE rn = 1
+"""
+
+
 def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup against a persisted content-hash index
     (``dedup.content_hash_index`` + ``dedup.incremental_exact_dedup``):
@@ -5134,8 +5194,9 @@ QUERIES: Mapping[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "curate_corpus": q_curate_corpus,
     "corpus_report": q_corpus_report,
-    # -- new round 8: subword tokenization + incremental exact dedup -------
-    "bpe_token_counts": q_bpe_token_counts,
+    # -- round 8 (bpe_token_counts rotated out round 10 — driver-green
+    #    rounds 8 AND 9; its production-scale successor
+    #    bpe_token_counts_large stays in-window) ----------------------------
     "curate_corpus_bpe": q_curate_corpus_bpe,
     "incremental_exact_dedup": q_incremental_exact_dedup,
     # -- new round 9: production-vocab BPE, ANN recall eval, video meta ----
@@ -5149,6 +5210,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "webm_metadata": q_webm_metadata,
     "curate_corpus_ppl": q_curate_corpus_ppl,
     "lm_perplexity_sampled": q_lm_perplexity_sampled,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5190,12 +5252,14 @@ QUERIES: Mapping[str, QueryFn] = {
     # rotated out round 9 (driver-green rounds 4 through 8):
     "feature_filter": q_feature_filter,
     "kmv_distinct": q_kmv_distinct,
-    # rotated out round 10 (driver-green rounds 7 through 9):
+    # rotated out round 10 (driver-green rounds 7 through 9; and
+    # bpe_token_counts, green rounds 8 AND 9):
     "shuffle_shards": q_shuffle_shards,
     "epoch_expand": q_epoch_expand,
     "kmv_overlap": q_kmv_overlap,
     "snapshot_diff": q_snapshot_diff,
     "containment_pairs": q_containment_pairs,
+    "bpe_token_counts": q_bpe_token_counts,
     # rotated out round 8 (driver-green rounds 6 AND 7):
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
@@ -5297,6 +5361,7 @@ def oracle_sqls() -> dict[str, str]:
         "webm_metadata": _WEBM_META_SQL,
         "curate_corpus_ppl": _curate_corpus_sql(lm=True),
         "lm_perplexity_sampled": _LM_PERPLEXITY_SAMPLED_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

@@ -948,6 +948,82 @@ def char_entropy(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    — the MOSS algorithm): from every window of ``w`` consecutive
+    word-``k``-gram hashes, select the minimum (rightmost on ties),
+    dedup the selections. The guarantee that makes this the standard
+    copy-detection sketch: any shared passage of at least ``w + k - 1``
+    words between two documents shares at least one fingerprint, while
+    only ~2/(w+1) of the grams are kept.
+
+    One row per selected fingerprint: ``(id, pos, fp)`` with ``pos``
+    the 1-based gram position and ``fp`` the portable 60-bit gram
+    hash — cross-doc matches are then a plain groupBy/join on ``fp``.
+
+    Scale shape: pure per-document expressions (split → gram hashes →
+    per-window fold) at scan speed, zero shuffles; the downstream
+    match join keys on ``fp`` (high-cardinality, unskewed by
+    construction). Null texts produce no rows.
+    """
+    words = F.filter(
+        F.split(normalized_text(text_col), " "), lambda t: F.length(t) > 0
+    )
+
+    def fps(wl: Column) -> Column:
+        n_grams = F.greatest(F.size(wl) - (k - 1), F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.struct(
+                portable_hash64(F.array_join(F.slice(wl, i, k), " ")).alias(
+                    "h"
+                ),
+                i.cast("long").alias("p"),
+            ),
+        )
+
+        def win_min(s: Column) -> Column:
+            window = F.slice(grams, s, w)
+            zero = F.struct(
+                F.lit((1 << 62) - 1 + (1 << 62)).alias("h"),  # 2^63-1
+                F.lit(0).cast("long").alias("p"),
+            )
+            return F.aggregate(
+                window,
+                zero,
+                lambda acc, x: F.when(
+                    (x.getField("h") < acc.getField("h"))
+                    | (
+                        (x.getField("h") == acc.getField("h"))
+                        & (x.getField("p") > acc.getField("p"))
+                    ),
+                    x,
+                ).otherwise(acc),
+            )
+
+        n_wins = F.greatest(n_grams - (w - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_wins), win_min)
+        )
+
+    from traits_data_spark.operators.dedup import _let
+
+    out = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(_let(words, fps)).alias("__fp")
+    )
+    return out.select(
+        id_col,
+        F.col("__fp.p").alias("pos"),
+        F.col("__fp.h").alias("fp"),
+    )
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:
