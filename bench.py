@@ -138,6 +138,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
     "winnow_fingerprints",
+    "tokenizer_fertility",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

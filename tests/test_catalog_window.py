@@ -54,11 +54,11 @@ LOAD_BEARING = [
     "gopher_rules",
     "curate_corpus",
     "corpus_report",
-    # round-8 additions (bpe_token_counts rotated out round 10 —
-    # driver-green rounds 8 AND 9; funnel_steps / cohort_retention /
-    # decayed_engagement / hll_distinct rotated out round 8)
+    # round-8 additions (bpe_token_counts + incremental_exact_dedup
+    # rotated out round 10 — driver-green rounds 8 AND 9; funnel_steps /
+    # cohort_retention / decayed_engagement / hll_distinct rotated out
+    # round 8)
     "curate_corpus_bpe",
-    "incremental_exact_dedup",
     # round-9 additions: must be driver-attested before rotating out
     # (feature_filter / kmv_distinct rotated out — driver-green rounds
     # 4 through 8)
@@ -72,6 +72,7 @@ LOAD_BEARING = [
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
     "winnow_fingerprints",
+    "tokenizer_fertility",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

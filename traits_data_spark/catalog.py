@@ -3062,6 +3062,77 @@ def q_lm_perplexity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility report — tokens per whitespace
+    word under BOTH shipped subword tokenizers (greedy longest-match
+    against the 12k-piece vocab = WordPiece-style inference, and
+    merge-rank against the 12k ranked-merge table = true BPE), the
+    comparison a team runs when choosing the tokenizer a corpus will
+    be budgeted in. One row per source: doc count, summed whitespace /
+    WordPiece / BPE tokens, and the two fertility ratios (6-dp-rounded
+    single divisions — cross-engine exact). The oracle nests the two
+    attested per-doc tokenizer oracles as derived tables and
+    re-aggregates."""
+    docs = _docs_wide(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    wp = bpe_token_counts_table(
+        token_counts(docs), load_bpe_vocab(spark), out_col="wp_tokens"
+    ).select("doc_id", "ws_tokens", "wp_tokens")
+    mr = bpe_merge_token_counts(docs, load_bpe_merges(spark)).select(
+        "doc_id", F.col("bpe_merge_tokens").alias("bpe_tokens")
+    )
+    joined = wp.join(mr, "doc_id").join(src, "doc_id")
+
+    def fert(tok: str) -> Column:
+        return F.when(
+            F.sum("ws_tokens") > 0,
+            F.round(
+                F.sum(tok).cast("double") / F.sum("ws_tokens").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        )
+
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("wp_tokens").cast("long").alias("wp_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        fert("wp_tokens").alias("wp_fertility"),
+        fert("bpe_tokens").alias("bpe_fertility"),
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    # nest the two attested per-doc tokenizer oracles as derived
+    # tables (the ann_recall composition pattern) and re-aggregate;
+    # fertility is one double division rounded to 6 dp on both engines
+    return f"""
+WITH wp AS (SELECT doc_id, ws_tokens, bpe_tokens AS wp_tokens
+            FROM ({_bpe_token_large_sql()})),
+mr AS (SELECT doc_id, bpe_merge_tokens AS bpe_tokens
+       FROM ({_BPE_MERGE_TOKEN_SQL})),
+j AS (
+  SELECT d.source, wp.ws_tokens, wp.wp_tokens, mr.bpe_tokens
+  FROM wp JOIN mr USING (doc_id) JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+       CAST(sum(wp_tokens) AS BIGINT) AS wp_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CASE WHEN sum(ws_tokens) > 0 THEN
+         round(CAST(sum(wp_tokens) AS DOUBLE)
+               / CAST(sum(ws_tokens) AS DOUBLE), 6) + 0.0 END
+         AS wp_fertility,
+       CASE WHEN sum(ws_tokens) > 0 THEN
+         round(CAST(sum(bpe_tokens) AS DOUBLE)
+               / CAST(sum(ws_tokens) AS DOUBLE), 6) + 0.0 END
+         AS bpe_fertility
+FROM j GROUP BY source
+"""
+
+
 WINNOW_K = 4
 WINNOW_W = 4
 
@@ -5194,11 +5265,10 @@ QUERIES: Mapping[str, QueryFn] = {
     "gopher_rules": q_gopher_rules,
     "curate_corpus": q_curate_corpus,
     "corpus_report": q_corpus_report,
-    # -- round 8 (bpe_token_counts rotated out round 10 — driver-green
-    #    rounds 8 AND 9; its production-scale successor
-    #    bpe_token_counts_large stays in-window) ----------------------------
+    # -- round 8 (bpe_token_counts + incremental_exact_dedup rotated out
+    #    round 10 — driver-green rounds 8 AND 9; the production-scale
+    #    successor bpe_token_counts_large stays in-window) -----------------
     "curate_corpus_bpe": q_curate_corpus_bpe,
-    "incremental_exact_dedup": q_incremental_exact_dedup,
     # -- new round 9: production-vocab BPE, ANN recall eval, video meta ----
     "bpe_token_counts_large": q_bpe_token_counts_large,
     "ann_recall": q_ann_recall,
@@ -5211,6 +5281,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "curate_corpus_ppl": q_curate_corpus_ppl,
     "lm_perplexity_sampled": q_lm_perplexity_sampled,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "tokenizer_fertility": q_tokenizer_fertility,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5260,6 +5331,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "snapshot_diff": q_snapshot_diff,
     "containment_pairs": q_containment_pairs,
     "bpe_token_counts": q_bpe_token_counts,
+    "incremental_exact_dedup": q_incremental_exact_dedup,
     # rotated out round 8 (driver-green rounds 6 AND 7):
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
@@ -5362,6 +5434,7 @@ def oracle_sqls() -> dict[str, str]:
         "curate_corpus_ppl": _curate_corpus_sql(lm=True),
         "lm_perplexity_sampled": _LM_PERPLEXITY_SAMPLED_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "tokenizer_fertility": _tokenizer_fertility_sql(),
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),
