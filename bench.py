@@ -138,6 +138,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
     "winnow_fingerprints",
+    "winnow_matches",
     "tokenizer_fertility",
 ]
 

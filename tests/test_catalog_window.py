@@ -45,7 +45,6 @@ LOAD_BEARING = [
     "dup_clusters",
     "lsh_candidates",
     "jaccard_verify",
-    "decontaminate",
     # round-7 additions still in-window (epoch_expand / kmv_overlap /
     # snapshot_diff / shuffle_shards / containment_pairs rotated out
     # round 10 — driver-green rounds 7 through 9)
@@ -72,6 +71,7 @@ LOAD_BEARING = [
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
     "winnow_fingerprints",
+    "winnow_matches",
     "tokenizer_fertility",
 ]
 

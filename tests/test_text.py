@@ -544,3 +544,37 @@ def test_winnow_fingerprints_rightmost_min_and_short_docs(spark):
         portable_hash64(F.lit("tiny doc")).alias("h")
     ).collect()[0]["h"]
     assert d2 == [(1, h_tiny)]
+
+
+def test_winnow_matches_finds_copies_and_caps_boilerplate(spark):
+    """Pairs sharing a long passage surface with shared_fps >=
+    min_shared; unrelated docs don't; a fingerprint present in more
+    than max_fp_docs documents (boilerplate) is excluded from pairing."""
+    from traits_data_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    passage = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima"
+    )
+    boiler = "standard footer text appears everywhere in this corpus"
+    rows = [
+        (1, passage + " unique one " + boiler),
+        (2, passage + " unique two " + boiler),
+        (3, "completely different content " + boiler),
+        (4, "another unrelated document " + boiler),
+        (5, "fifth unrelated set of words " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=4)
+    # with the boilerplate cap at 2, footer fingerprints (in all 5
+    # docs) cannot pair anything; the shared passage (docs 1,2) can
+    out = winnow_matches(fps, min_shared=2, max_fp_docs=2).collect()
+    pairs = {(r.id_a, r.id_b): r.shared_fps for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in pairs)
+    # without the cap, boilerplate links every doc pair
+    uncapped = winnow_matches(fps, min_shared=1, max_fp_docs=1000)
+    assert uncapped.count() >= 6

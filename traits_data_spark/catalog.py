@@ -129,6 +129,7 @@ from traits_data_spark.operators.text import (
     tfidf_top_terms,
     token_counts,
     winnow_fingerprints,
+    winnow_matches,
     word_array,
     BPE_CAP,
     BPE_VOCAB,
@@ -3135,6 +3136,41 @@ FROM j GROUP BY source
 
 WINNOW_K = 4
 WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_FP_DOCS = 1000
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-detection report (``operators.text.winnow_matches``):
+    document pairs ranked by shared winnowed fingerprints — MOSS's
+    output as one fingerprint-keyed join (never all-pairs; degenerate
+    boilerplate fingerprints capped like LSH stop-buckets). On this
+    corpus the surviving pairs are exactly the planted near/exact
+    duplicates."""
+    docs = _docs_wide(spark, sf_dir)
+    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    return winnow_matches(
+        fps,
+        min_shared=WINNOW_MIN_SHARED,
+        max_fp_docs=WINNOW_MAX_FP_DOCS,
+    )
+
+
+def _winnow_matches_sql() -> str:
+    return f"""
+WITH sel AS (SELECT * FROM ({_WINNOW_SQL})),
+f AS (SELECT DISTINCT doc_id, fp FROM sel),
+ok_fp AS (
+  SELECT fp FROM f GROUP BY fp
+  HAVING count(*) <= {WINNOW_MAX_FP_DOCS}
+),
+sized AS (SELECT f.* FROM f JOIN ok_fp USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5281,6 +5317,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "curate_corpus_ppl": q_curate_corpus_ppl,
     "lm_perplexity_sampled": q_lm_perplexity_sampled,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_matches": q_winnow_matches,
     "tokenizer_fertility": q_tokenizer_fertility,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
@@ -5307,11 +5344,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "funnel_within": q_funnel_within,
     "price_histogram": q_price_histogram,
     "dup_clusters": q_dup_clusters,
-    # -- promoted round 6: long-unattested hash-oracle entries (driver-green
-    #    last in rounds 1-3, judge-only since) --------------------------------
+    # -- promoted round 6: long-unattested hash-oracle entries
+    #    (decontaminate rotated out round 10 — driver-green rounds 6-9;
+    #    bloom_decontaminate, its scale successor, stays in-window) ---------
     "lsh_candidates": q_lsh_candidates,
     "jaccard_verify": q_jaccard_verify,
-    "decontaminate": q_decontaminate,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is either rows-only by declared contract (no DuckDB
     # oracle: binary payloads / sequential FFD fill order) or many-times-
@@ -5332,6 +5369,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "containment_pairs": q_containment_pairs,
     "bpe_token_counts": q_bpe_token_counts,
     "incremental_exact_dedup": q_incremental_exact_dedup,
+    # rotated out round 10 (driver-green rounds 6 through 9):
+    "decontaminate": q_decontaminate,
     # rotated out round 8 (driver-green rounds 6 AND 7):
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
@@ -5434,6 +5473,7 @@ def oracle_sqls() -> dict[str, str]:
         "curate_corpus_ppl": _curate_corpus_sql(lm=True),
         "lm_perplexity_sampled": _LM_PERPLEXITY_SAMPLED_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "winnow_matches": _winnow_matches_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,

@@ -1024,6 +1024,52 @@ def winnow_fingerprints(
     )
 
 
+def winnow_matches(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_fp_docs: int = 1000,
+) -> DataFrame:
+    """Cross-document copy-detection report over a
+    ``winnow_fingerprints`` table: document pairs ranked by how many
+    winnowed fingerprints they share — MOSS's output, as one
+    fingerprint-keyed join.
+
+    ``max_fp_docs`` caps degenerate fingerprints (boilerplate shared
+    by thousands of documents would otherwise go quadratic — the same
+    guard as ``minhash_lsh_candidates``' bucket cap; capped
+    fingerprints carry no copy signal anyway, exactly like LSH
+    stop-buckets). ``min_shared`` floors the report (one shared
+    fingerprint of a ``w+k-1`` window is a weak signal; real copies
+    share many).
+
+    Returns ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``. Scale
+    shape: distinct → one groupBy(fp) with map-side combine → pairs
+    expanded only inside surviving fingerprint groups → one pair-keyed
+    count. Never all-pairs.
+    """
+    f = fps.select(
+        F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
+    ).distinct()
+    sized = f.join(
+        f.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_fp_docs)
+        .select("__fp"),
+        "__fp",
+    )
+    a = sized.select(F.col("__fp"), F.col("__id").alias("id_a"))
+    b = sized.select(F.col("__fp"), F.col("__id").alias("id_b"))
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:
