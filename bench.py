@@ -140,6 +140,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "winnow_fingerprints",
     "winnow_matches",
     "tokenizer_fertility",
+    "pq_topk",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

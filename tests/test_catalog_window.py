@@ -44,7 +44,6 @@ LOAD_BEARING = [
     "price_histogram",
     "dup_clusters",
     "lsh_candidates",
-    "jaccard_verify",
     # round-7 additions still in-window (epoch_expand / kmv_overlap /
     # snapshot_diff / shuffle_shards / containment_pairs rotated out
     # round 10 — driver-green rounds 7 through 9)
@@ -73,6 +72,7 @@ LOAD_BEARING = [
     "winnow_fingerprints",
     "winnow_matches",
     "tokenizer_fertility",
+    "pq_topk",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

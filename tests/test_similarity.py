@@ -616,3 +616,93 @@ def test_tuned_ann_presets_stay_deployable(spark, embeddings):
         mean = sum(vals) / len(vals)
         assert mean >= 0.8, f"{method} mean recall@5 {mean:.2f} < 0.8"
     emb.unpersist()
+
+
+def test_pq_encode_shape_and_determinism(spark, embeddings):
+    from traits_data_spark.operators.similarity import pq_encode, pq_fit
+
+    emb = embeddings.limit(100).cache()
+    books = pq_fit(emb, dim=64, m=4, k=8)
+    assert books.count() == 32  # 4 subspaces x 8 codes
+    codes = pq_encode(emb, books, dim=64, m=4)
+    rows = codes.collect()
+    assert len(rows) == 400  # one row per (vector, subspace)
+    assert all(0 <= r["code"] < 8 and 0 <= r["sub"] < 4 for r in rows)
+    # deterministic: re-encoding yields identical codes
+    again = pq_encode(emb, books, dim=64, m=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_rerank_deployable_recall(spark, embeddings):
+    """The shipped PQ preset (catalog PQ_M/PQ_CODES/PQ_RERANK):
+    retrieve-by-ADC then exact re-rank must keep mean recall@5 >= 0.8
+    against exact L2 on the eval corpus — pins the deployable
+    operating point like the tuned-LSH floor test."""
+    from traits_data_spark.catalog import (
+        PQ_CODES,
+        PQ_ITER,
+        PQ_M,
+        PQ_RERANK,
+    )
+    from traits_data_spark.operators.similarity import dot, pq_topk
+
+    emb = embeddings.persist()
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    qq = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    from pyspark.sql import Window
+
+    d2 = (
+        dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * dot(F.col("qv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(d2, 6).asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        qq.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = pq_topk(
+        emb, q, dim=64, m=PQ_M, k=5, n_codes=PQ_CODES, n_iter=PQ_ITER,
+        rerank=PQ_RERANK,
+    )
+    hits = sum(
+        1
+        for r in approx.collect()
+        if r["neighbor_id"] in truth.get(r["query_id"], set())
+    )
+    assert hits / (5 * len(truth)) >= 0.8
+    emb.unpersist()
+
+
+def test_pq_topk_pure_adc_is_ranked_and_self_free(spark, embeddings):
+    from traits_data_spark.operators.similarity import pq_topk
+
+    emb = embeddings.limit(200).cache()
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(emb, q, dim=64, m=4, k=5, n_codes=8).collect()
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rk"], r["approx_d2_micro"])
+        )
+    for rows in by_q.values():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
+        )

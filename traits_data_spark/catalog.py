@@ -87,6 +87,7 @@ from traits_data_spark.operators.similarity import (
     ivf_topk_kmeans,
     kmeans_clusters,
     kmeans_fit,
+    pq_topk,
     probe_masks,
     _hyperplanes,
     cosine_topk_bruteforce,
@@ -1826,55 +1827,66 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
 
 
-def _kmeans_assign_cte(src_cent: str, tag: str) -> str:
+def _kmeans_assign_cte(src_cent: str, tag: str, p: str = "") -> str:
     return f"""
-a{tag} AS (
+{p}a{tag} AS (
   SELECT v.vec_id, v.vec, c.cid,
          round(list_dot_product(v.vec, v.vec)
                - 2.0 * list_dot_product(v.vec, c.vec)
                + list_dot_product(c.vec, c.vec), 6) AS d
-  FROM v CROSS JOIN {src_cent} c
+  FROM {p}v v CROSS JOIN {src_cent} c
 ),
-m{tag} AS (
+{p}m{tag} AS (
   SELECT vec_id, vec, cid, d FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-    FROM a{tag}
+    FROM {p}a{tag}
   ) WHERE rn = 1
 )"""
 
 
-def _kmeans_cent_ctes(k: int, n_iter: int) -> str:
+def _kmeans_cent_ctes(
+    k: int,
+    n_iter: int,
+    p: str = "",
+    vec_expr: str = "embedding::DOUBLE[]",
+    dim: int = EMB_DIM,
+    with_kw: bool = True,
+) -> str:
     """WITH-chain mirroring kmeans_fit: hash-ranked seeds →
-    (assign → fixed-point recompute) × n_iter; ends at cent{n_iter}."""
+    (assign → fixed-point recompute) × n_iter; ends at
+    ``{p}cent{n_iter}``. Defaults emit the original unprefixed
+    whole-vector chain; the PQ oracle runs one prefixed chain per
+    subspace over ``list_slice`` sub-vectors (``with_kw=False`` for
+    every chain but the first)."""
     h = _H60.format(x="CAST(vec_id AS VARCHAR)")
     scale = IVF_SCALE
 
     def recompute(tag: str, out: str) -> str:
         return f"""
-comp{out} AS (
+{p}comp{out} AS (
   SELECT cid, gs.pos,
          CAST(SUM(CAST(ROUND(vec[gs.pos] * {scale}) AS BIGINT)) AS DOUBLE)
            / ({float(scale)} * COUNT(*)) AS comp
-  FROM m{tag} CROSS JOIN generate_series(1, {EMB_DIM}) AS gs(pos)
+  FROM {p}m{tag} CROSS JOIN generate_series(1, {dim}) AS gs(pos)
   GROUP BY cid, gs.pos
 ),
-cent{out} AS (
-  SELECT cid, array_agg(comp ORDER BY pos) AS vec FROM comp{out} GROUP BY cid
+{p}cent{out} AS (
+  SELECT cid, array_agg(comp ORDER BY pos) AS vec FROM {p}comp{out} GROUP BY cid
 )"""
 
     parts = [
-        f"""WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        f"""{"WITH " if with_kw else ""}{p}v AS (
+  SELECT vec_id, {vec_expr} AS vec FROM embeddings
 ),
-seeds AS (
-  SELECT embedding AS vec,
+{p}seeds AS (
+  SELECT {vec_expr} AS vec,
          CAST(row_number() OVER (ORDER BY {h}, vec_id) - 1 AS INT) AS cid
   FROM embeddings ORDER BY {h}, vec_id LIMIT {k}
 ),
-cent0 AS (SELECT cid, vec::DOUBLE[] AS vec FROM seeds)"""
+{p}cent0 AS (SELECT cid, vec::DOUBLE[] AS vec FROM {p}seeds)"""
     ]
     for i in range(n_iter):
-        parts.append(_kmeans_assign_cte(f"cent{i}", str(i)))
+        parts.append(_kmeans_assign_cte(f"{p}cent{i}", str(i), p))
         parts.append(recompute(str(i), str(i + 1)))
     return ",".join(parts)
 
@@ -1950,6 +1962,120 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
 FROM r WHERE rk <= {TOPK}"""
     )
+
+
+# Deployable PQ preset: 16 subspaces x 16 codes = 64 bits/vector
+# (~64x smaller than float64) with exact re-rank of the ADC top-100 —
+# recall@5 = 0.858 at sf0.1 scanning 5% of the corpus full-precision,
+# the best cost/recall point in the round-10 ANN ladder (SCALE.md).
+# Pure ADC at these bit budgets reads 0.04-0.48 on this isotropic
+# corpus, which is why FAISS deployments pair PQ with a re-rank stage.
+PQ_M = 16
+PQ_CODES = 16
+PQ_ITER = 2
+PQ_RERANK = 100
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieve-then-re-rank top-k
+    (``operators.similarity.pq_topk(rerank=)``): per-subspace
+    deterministic k-means codebooks (16 subspaces × 16 codes = 64
+    bits/vector), corpus encoded once, ADC retrieves the top-100 by
+    integer micro-unit distance-table sums, and only those 100 vectors
+    per query are fetched full-precision for the exact-L2 final rank —
+    the FAISS PQ deployment shape, fully oracle-checkable because
+    every stage (hash-seeded fits, round(d2,6)+cid assignment, integer
+    ADC sums, exact re-rank) is replayed bit-for-bit by the SQL below.
+    The m-way distance sum is INTEGER so shuffle order cannot change a
+    single rounding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_topk(
+        emb,
+        emb.filter(F.expr(_QUERY_PRED)),
+        dim=EMB_DIM,
+        m=PQ_M,
+        k=TOPK,
+        n_codes=PQ_CODES,
+        n_iter=PQ_ITER,
+        scale=IVF_SCALE,
+        rerank=PQ_RERANK,
+    )
+    return out
+
+
+def _pq_topk_sql() -> str:
+    sub = EMB_DIM // PQ_M
+    chains = []
+    for s in range(PQ_M):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        chains.append(
+            _kmeans_cent_ctes(
+                PQ_CODES,
+                PQ_ITER,
+                p=f"p{s}",
+                vec_expr=f"list_slice(embedding::DOUBLE[], {lo}, {hi})",
+                dim=sub,
+                with_kw=(s == 0),
+            )
+        )
+        chains.append(
+            _kmeans_assign_cte(f"p{s}cent{PQ_ITER}", "f", p=f"p{s}")
+        )
+    codes_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, {s} AS sub, cid AS code FROM p{s}mf"
+        for s in range(PQ_M)
+    )
+
+    def qtab_select(s: int) -> str:
+        lo, hi = s * sub + 1, (s + 1) * sub
+        qs = f"list_slice(q.vec, {lo}, {hi})"
+        return f"""SELECT q.query_id, {s} AS sub, c.cid AS code,
+       CAST(round((list_dot_product({qs}, {qs})
+                   - 2.0 * list_dot_product({qs}, c.vec)
+                   + list_dot_product(c.vec, c.vec)) * 1000000.0)
+            AS BIGINT) AS d2m
+FROM q CROSS JOIN p{s}cent{PQ_ITER} c"""
+
+    qtab_union = "\n  UNION ALL ".join(qtab_select(s) for s in range(PQ_M))
+    return f"""{",".join(chains)},
+codes AS (
+  {codes_union}
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vec
+      FROM embeddings WHERE {_QUERY_PRED}),
+qtab AS (
+  {qtab_union}
+),
+paired AS (
+  SELECT t.query_id, c.neighbor_id,
+         CAST(SUM(t.d2m) AS BIGINT) AS approx_d2_micro
+  FROM codes c JOIN qtab t ON t.sub = c.sub AND t.code = c.code
+  WHERE c.neighbor_id != t.query_id
+  GROUP BY t.query_id, c.neighbor_id
+),
+ar AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2_micro, neighbor_id) AS ark
+  FROM paired
+),
+cand AS (SELECT query_id, neighbor_id FROM ar WHERE ark <= {PQ_RERANK}),
+cvec AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+ex AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(q.vec, q.vec)
+               - 2.0 * list_dot_product(q.vec, c.vec)
+               + list_dot_product(c.vec, c.vec), 6) + 0.0 AS d2
+  FROM cand JOIN cvec c ON c.vec_id = cand.neighbor_id
+            JOIN q ON q.query_id = cand.query_id
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, neighbor_id) AS rk
+  FROM ex
+)
+SELECT query_id, neighbor_id, d2, CAST(rk AS BIGINT) AS rk
+FROM r2 WHERE rk <= {TOPK}
+"""
 
 
 # Tuned ANN operating point (round 10): the round-9 ann_recall eval
@@ -5319,6 +5445,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "pq_topk": q_pq_topk,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5345,10 +5472,10 @@ QUERIES: Mapping[str, QueryFn] = {
     "price_histogram": q_price_histogram,
     "dup_clusters": q_dup_clusters,
     # -- promoted round 6: long-unattested hash-oracle entries
-    #    (decontaminate rotated out round 10 — driver-green rounds 6-9;
-    #    bloom_decontaminate, its scale successor, stays in-window) ---------
+    #    (decontaminate + jaccard_verify rotated out round 10 —
+    #    driver-green rounds 6-9; bloom_decontaminate and the LSH
+    #    near-dup flagships stay in-window) ------------------------------
     "lsh_candidates": q_lsh_candidates,
-    "jaccard_verify": q_jaccard_verify,
     # ---- driver window boundary (slot 50) --------------------------------
     # Everything below is either rows-only by declared contract (no DuckDB
     # oracle: binary payloads / sequential FFD fill order) or many-times-
@@ -5371,6 +5498,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "incremental_exact_dedup": q_incremental_exact_dedup,
     # rotated out round 10 (driver-green rounds 6 through 9):
     "decontaminate": q_decontaminate,
+    "jaccard_verify": q_jaccard_verify,
     # rotated out round 8 (driver-green rounds 6 AND 7):
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
@@ -5475,6 +5603,7 @@ def oracle_sqls() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_SQL,
         "winnow_matches": _winnow_matches_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),
+        "pq_topk": _pq_topk_sql(),
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

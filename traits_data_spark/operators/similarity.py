@@ -1203,6 +1203,224 @@ def ivf_topk_kmeans(
     )
 
 
+def pq_fit(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., TPAMI'11 — the
+    FAISS ``PQ`` index family): split each ``dim``-vector into ``m``
+    contiguous subspaces and fit an independent deterministic k-means
+    codebook per subspace (``kmeans_fit``: hash-seeded, fixed-point
+    means — so the whole fit is SQL-reproducible, unlike FAISS's).
+    Returns ``(sub, cid, cvec)``, ``m·k`` rows — a bounded model
+    artifact (m·k·(dim/m) doubles) that broadcasts everywhere it is
+    used. Memory story at 100 TB: encoded vectors cost ``m·log2(k)``
+    bits instead of ``dim·64`` (here 12 bits vs 4096 — ~340×)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+
+    def fit_sub(s: int) -> DataFrame:
+        sliced = df.select(
+            F.col(id_col), F.slice(v, s * sub + 1, sub).alias("__sv")
+        )
+        cb = kmeans_fit(
+            sliced, id_col=id_col, vec_col="__sv", k=k, n_iter=n_iter,
+            scale=scale,
+        )
+        return cb.select(
+            F.lit(s).alias("sub"), "cid", F.col("__centv").alias("cvec")
+        )
+
+    # the m sub-fits are independent and each ends in an EAGER
+    # localCheckpoint (a blocking job); submit them from a thread pool
+    # so the scheduler overlaps the per-fit fixed costs — measured
+    # 17 s -> ~6 s for m=16 at sf0.1 (Spark job submission is
+    # thread-safe; results are deterministic regardless of completion
+    # order because each thread owns its own subspace slot)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        books = list(pool.map(fit_sub, range(m)))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against PQ codebooks: one row per (vector,
+    subspace) with the nearest-centroid code — the melt form a
+    code-keyed ADC join consumes directly (pack to an array with
+    ``collect_list`` if storing). Assignment reuses ``_kmeans_assign``
+    (broadcast centroid array, round(d2,6) + cid tie-break), so codes
+    are exactly SQL-reproducible and the corpus never shuffles."""
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    outs = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col).alias("__id"),
+            F.slice(v, s * sub + 1, sub).alias("__v"),
+        )
+        cb = codebooks.filter(F.col("sub") == s).select(
+            "cid", F.col("cvec").alias("__centv")
+        )
+        outs.append(
+            _kmeans_assign(sliced, cb).select(
+                F.col("__id").alias(id_col),
+                F.lit(s).alias("sub"),
+                F.col("cid").alias("code"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_codes: int = 8,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    codebooks: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    queries stay full-precision, the corpus is its PQ codes, and each
+    candidate's distance is the sum of per-subspace query→centroid
+    distances looked up by code.
+
+    Exactness contract: per-subspace distances are INTEGER micro-units
+    (``round(d2_raw · 10⁶)`` as BIGINT), so the m-way sum is
+    order-independent — a plain double sum across a shuffle would
+    round differently per execution and could never hash-match an
+    oracle. Output: ``(query_id, neighbor_id, approx_d2_micro, rk)``
+    ranked ascending (ties → neighbor_id).
+
+    Scale shape: the corpus is touched as codes only (one encode pass
+    of broadcast assignments, then an ``m``-row-per-vector melt); the
+    query-side distance table is |Q|·m·k rows, broadcast; the only
+    aggregation is the pair-keyed integer sum with map-side combine.
+    Pass ``codebooks`` (a ``pq_fit`` result) to reuse a trained index
+    across batches.
+
+    ``rerank=R`` runs the deployment shape: ADC retrieves the top-R
+    candidates per query, then ONLY those R vectors are fetched
+    full-precision and re-ranked by exact L2 — output gains ``d2``
+    (exact, 6-dp) and ranks by it. Measured on the sf0.1 eval corpus
+    (m=16, k=16, R=100): recall@5 = 0.858 scanning 5% of the corpus —
+    the best cost/recall point of every ANN method in the SCALE.md
+    round-10 ladder, which is exactly why FAISS deployments pair PQ
+    with a re-rank stage. Without re-rank, pure 12-128-bit ADC recall
+    on near-isotropic data is 0.04-0.48 (ladder) — honest, and not
+    deployable alone."""
+    if codebooks is None:
+        codebooks = pq_fit(
+            corpus, dim, m=m, id_col=id_col, vec_col=vec_col, k=n_codes,
+            n_iter=n_iter, scale=scale,
+        )
+    codes = pq_encode(
+        corpus, codebooks, dim, m=m, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed(id_col, "neighbor_id")
+    sub = dim // m
+    qv = F.col(vec_col).cast("array<double>")
+    d2 = (
+        dot(F.col("__qv"), F.col("__qv"))
+        - F.lit(2.0) * dot(F.col("__qv"), F.col("cvec"))
+        + dot(F.col("cvec"), F.col("cvec"))
+    )
+    qsubs = []
+    for s in range(m):
+        qsubs.append(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.lit(s).alias("sub"),
+                F.slice(qv, s * sub + 1, sub).alias("__qv"),
+            )
+        )
+    qmelt = qsubs[0]
+    for q in qsubs[1:]:
+        qmelt = qmelt.unionByName(q)
+    qtab = (
+        qmelt.join(codebooks, "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("cid").alias("code"),
+            F.round(d2 * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("__d2_micro"),
+        )
+    )
+    paired = (
+        codes.join(F.broadcast(qtab), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2_micro").cast("long").alias("approx_d2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2_micro").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            paired.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "approx_d2_micro", "rk")
+        )
+    cands = (
+        paired.withColumn("__ark", F.row_number().over(w))
+        .filter(F.col("__ark") <= int(rerank))
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    exact_d2 = F.round(
+        dot(F.col("__qv"), F.col("__qv"))
+        - F.lit(2.0) * dot(F.col("__qv"), F.col("__cv"))
+        + dot(F.col("__cv"), F.col("__cv")),
+        6,
+    ) + F.lit(0.0)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("d2", exact_d2)
+        .withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "d2", "rk")
+    )
+
+
 def ann_recall(
     exact: DataFrame,
     approx_by_method: dict[str, DataFrame],
