@@ -41,7 +41,7 @@ LOAD_BEARING = [
     "event_transitions",
     "hourly_anomalies",
     "funnel_within",
-    "price_histogram",
+    # price_histogram rotated out round 10 (driver-green rounds 6-9)
     "dup_clusters",
     "lsh_candidates",
     # round-7 additions still in-window (epoch_expand / kmv_overlap /
@@ -73,6 +73,7 @@ LOAD_BEARING = [
     "winnow_matches",
     "tokenizer_fertility",
     "pq_topk",
+    "bm25_topk",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

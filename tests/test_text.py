@@ -578,3 +578,53 @@ def test_winnow_matches_finds_copies_and_caps_boilerplate(spark):
     # without the cap, boilerplate links every doc pair
     uncapped = winnow_matches(fps, min_shared=1, max_fp_docs=1000)
     assert uncapped.count() >= 6
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    from traits_data_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "apple only here"),
+            (3, "dog cat mouse"),
+            (4, "banana cherry banana cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = docs.filter(F.col("doc_id") == 1)
+    out = bm25_topk(docs, queries, k=3).collect()
+    assert all(r["query_id"] == 1 for r in out)
+    ranked = sorted(out, key=lambda r: r["rk"])
+    # the query doc itself shares every term and must rank first
+    assert ranked[0]["neighbor_id"] == 1
+    # doc 3 shares no term and must be absent entirely
+    assert all(r["neighbor_id"] != 3 for r in out)
+    # doc 4 (two matching terms) outranks doc 2 (one rarer-weighted
+    # term 'apple' appears in 2 docs; banana+cherry each in 2 docs but
+    # doc 4 matches twice each) — just assert scores strictly ordered
+    scores = [r["score_micro"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["rk"] <= 3 for r in out)
+
+
+def test_bm25_score_hand_computed_single_term(spark):
+    """One query term, uniform doc lengths → contribution reduces to
+    idf·(k1+1)·tf/(tf+k1) with dl/avgdl = 1."""
+    import math
+
+    from traits_data_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "w x"), (2, "w y"), (3, "a b")], ["doc_id", "text"]
+    )
+    q = spark.createDataFrame([(9, "w")], ["doc_id", "text"]).withColumn(
+        "text", F.col("text")
+    )
+    out = {r["neighbor_id"]: r for r in bm25_topk(docs, q, k=10).collect()}
+    assert set(out) == {1, 2}
+    n, df_docs, tf, k1, b = 3, 2, 1, 1.2, 0.75
+    idf = round(math.log(1.0 + (n - df_docs + 0.5) / (df_docs + 0.5)), 6)
+    expected = round(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * 1.0)) * 1e6)
+    assert out[1]["score_micro"] == expected
+    assert out[1]["matched_terms"] == 1

@@ -119,6 +119,7 @@ from traits_data_spark.operators.text import (
     bpe_token_counts_table,
     load_bpe_merges,
     load_bpe_vocab,
+    bm25_topk,
     char_entropy,
     classifier_score,
     document_fingerprint,
@@ -3354,6 +3355,90 @@ FROM pick WHERE rn = 1
 """
 
 
+BM25_K = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_QUERY_PRED = "doc_id % 50 = 0"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (``operators.text.bm25_topk``): docs
+    with ``doc_id % 50 == 0`` play the query set (more-like-this
+    retrieval over their distinct terms); inverted postings are pruned
+    on the broadcast query vocabulary BEFORE any shuffle; idf follows
+    the ``tfidf_top_terms`` round(ln,6) precedent and each per-term
+    contribution becomes an integer micro-unit so the per-document sum
+    is shuffle-order-free. Reference analogue: query side of the
+    FULLTEXT index the reference's db_writer declares (db_writer.py
+    DDL); ranking semantics are the Lucene/ES BM25 default."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.expr(_BM25_QUERY_PRED))
+    return bm25_topk(
+        docs, queries, k=BM25_K, k1=BM25_K1, b=BM25_B
+    )
+
+
+def _bm25_sql() -> str:
+    # float-literal parity: the SQL inlines repr() of the exact Python
+    # doubles the Spark plan uses (k1+1 is NOT the literal 2.2)
+    k1p1, one_b = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
+    k1, b = repr(BM25_K1), repr(BM25_B)
+    toks = (
+        "list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', "
+        "'g')), ' '), x -> length(x) > 0)"
+    )
+    return f"""
+WITH corp AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+words AS (
+  SELECT doc_id, dl, lower(w) AS term FROM (
+    SELECT doc_id, len({toks}) AS dl, unnest({toks}) AS w FROM corp)
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, lower(w) AS term FROM (
+    SELECT doc_id, unnest({toks}) AS w
+    FROM corp WHERE {_BM25_QUERY_PRED})
+),
+qvocab AS (SELECT DISTINCT term FROM qterms),
+matched AS (SELECT w.* FROM words w JOIN qvocab USING (term)),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf, any_value(dl) AS dl
+       FROM matched GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df_docs FROM tf GROUP BY 1),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(len({toks}))::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+  FROM corp
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id AS neighbor_id,
+         CAST(ROUND(
+           ROUND(LN(1.0::DOUBLE
+                    + ((n - df_docs)::DOUBLE + 0.5::DOUBLE)
+                      / (df_docs::DOUBLE + 0.5::DOUBLE)), 6)
+           * ((tf::DOUBLE * {k1p1}::DOUBLE)
+              / (tf::DOUBLE + {k1}::DOUBLE
+                 * ({one_b}::DOUBLE
+                    + {b}::DOUBLE * (dl::DOUBLE / avgdl))))
+           * 1000000.0::DOUBLE) AS BIGINT) AS c_micro
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       JOIN qterms q USING (term)
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         SUM(c_micro)::BIGINT AS score_micro,
+         COUNT(*)::BIGINT AS matched_terms
+  FROM contrib GROUP BY 1, 2
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC,
+                                            neighbor_id ASC) AS rk
+      FROM scored)
+SELECT query_id, neighbor_id, matched_terms, score_micro,
+       ROUND(score_micro / 1000000.0::DOUBLE, 6) + 0.0 AS score,
+       rk::BIGINT AS rk
+FROM r WHERE rk <= {BM25_K}
+"""
+
+
 def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup against a persisted content-hash index
     (``dedup.content_hash_index`` + ``dedup.incremental_exact_dedup``):
@@ -5446,6 +5531,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "winnow_matches": q_winnow_matches,
     "tokenizer_fertility": q_tokenizer_fertility,
     "pq_topk": q_pq_topk,
+    "bm25_topk": q_bm25_topk,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5469,7 +5555,6 @@ QUERIES: Mapping[str, QueryFn] = {
     "event_transitions": q_event_transitions,
     "hourly_anomalies": q_hourly_anomalies,
     "funnel_within": q_funnel_within,
-    "price_histogram": q_price_histogram,
     "dup_clusters": q_dup_clusters,
     # -- promoted round 6: long-unattested hash-oracle entries
     #    (decontaminate + jaccard_verify rotated out round 10 —
@@ -5482,6 +5567,9 @@ QUERIES: Mapping[str, QueryFn] = {
     # stable (driver-green in round 5 or earlier rounds; json_props /
     # hash_split / percentile_profile rotated out green 4x in round 7).
     "json_props": q_json_props,
+    # rotated out round 10 (driver-green rounds 6 through 9) to make
+    # room for bm25_topk:
+    "price_histogram": q_price_histogram,
     "hash_split": q_hash_split,
     "percentile_profile": q_percentile_profile,
     # rotated out round 9 (driver-green rounds 4 through 8):
@@ -5604,6 +5692,7 @@ def oracle_sqls() -> dict[str, str]:
         "winnow_matches": _winnow_matches_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),
         "pq_topk": _pq_topk_sql(),
+        "bm25_topk": _bm25_sql(),
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

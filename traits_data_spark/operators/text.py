@@ -1077,3 +1077,130 @@ def document_fingerprint(
     skeleton (robust to whitespace/punctuation-only edits)."""
     skeleton = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", ""))
     return df.withColumn(out_col, portable_hash64(skeleton))
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 full-text retrieval: top-k corpus documents per query
+    (Robertson & Spärck Jones probabilistic ranking, the Lucene /
+    Elasticsearch default — reference analogue: the FULLTEXT index DDL
+    the reference emits in db_writer, whose query side SURVEY scopes
+    to the engine as a ranking operator).
+
+    Scoring: ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with ``idf = round(ln(1 + (N-df+0.5)/(df+0.5)), round_to)`` — the
+    round(ln, 6) idf follows the ``tfidf_top_terms`` precedent; every
+    other float step is IEEE-deterministic in a fixed written order.
+    Each per-term contribution is then converted to INTEGER micro-units
+    (``round(x·10⁶)`` as BIGINT) before the per-document sum, so the
+    sum is shuffle-order-free and a SQL oracle hash-matches it exactly
+    (same pattern as ``pq_topk``'s ADC sums and ``lm_perplexity``).
+
+    Scale shape (the inverted-index story at 100 TB): the corpus is
+    tokenized in ONE scan-speed pass (explode + per-doc length as a
+    projection); the query vocabulary — bounded by the query set, not
+    the corpus — is broadcast, and postings are pruned by that
+    broadcast join BEFORE any shuffle, so the (doc,term) tf aggregate
+    and the df aggregate only ever shuffle matched postings. avgdl and
+    N are one-row broadcast aggregates. The final top-k is a window
+    partitioned by query over |Q|·matched rows. No driver collect, no
+    corpus-wide shuffle on a natural key.
+    """
+    corp = corpus.filter(F.col(text_col).isNotNull())
+    # dl rides along in the token projection (any_value'd after the tf
+    # aggregate) so no corpus-wide doc-length frame ever joins back in
+    words = corp.select(
+        F.col(id_col),
+        F.size(word_array(text_col)).cast("long").alias("dl"),
+        F.explode(word_array(text_col)).alias("term"),
+    ).withColumn("term", F.lower(F.col("term")))
+    qterms = (
+        queries.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias(query_id_col),
+            F.explode(word_array(text_col)).alias("term"),
+        )
+        .withColumn("term", F.lower(F.col("term")))
+        .distinct()
+    )
+    # prune postings on the broadcast query vocabulary FIRST: the tf /
+    # df shuffles below only see matched postings
+    qvocab = qterms.select("term").distinct()
+    matched = words.join(F.broadcast(qvocab), "term")
+    tf = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.any_value("dl").alias("dl"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    # avgdl / N over ALL docs — a scan-speed projection folded into a
+    # one-row broadcast aggregate
+    doclen = corp.select(
+        F.col(id_col), F.size(word_array(text_col)).cast("long").alias("dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + ((F.col("__n") - F.col("df_docs")).cast("double") + F.lit(0.5))
+            / (F.col("df_docs").cast("double") + F.lit(0.5))
+        ),
+        round_to,
+    )
+    tf_norm = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / F.col("__avgdl"))
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .join(
+            F.broadcast(qterms), "term"
+        )  # fan out each posting to the queries containing the term
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(idf * tf_norm * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("__c_micro"),
+        )
+    )
+    scored = contrib.groupBy(query_id_col, "neighbor_id").agg(
+        F.sum("__c_micro").cast("long").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "matched_terms",
+            "score_micro",
+            (F.round(F.col("score_micro") / F.lit(1_000_000.0), round_to)
+             + F.lit(0.0)).alias("score"),
+            "rk",
+        )
+    )
