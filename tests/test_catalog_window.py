@@ -38,7 +38,7 @@ LOAD_BEARING = [
     "sampled_quantiles",
     "substring_dups",
     "remove_dup_substrings",
-    "event_transitions",
+    # event_transitions rotated out round 10 (driver-green rounds 6-9)
     "hourly_anomalies",
     "funnel_within",
     # price_histogram rotated out round 10 (driver-green rounds 6-9)
@@ -74,6 +74,7 @@ LOAD_BEARING = [
     "tokenizer_fertility",
     "pq_topk",
     "bm25_topk",
+    "unigram_token_counts",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

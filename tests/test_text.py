@@ -628,3 +628,89 @@ def test_bm25_score_hand_computed_single_term(spark):
     expected = round(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * 1.0)) * 1e6)
     assert out[1]["score_micro"] == expected
     assert out[1]["matched_terms"] == 1
+
+
+def _load_unigram_logp():
+    import pandas as pd
+
+    from traits_data_spark.operators.text import UNIGRAM_VOCAB_PATH
+
+    t = pd.read_parquet(UNIGRAM_VOCAB_PATH)
+    return dict(zip(t["piece"], t["logp_micro"].astype(int)))
+
+
+def test_unigram_tokens_engine_matches_recursive_reference_on_artifact():
+    import pandas as pd
+
+    from tools.build_unigram_vocab import viterbi_reference
+    from traits_data_spark.operators.text import (
+        UNIGRAM_COUNTS_PATH,
+        unigram_tokens_py,
+    )
+
+    logp = _load_unigram_logp()
+    exp = pd.read_parquet(UNIGRAM_COUNTS_PATH)
+    assert len(exp) > 0
+    multi = 0
+    for w, n, nll in exp.itertuples(index=False):
+        rn, rnll, _ = viterbi_reference(w, logp)
+        assert unigram_tokens_py(w, logp) == (n, nll) == (rn, rnll)
+        multi += n > 1
+    # the committed eval is non-degenerate: some words multi-piece
+    assert multi > 0
+
+
+def test_unigram_tokens_hypothesis_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tools.build_unigram_vocab import viterbi_reference
+    from traits_data_spark.operators.text import unigram_tokens_py
+
+    logp = _load_unigram_logp()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", max_size=24))
+    def check(w):
+        if not w:
+            return
+        rn, rnll, _ = viterbi_reference(w, logp)
+        assert unigram_tokens_py(w, logp) == (rn, rnll)
+
+    check()
+
+
+def test_unigram_unknown_char_and_long_word_fallback():
+    from traits_data_spark.operators.text import (
+        UNIGRAM_UNK_LOGP_MICRO,
+        unigram_tokens_py,
+    )
+
+    logp = {"a": -1_000_000, "ab": -1_500_000}
+    # 'ab' piece beats a+b (-1.5 vs -2.0 nats)
+    assert unigram_tokens_py("ab", logp) == (1, 1_500_000)
+    # unknown char falls back to the UNK penalty as a single piece
+    n, nll = unigram_tokens_py("a!", logp)
+    assert (n, nll) == (2, 1_000_000 - UNIGRAM_UNK_LOGP_MICRO)
+    # >max_word_len chars: per-char fallback, no DP
+    w = "a" * 100
+    assert unigram_tokens_py(w, logp) == (100, 100 * 1_000_000)
+
+
+def test_unigram_token_counts_operator(spark):
+    from traits_data_spark.operators.text import (
+        unigram_token_counts,
+        unigram_tokens_py,
+    )
+
+    logp = _load_unigram_logp()
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, None), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_token_counts(df, logp).collect()}
+    na, nlla = unigram_tokens_py("alpha", logp)
+    nb, nllb = unigram_tokens_py("beta", logp)
+    assert out[1]["unigram_tokens"] == 2 * na + nb
+    assert out[1]["nll_micro"] == 2 * nlla + nllb
+    assert out[2]["unigram_tokens"] == 0 and out[3]["unigram_tokens"] == 0

@@ -113,6 +113,7 @@ from traits_data_spark.plans.corpus import clean_corpus
 from traits_data_spark.plans.curation import curate_corpus
 from traits_data_spark.operators.text import (
     BPE_MERGE_COUNTS_PATH,
+    UNIGRAM_COUNTS_PATH,
     bpe_effective_vocab,
     bpe_merge_token_counts,
     bpe_token_counts,
@@ -128,8 +129,10 @@ from traits_data_spark.operators.text import (
     quality_features,
     redact_pii,
     repetition_features,
+    load_unigram_vocab,
     tfidf_top_terms,
     token_counts,
+    unigram_token_counts,
     winnow_fingerprints,
     winnow_matches,
     word_array,
@@ -3045,6 +3048,51 @@ def q_bpe_merge_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) token counting
+    (``operators.text.unigram_token_counts``): Viterbi segmentation
+    maximizing ``(Σ logp_micro, -n_pieces)`` against the committed
+    2000-piece artifact (``data/unigram_vocab.parquet``, substring-
+    seeded + EM-refined by ``tools/build_unigram_vocab.py``; integer
+    micro-nat log-probs, so no ``ln`` runs in-plan) — the third
+    tokenizer family next to greedy longest-match (WordPiece) and
+    merge-rank BPE, same distinct-word execution shape. The DuckDB
+    oracle joins per-word counts PRECOMPUTED by the independent
+    recursive reference in tools/build_unigram_vocab.py; the iterative
+    engine DP is parity-tested against it in tests/test_text.py."""
+    docs = _docs_wide(spark, sf_dir)
+    vocab = load_unigram_vocab(spark)
+    return unigram_token_counts(token_counts(docs), vocab).select(
+        "doc_id", "ws_tokens", "unigram_tokens", "nll_micro"
+    )
+
+
+_UNIGRAM_TOKEN_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+exp AS (SELECT word, n_tokens, nll_micro
+        FROM read_parquet('{UNIGRAM_COUNTS_PATH}')),
+occ AS (SELECT doc_id, unnest(wl) AS w FROM d),
+uni AS (
+  SELECT occ.doc_id,
+         CASE WHEN bool_and(e.word IS NOT NULL)
+              THEN CAST(sum(e.n_tokens) AS BIGINT) END AS unigram_tokens,
+         CASE WHEN bool_and(e.word IS NOT NULL)
+              THEN CAST(sum(e.nll_micro) AS BIGINT) END AS nll_micro
+  FROM occ LEFT JOIN exp e ON e.word = occ.w
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.wl) AS BIGINT) AS ws_tokens,
+       coalesce(u.unigram_tokens, CAST(0 AS BIGINT)) AS unigram_tokens,
+       coalesce(u.nll_micro, CAST(0 AS BIGINT)) AS nll_micro
+FROM d LEFT JOIN uni u USING (doc_id)
+"""
+
+
 # A word missing from the expected-counts artifact must surface as a
 # LOUD mismatch (NULL count for its docs), never a silently-skipped
 # NULL inside sum() — hence the bool_and guard.
@@ -5532,6 +5580,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "pq_topk": q_pq_topk,
     "bm25_topk": q_bm25_topk,
+    "unigram_token_counts": q_unigram_token_counts,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5552,7 +5601,6 @@ QUERIES: Mapping[str, QueryFn] = {
     "sampled_quantiles": q_sampled_quantiles,
     "substring_dups": q_substring_dups,
     "remove_dup_substrings": q_remove_dup_substrings,
-    "event_transitions": q_event_transitions,
     "hourly_anomalies": q_hourly_anomalies,
     "funnel_within": q_funnel_within,
     "dup_clusters": q_dup_clusters,
@@ -5568,8 +5616,9 @@ QUERIES: Mapping[str, QueryFn] = {
     # hash_split / percentile_profile rotated out green 4x in round 7).
     "json_props": q_json_props,
     # rotated out round 10 (driver-green rounds 6 through 9) to make
-    # room for bm25_topk:
+    # room for bm25_topk / unigram_token_counts:
     "price_histogram": q_price_histogram,
+    "event_transitions": q_event_transitions,
     "hash_split": q_hash_split,
     "percentile_profile": q_percentile_profile,
     # rotated out round 9 (driver-green rounds 4 through 8):
@@ -5693,6 +5742,7 @@ def oracle_sqls() -> dict[str, str]:
         "tokenizer_fertility": _tokenizer_fertility_sql(),
         "pq_topk": _pq_topk_sql(),
         "bm25_topk": _bm25_sql(),
+        "unigram_token_counts": _UNIGRAM_TOKEN_SQL,
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

@@ -1204,3 +1204,150 @@ def bm25_topk(
             "rk",
         )
     )
+
+
+# Committed unigram-LM (SentencePiece-style) tokenizer artifacts — see
+# tools/build_unigram_vocab.py for provenance (substring-seeded,
+# EM-refined, pruned + padded to production size) and for the recursive
+# reference tokenizer the oracle counts come from.
+UNIGRAM_VOCAB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "unigram_vocab.parquet",
+)
+UNIGRAM_COUNTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "unigram_counts.parquet",
+)
+UNIGRAM_MAX_PIECE_LEN = 4
+UNIGRAM_UNK_LOGP_MICRO = -20_000_000
+UNIGRAM_MAX_WORD_LEN = 64
+
+
+def load_unigram_vocab(spark, path: str = UNIGRAM_VOCAB_PATH) -> DataFrame:
+    """Load a unigram-LM piece table (parquet with ``piece`` VARCHAR,
+    ``logp_micro`` BIGINT — integer micro-nat log-probs, so no ``ln``
+    ever runs in a query plan). Same bounded-model-artifact contract
+    as ``load_bpe_vocab`` / ``load_bpe_merges``."""
+    return spark.read.parquet(path)
+
+
+def unigram_tokens_py(
+    word: str,
+    logp: Mapping[str, int],
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+) -> tuple[int, int]:
+    """Unigram-LM Viterbi token count for one word (Kudo 2018, the
+    SentencePiece ``unigram`` model): choose the segmentation
+    maximizing ``(Σ logp_micro(piece), -n_pieces)`` lexicographically —
+    integer micro-nat scores, so the optimum is exact and
+    engine-portable. Returns ``(n_tokens, nll_micro)``.
+
+    Iterative LEFT-TO-RIGHT DP — deliberately a different
+    implementation from the recursive best-suffix reference in
+    tools/build_unigram_vocab.py it is parity-tested against. Unknown
+    single chars segment with a fixed ``UNIGRAM_UNK_LOGP_MICRO``
+    penalty (byte-fallback stand-in); words longer than
+    ``max_word_len`` tokenize as chars (O(L²) guard, same rule as
+    ``bpe_merge_tokens_py``)."""
+    L = len(word)
+    if L > max_word_len:
+        nll = -sum(
+            logp.get(c, UNIGRAM_UNK_LOGP_MICRO) for c in word
+        )
+        return L, nll
+    # dp[i] = best (score_micro, -count) over segmentations of word[:i]
+    dp: list[tuple[int, int] | None] = [None] * (L + 1)
+    dp[0] = (0, 0)
+    for i in range(1, L + 1):
+        best = None
+        for j in range(max(0, i - max_piece_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j != 1:
+                    continue
+                lp = UNIGRAM_UNK_LOGP_MICRO
+            prev = dp[j]
+            if prev is None:
+                continue
+            cand = (prev[0] + lp, prev[1] - 1)
+            if best is None or cand > best:
+                best = cand
+        dp[i] = best
+    score, negc = dp[L]  # type: ignore[misc]
+    return -negc, -score
+
+
+def unigram_token_counts(
+    df: DataFrame,
+    vocab: DataFrame | Mapping[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+) -> DataFrame:
+    """Per-document unigram-LM token counts and total negative
+    log-prob — the third tokenizer family next to greedy
+    longest-match (WordPiece inference, ``bpe_token_counts_table``)
+    and merge-rank BPE (``bpe_merge_token_counts``).
+
+    Execution shape is the one that scales (identical to the other
+    two): the piece table is a bounded model artifact collected once
+    into a broadcast ``piece -> logp_micro`` dict; the corpus explodes
+    to words; each DISTINCT word runs Viterbi exactly once in an
+    Arrow-batched pandas UDF (Zipf collapses the work); results join
+    back word-keyed and one per-doc sum restores the input grain.
+    ``nll_micro`` is an integer micro-nat sum, so it is
+    shuffle-order-free and SQL-oracle exact."""
+    if isinstance(vocab, DataFrame):
+        table = {
+            r["piece"]: int(r["logp_micro"])
+            for r in vocab.select("piece", "logp_micro").collect()
+        }
+    else:
+        table = dict(vocab)
+    bc = df.sparkSession.sparkContext.broadcast(table)
+
+    @F.pandas_udf("n_tokens long, nll_micro long")
+    def _tok(words: pd.Series) -> pd.DataFrame:
+        t = bc.value
+        out = words.map(
+            lambda w: unigram_tokens_py(w, t, max_piece_len)
+        )
+        return pd.DataFrame(
+            {
+                "n_tokens": out.map(lambda p: p[0]).astype("int64"),
+                "nll_micro": out.map(lambda p: p[1]).astype("int64"),
+            }
+        )
+
+    warr = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
+    )
+    words = df.select(F.col(id_col), F.explode(warr).alias("__w"))
+    wcounts = (
+        words.select("__w")
+        .distinct()
+        .withColumn("__t", _tok(F.col("__w")))
+        .select("__w", "__t.n_tokens", "__t.nll_micro")
+    )
+    sums = (
+        words.join(wcounts, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_tokens").cast("long").alias("unigram_tokens"),
+            F.sum("nll_micro").cast("long").alias("nll_micro"),
+        )
+    )
+    return df.join(sums, id_col, "left").withColumns(
+        {
+            "unigram_tokens": F.coalesce(
+                F.col("unigram_tokens"), F.lit(0)
+            ).cast("long"),
+            "nll_micro": F.coalesce(F.col("nll_micro"), F.lit(0)).cast(
+                "long"
+            ),
+        }
+    )
