@@ -3240,12 +3240,14 @@ def q_lm_perplexity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility report — tokens per whitespace
-    word under BOTH shipped subword tokenizers (greedy longest-match
-    against the 12k-piece vocab = WordPiece-style inference, and
-    merge-rank against the 12k ranked-merge table = true BPE), the
-    comparison a team runs when choosing the tokenizer a corpus will
-    be budgeted in. One row per source: doc count, summed whitespace /
-    WordPiece / BPE tokens, and the two fertility ratios (6-dp-rounded
+    word under all THREE shipped subword tokenizers (greedy
+    longest-match against the 12k-piece vocab = WordPiece-style
+    inference, merge-rank against the 12k ranked-merge table = true
+    BPE, and unigram-LM Viterbi against the 2000-piece artifact =
+    SentencePiece), the comparison a team runs when choosing the
+    tokenizer a corpus will be budgeted in. One row per source: doc
+    count, summed whitespace / WordPiece / BPE / unigram tokens, and
+    the three fertility ratios (6-dp-rounded
     single divisions — cross-engine exact). The oracle nests the two
     attested per-doc tokenizer oracles as derived tables and
     re-aggregates."""
@@ -3257,7 +3259,10 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     mr = bpe_merge_token_counts(docs, load_bpe_merges(spark)).select(
         "doc_id", F.col("bpe_merge_tokens").alias("bpe_tokens")
     )
-    joined = wp.join(mr, "doc_id").join(src, "doc_id")
+    uni = unigram_token_counts(docs, load_unigram_vocab(spark)).select(
+        "doc_id", F.col("unigram_tokens").alias("uni_tokens")
+    )
+    joined = wp.join(mr, "doc_id").join(uni, "doc_id").join(src, "doc_id")
 
     def fert(tok: str) -> Column:
         return F.when(
@@ -3274,8 +3279,10 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws_tokens").cast("long").alias("ws_tokens"),
         F.sum("wp_tokens").cast("long").alias("wp_tokens"),
         F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.sum("uni_tokens").cast("long").alias("uni_tokens"),
         fert("wp_tokens").alias("wp_fertility"),
         fert("bpe_tokens").alias("bpe_fertility"),
+        fert("uni_tokens").alias("uni_fertility"),
     )
 
 
@@ -3288,15 +3295,20 @@ WITH wp AS (SELECT doc_id, ws_tokens, bpe_tokens AS wp_tokens
             FROM ({_bpe_token_large_sql()})),
 mr AS (SELECT doc_id, bpe_merge_tokens AS bpe_tokens
        FROM ({_BPE_MERGE_TOKEN_SQL})),
+uni AS (SELECT doc_id, unigram_tokens AS uni_tokens
+        FROM ({_UNIGRAM_TOKEN_SQL})),
 j AS (
-  SELECT d.source, wp.ws_tokens, wp.wp_tokens, mr.bpe_tokens
-  FROM wp JOIN mr USING (doc_id) JOIN documents d USING (doc_id)
+  SELECT d.source, wp.ws_tokens, wp.wp_tokens, mr.bpe_tokens,
+         uni.uni_tokens
+  FROM wp JOIN mr USING (doc_id) JOIN uni USING (doc_id)
+       JOIN documents d USING (doc_id)
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
        CAST(sum(wp_tokens) AS BIGINT) AS wp_tokens,
        CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(sum(uni_tokens) AS BIGINT) AS uni_tokens,
        CASE WHEN sum(ws_tokens) > 0 THEN
          round(CAST(sum(wp_tokens) AS DOUBLE)
                / CAST(sum(ws_tokens) AS DOUBLE), 6) + 0.0 END
@@ -3304,7 +3316,11 @@ SELECT source,
        CASE WHEN sum(ws_tokens) > 0 THEN
          round(CAST(sum(bpe_tokens) AS DOUBLE)
                / CAST(sum(ws_tokens) AS DOUBLE), 6) + 0.0 END
-         AS bpe_fertility
+         AS bpe_fertility,
+       CASE WHEN sum(ws_tokens) > 0 THEN
+         round(CAST(sum(uni_tokens) AS DOUBLE)
+               / CAST(sum(ws_tokens) AS DOUBLE), 6) + 0.0 END
+         AS uni_fertility
 FROM j GROUP BY source
 """
 
