@@ -38,8 +38,8 @@ LOAD_BEARING = [
     "sampled_quantiles",
     "substring_dups",
     "remove_dup_substrings",
-    # event_transitions rotated out round 10 (driver-green rounds 6-9)
-    "hourly_anomalies",
+    # event_transitions / hourly_anomalies rotated out round 10
+    # (driver-green rounds 6-9)
     "funnel_within",
     # price_histogram rotated out round 10 (driver-green rounds 6-9)
     "dup_clusters",
@@ -75,6 +75,7 @@ LOAD_BEARING = [
     "pq_topk",
     "bm25_topk",
     "unigram_token_counts",
+    "ivfpq_topk",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

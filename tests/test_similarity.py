@@ -706,3 +706,125 @@ def test_pq_topk_pure_adc_is_ranked_and_self_free(spark, embeddings):
         assert all(
             rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
         )
+
+
+def test_ivfpq_full_probe_full_rerank_equals_exact(spark, embeddings):
+    """probe = all cells + rerank >= corpus degenerates IVF-PQ to the
+    exact L2 top-k: the ADC stage passes every candidate through and
+    the re-rank is exact brute force."""
+    from traits_data_spark.operators.similarity import ivfpq_topk
+
+    emb = embeddings.limit(120).cache()
+    q = emb.filter(F.col("vec_id") < 4)
+    out = ivfpq_topk(
+        emb, q, dim=64, k=5, n_cells=4, cell_iter=1, n_probe=4,
+        m=4, n_codes=8, pq_iter=1, rerank=200,
+    ).collect()
+    # exact ground truth by the same rounded-d2 + id tie ordering
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for qid in (0, 1, 2, 3):
+        qv = vecs[qid]
+        d2s = sorted(
+            (
+                round(
+                    sum(a * a for a in qv)
+                    - 2.0 * sum(a * b for a, b in zip(qv, vecs[n]))
+                    + sum(b * b for b in vecs[n]),
+                    6,
+                ),
+                n,
+            )
+            for n in vecs
+            if n != qid
+        )
+        expect = [n for _, n in d2s[:5]]
+        got = [
+            r["neighbor_id"]
+            for r in sorted(
+                (r for r in out if r["query_id"] == qid),
+                key=lambda r: r["rk"],
+            )
+        ]
+        assert got == expect
+    emb.unpersist()
+
+
+def test_ivfpq_pure_adc_ranked_self_free_and_cell_pruned(spark, embeddings):
+    from traits_data_spark.operators.similarity import ivfpq_topk
+
+    emb = embeddings.limit(200).cache()
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(
+        emb, q, dim=64, k=5, n_cells=8, n_probe=2, m=4, n_codes=8
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rk"], r["approx_d2_micro"])
+        )
+    for rows in by_q.values():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
+        )
+    emb.unpersist()
+
+
+def test_ivfpq_shipped_preset_recall_floor(spark, embeddings):
+    """The shipped IVF-PQ preset (catalog IVFPQ_*) must keep mean
+    recall@5 >= 0.8 against exact L2 on the eval corpus — pins the
+    deployable operating point like the PQ and tuned-LSH floors."""
+    from traits_data_spark.catalog import (
+        IVFPQ_CODES,
+        IVFPQ_M,
+        IVFPQ_PROBE,
+        IVFPQ_RERANK,
+        KMEANS_ITER,
+        KMEANS_K,
+        PQ_ITER,
+    )
+    from traits_data_spark.operators.similarity import dot, ivfpq_topk
+
+    emb = embeddings.persist()
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    qq = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    from pyspark.sql import Window
+
+    d2 = (
+        dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * dot(F.col("qv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(d2, 6).asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        qq.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = ivfpq_topk(
+        emb, q, dim=64, k=5, n_cells=KMEANS_K, cell_iter=KMEANS_ITER,
+        n_probe=IVFPQ_PROBE, m=IVFPQ_M, n_codes=IVFPQ_CODES,
+        pq_iter=PQ_ITER, rerank=IVFPQ_RERANK,
+    )
+    hits = sum(
+        1
+        for r in approx.collect()
+        if r["neighbor_id"] in truth.get(r["query_id"], set())
+    )
+    assert hits / (5 * len(truth)) >= 0.8
+    emb.unpersist()

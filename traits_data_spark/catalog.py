@@ -88,6 +88,7 @@ from traits_data_spark.operators.similarity import (
     kmeans_clusters,
     kmeans_fit,
     pq_topk,
+    ivfpq_topk,
     probe_masks,
     _hyperplanes,
     cosine_topk_bruteforce,
@@ -1855,13 +1856,15 @@ def _kmeans_cent_ctes(
     vec_expr: str = "embedding::DOUBLE[]",
     dim: int = EMB_DIM,
     with_kw: bool = True,
+    src: str = "embeddings",
 ) -> str:
     """WITH-chain mirroring kmeans_fit: hash-ranked seeds →
     (assign → fixed-point recompute) × n_iter; ends at
     ``{p}cent{n_iter}``. Defaults emit the original unprefixed
     whole-vector chain; the PQ oracle runs one prefixed chain per
     subspace over ``list_slice`` sub-vectors (``with_kw=False`` for
-    every chain but the first)."""
+    every chain but the first); the IVF-PQ oracle points ``src`` at a
+    derived residual CTE instead of the ``embeddings`` view."""
     h = _H60.format(x="CAST(vec_id AS VARCHAR)")
     scale = IVF_SCALE
 
@@ -1880,12 +1883,12 @@ def _kmeans_cent_ctes(
 
     parts = [
         f"""{"WITH " if with_kw else ""}{p}v AS (
-  SELECT vec_id, {vec_expr} AS vec FROM embeddings
+  SELECT vec_id, {vec_expr} AS vec FROM {src}
 ),
 {p}seeds AS (
   SELECT {vec_expr} AS vec,
          CAST(row_number() OVER (ORDER BY {h}, vec_id) - 1 AS INT) AS cid
-  FROM embeddings ORDER BY {h}, vec_id LIMIT {k}
+  FROM {src} ORDER BY {h}, vec_id LIMIT {k}
 ),
 {p}cent0 AS (SELECT cid, vec::DOUBLE[] AS vec FROM {p}seeds)"""
     ]
@@ -2063,6 +2066,151 @@ ar AS (
   FROM paired
 ),
 cand AS (SELECT query_id, neighbor_id FROM ar WHERE ark <= {PQ_RERANK}),
+cvec AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+ex AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(q.vec, q.vec)
+               - 2.0 * list_dot_product(q.vec, c.vec)
+               + list_dot_product(c.vec, c.vec), 6) + 0.0 AS d2
+  FROM cand JOIN cvec c ON c.vec_id = cand.neighbor_id
+            JOIN q ON q.query_id = cand.query_id
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, neighbor_id) AS rk
+  FROM ex
+)
+SELECT query_id, neighbor_id, d2, CAST(rk AS BIGINT) AS rk
+FROM r2 WHERE rk <= {TOPK}
+"""
+
+
+# Deployable operating point (swept on the sf0.1 eval corpus, 2000
+# vecs / 100 queries, vs exact L2 top-5 — SCALE.md round-10 ladder):
+# probe 6/8 cells + rerank 400 reaches recall@5 = 0.842 with 32-bit
+# codes (m=8 x 16 codes); m=16 (64-bit) trades 2x codebook/encode cost
+# for 0.860 at rerank 200. probe=4/rerank=100 scores only 0.53 on the
+# near-isotropic eval — below the 0.8 deployability bar the round-9
+# ann_recall discipline established, so the shipped preset is the
+# 0.842 point.
+IVFPQ_M = 8
+IVFPQ_CODES = 16
+IVFPQ_PROBE = 6
+IVFPQ_RERANK = 400
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieve-then-re-rank top-k
+    (``operators.similarity.ivfpq_topk``): deterministic k-means cells
+    route vectors, residuals are product-quantized with one shared
+    codebook (8 subspaces x 16 codes = 32 bits/vector), queries probe
+    their 4 nearest of 8 cells and score codes by integer-micro ADC in
+    residual space, and only the top-100 candidates per query are
+    fetched full-precision for the exact-L2 final rank — the FAISS
+    ``IVF8,PQ8`` production shape, fully oracle-checkable because every
+    stage (hash-seeded fits, round(d2,6)+cid ties, element-wise
+    residuals, integer ADC sums, exact re-rank) is replayed
+    bit-for-bit by the SQL below."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.expr(_QUERY_PRED)),
+        dim=EMB_DIM,
+        k=TOPK,
+        n_cells=KMEANS_K,
+        cell_iter=KMEANS_ITER,
+        n_probe=IVFPQ_PROBE,
+        m=IVFPQ_M,
+        n_codes=IVFPQ_CODES,
+        pq_iter=PQ_ITER,
+        scale=IVF_SCALE,
+        rerank=IVFPQ_RERANK,
+    )
+
+
+def _ivfpq_sql() -> str:
+    sub = EMB_DIM // IVFPQ_M
+    parts = [_kmeans_cent_ctes(KMEANS_K, KMEANS_ITER, p="g", with_kw=True)]
+    parts.append(_kmeans_assign_cte(f"gcent{KMEANS_ITER}", "f", p="g"))
+    parts.append(f"""
+resid AS (
+  SELECT m.vec_id, m.cid AS cell,
+         list_transform(range(1, {EMB_DIM} + 1),
+                        i -> m.vec[i] - c.vec[i]) AS vec
+  FROM gmf m JOIN gcent{KMEANS_ITER} c USING (cid)
+)""")
+    for s in range(IVFPQ_M):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            _kmeans_cent_ctes(
+                IVFPQ_CODES,
+                PQ_ITER,
+                p=f"r{s}",
+                vec_expr=f"list_slice(vec, {lo}, {hi})",
+                dim=sub,
+                with_kw=False,
+                src="resid",
+            )
+        )
+        parts.append(_kmeans_assign_cte(f"r{s}cent{PQ_ITER}", "f", p=f"r{s}"))
+    codes_union = "\n  UNION ALL ".join(
+        f"""SELECT m.vec_id AS neighbor_id, r.cell, {s} AS sub, m.cid AS code
+FROM r{s}mf m JOIN resid r USING (vec_id)"""
+        for s in range(IVFPQ_M)
+    )
+
+    def qtab_select(s: int) -> str:
+        lo, hi = s * sub + 1, (s + 1) * sub
+        qs = f"list_slice(p.qr, {lo}, {hi})"
+        return f"""SELECT p.query_id, p.cell, {s} AS sub, c.cid AS code,
+       CAST(round((list_dot_product({qs}, {qs})
+                   - 2.0 * list_dot_product({qs}, c.vec)
+                   + list_dot_product(c.vec, c.vec)) * 1000000.0)
+            AS BIGINT) AS d2m
+FROM qp p CROSS JOIN r{s}cent{PQ_ITER} c"""
+
+    qtab_union = "\n  UNION ALL ".join(
+        qtab_select(s) for s in range(IVFPQ_M)
+    )
+    return f"""{",".join(parts)},
+codes AS (
+  {codes_union}
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vec
+      FROM embeddings WHERE {_QUERY_PRED}),
+qp AS (
+  SELECT query_id, cell, qr FROM (
+    SELECT query_id, cell, qr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, cell) AS prk
+    FROM (
+      SELECT q.query_id, c.cid AS cell,
+             round(list_dot_product(q.vec, q.vec)
+                   - 2.0 * list_dot_product(q.vec, c.vec)
+                   + list_dot_product(c.vec, c.vec), 6) AS d2,
+             list_transform(range(1, {EMB_DIM} + 1),
+                            i -> q.vec[i] - c.vec[i]) AS qr
+      FROM q CROSS JOIN gcent{KMEANS_ITER} c
+    )
+  ) WHERE prk <= {IVFPQ_PROBE}
+),
+qtab AS (
+  {qtab_union}
+),
+paired AS (
+  SELECT t.query_id, c.neighbor_id,
+         CAST(SUM(t.d2m) AS BIGINT) AS approx_d2_micro
+  FROM codes c
+  JOIN qtab t ON t.cell = c.cell AND t.sub = c.sub AND t.code = c.code
+  WHERE c.neighbor_id != t.query_id
+  GROUP BY t.query_id, c.neighbor_id
+),
+ar AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2_micro, neighbor_id) AS ark
+  FROM paired
+),
+cand AS (SELECT query_id, neighbor_id FROM ar WHERE ark <= {IVFPQ_RERANK}),
 cvec AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 ex AS (
   SELECT cand.query_id, cand.neighbor_id,
@@ -5597,6 +5745,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "pq_topk": q_pq_topk,
     "bm25_topk": q_bm25_topk,
     "unigram_token_counts": q_unigram_token_counts,
+    "ivfpq_topk": q_ivfpq_topk,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5617,7 +5766,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "sampled_quantiles": q_sampled_quantiles,
     "substring_dups": q_substring_dups,
     "remove_dup_substrings": q_remove_dup_substrings,
-    "hourly_anomalies": q_hourly_anomalies,
+    
     "funnel_within": q_funnel_within,
     "dup_clusters": q_dup_clusters,
     # -- promoted round 6: long-unattested hash-oracle entries
@@ -5635,6 +5784,7 @@ QUERIES: Mapping[str, QueryFn] = {
     # room for bm25_topk / unigram_token_counts:
     "price_histogram": q_price_histogram,
     "event_transitions": q_event_transitions,
+    "hourly_anomalies": q_hourly_anomalies,
     "hash_split": q_hash_split,
     "percentile_profile": q_percentile_profile,
     # rotated out round 9 (driver-green rounds 4 through 8):
@@ -5759,6 +5909,7 @@ def oracle_sqls() -> dict[str, str]:
         "pq_topk": _pq_topk_sql(),
         "bm25_topk": _bm25_sql(),
         "unigram_token_counts": _UNIGRAM_TOKEN_SQL,
+        "ivfpq_topk": _ivfpq_sql(),
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

@@ -1421,6 +1421,199 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    cell_iter: int = 2,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    pq_iter: int = 2,
+    scale: int = 1_000_000,
+    rerank: int | None = None,
+    centroids: DataFrame | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. TPAMI'11 §V; the FAISS
+    ``IVFx,PQy`` production index): a deterministic k-means coarse
+    quantizer routes each vector to a cell, the RESIDUAL (vector minus
+    its cell centroid) is product-quantized with ONE codebook shared
+    across cells, and queries score only the codes in their ``n_probe``
+    nearest cells by integer-micro ADC in residual space — combining
+    IVF's candidate pruning (cand_frac ≈ n_probe/n_cells) with PQ's
+    ``m·log2(n_codes)``-bit memory story. ``rerank=R`` then fetches
+    only the top-R full-precision vectors per query and re-ranks by
+    exact L2 in the ORIGINAL space (the deployment shape).
+
+    Exactness contract: every stage reuses an established
+    hash-matchable pattern — hash-seeded fixed-point Lloyd
+    (``kmeans_fit``), round(d2,6)+cid assignment ties, element-wise
+    residual subtraction (one IEEE op per component), and per-subspace
+    ADC distances rounded to INTEGER micro-units so the m-way sum is
+    shuffle-order-free.
+
+    Scale shape (100 TB): the corpus never shuffles — cell assignment
+    and code assignment are broadcast-centroid cross joins; the
+    residual frame is persisted once (callers should unpersist via
+    ``spark.catalog.clearCache()`` when done; pass ``centroids=`` to
+    reuse a coarse index across batches) and scanned by the
+    ``m·(pq_iter+1)`` bounded sub-fits; the ADC join streams codes
+    against a broadcast |Q|·n_probe·m·n_codes distance table keyed by
+    (cell, sub, code), so only probed cells' codes survive the join —
+    the IVF pruning happens map-side. The only aggregation is the
+    pair-keyed integer sum with map-side combine."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus, id_col=id_col, vec_col=vec_col, k=n_cells,
+            n_iter=cell_iter, scale=scale,
+        )
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    assigned = _kmeans_assign(c, centroids)
+    cents = centroids.select(
+        F.col("cid"), F.col("__centv").alias("__cellv")
+    )
+    resid = (
+        assigned.join(F.broadcast(cents), "cid")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cid").alias("cell"),
+            F.zip_with(
+                F.col("__v"), F.col("__cellv"), lambda a, b: a - b
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    books = pq_fit(
+        resid, dim, m=m, id_col=id_col, vec_col="embedding", k=n_codes,
+        n_iter=pq_iter, scale=scale,
+    )
+    # encode residuals carrying the cell through pq_encode's id slot
+    # as a struct (pure projection — no extra corpus join)
+    enc_in = resid.select(
+        F.struct(
+            F.col(id_col).alias("i"), F.col("cell").alias("c")
+        ).alias(id_col),
+        "embedding",
+    )
+    codes = pq_encode(
+        enc_in, books, dim, m=m, id_col=id_col, vec_col="embedding"
+    ).select(
+        F.col(id_col).getField("i").alias("neighbor_id"),
+        F.col(id_col).getField("c").alias("cell"),
+        "sub",
+        "code",
+    )
+    # queries rank the broadcast cell centroids, probe n_probe cells,
+    # and move to residual space vs each probed cell
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    d2c = (
+        dot(F.col("__qv"), F.col("__qv"))
+        - F.lit(2.0) * dot(F.col("__qv"), F.col("__cellv"))
+        + dot(F.col("__cellv"), F.col("__cellv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("cell").asc()
+    )
+    q_probed = (
+        q.join(F.broadcast(cents.withColumnRenamed("cid", "cell")))
+        .withColumn("__d2", F.round(d2c, 6))
+        .withColumn("__prk", F.row_number().over(wp))
+        .filter(F.col("__prk") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("__qv"), F.col("__cellv"), lambda a, b: a - b
+            ).alias("__qr"),
+        )
+    )
+    d2t = (
+        dot(F.col("__qs"), F.col("__qs"))
+        - F.lit(2.0) * dot(F.col("__qs"), F.col("cvec"))
+        + dot(F.col("cvec"), F.col("cvec"))
+    )
+    qsubs = []
+    for s in range(m):
+        qsubs.append(
+            q_probed.select(
+                "query_id",
+                "cell",
+                F.lit(s).alias("sub"),
+                F.slice(F.col("__qr"), s * sub + 1, sub).alias("__qs"),
+            )
+        )
+    qmelt = qsubs[0]
+    for qd in qsubs[1:]:
+        qmelt = qmelt.unionByName(qd)
+    qtab = qmelt.join(books, "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        F.col("cid").alias("code"),
+        F.round(d2t * F.lit(1_000_000.0)).cast("long").alias("__d2_micro"),
+    )
+    paired = (
+        codes.join(_maybe_broadcast(qtab, broadcast_queries),
+                   ["cell", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2_micro").cast("long").alias("approx_d2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2_micro").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            paired.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "approx_d2_micro", "rk")
+        )
+    cands = (
+        paired.withColumn("__ark", F.row_number().over(w))
+        .filter(F.col("__ark") <= int(rerank))
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvx"),
+    )
+    exact_d2 = F.round(
+        dot(F.col("__qvx"), F.col("__qvx"))
+        - F.lit(2.0) * dot(F.col("__qvx"), F.col("__cv"))
+        + dot(F.col("__cv"), F.col("__cv")),
+        6,
+    ) + F.lit(0.0)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("d2", exact_d2)
+        .withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "d2", "rk")
+    )
+
+
 def ann_recall(
     exact: DataFrame,
     approx_by_method: dict[str, DataFrame],
