@@ -141,6 +141,9 @@ BENCH_QUERIES = FLAGSHIPS + [
     "winnow_matches",
     "tokenizer_fertility",
     "pq_topk",
+    "bm25_topk",
+    "unigram_token_counts",
+    "ivfpq_topk",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

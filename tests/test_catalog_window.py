@@ -40,7 +40,7 @@ LOAD_BEARING = [
     "remove_dup_substrings",
     # event_transitions / hourly_anomalies rotated out round 10
     # (driver-green rounds 6-9)
-    "funnel_within",
+    # funnel_within rotated out round 10 (driver-green rounds 6-9)
     # price_histogram rotated out round 10 (driver-green rounds 6-9)
     "dup_clusters",
     "lsh_candidates",
@@ -76,6 +76,7 @@ LOAD_BEARING = [
     "bm25_topk",
     "unigram_token_counts",
     "ivfpq_topk",
+    "scd2_merge",
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

@@ -116,3 +116,64 @@ def test_snapshot_diff_null_keys_match_null_safely(spark):
     # the unchanged null-key row pairs up and drops out (no phantom
     # removed+added churn); the changed non-null key is reported
     assert got == {(1, "changed")}
+
+
+def test_scd2_merge_paths(spark):
+    """All four SCD2 paths: pass-through history, no-op identical,
+    close+reopen on change (incl. NULL transitions), new-key insert;
+    plus batch dedup keeping the newest ts."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.incremental import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            # closed history row — must pass through untouched
+            (1, "a", 0, 5, 0),
+            # open rows
+            (1, "b", 5, None, 1),   # will change -> close + reopen
+            (2, "x", 0, None, 1),   # identical update -> no-op
+            (3, None, 0, None, 1),  # NULL -> value transition
+        ],
+        "k long, attr string, valid_from long, valid_to long, is_current int",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "b2", 9),
+            (1, "b1", 8),   # older duplicate in batch -> dropped
+            (2, "x", 9),    # identical
+            (3, "seen", 9),
+            (4, "new", 9),  # brand-new key
+        ],
+        "k long, attr string, effective_ts long",
+    )
+    out = scd2_merge(current, updates, ["k"], ["attr"]).collect()
+    rows = {(r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out}
+    assert rows == {
+        (1, "a", 0, 5, 0),        # history untouched
+        (1, "b", 5, 9, 0),        # closed at newest update ts
+        (1, "b2", 9, None, 1),    # newest batch row wins
+        (2, "x", 0, None, 1),     # no-op
+        (3, None, 0, 9, 0),       # NULL->value closed
+        (3, "seen", 9, None, 1),
+        (4, "new", 9, None, 1),   # new key
+    }
+    assert len(out) == len(rows)
+
+
+def test_scd2_merge_idempotent_reapply(spark):
+    from traits_data_spark.operators.incremental import scd2_merge
+
+    current = spark.createDataFrame(
+        [(1, "v", 0, None, 1)],
+        "k long, attr string, valid_from long, valid_to long, is_current int",
+    )
+    updates = spark.createDataFrame(
+        [(1, "v", 7)], "k long, attr string, effective_ts long"
+    )
+    once = scd2_merge(current, updates, ["k"], ["attr"])
+    twice = scd2_merge(once, updates, ["k"], ["attr"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )

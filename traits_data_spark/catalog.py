@@ -161,6 +161,7 @@ from traits_data_spark.plans.silver import (
 )
 from traits_data_spark.operators.incremental import (
     merge_aggregate_states,
+    scd2_merge,
     snapshot_diff,
 )
 from traits_data_spark.operators.layout import zvalue, zvalue_sql
@@ -2731,6 +2732,81 @@ SELECT coalesce(rep.source, nulls.source) AS source,
        CAST(coalesce(gopher_keep, 0) AS BIGINT) AS gopher_keep,
        CAST(coalesce(dup_docs, 0) AS BIGINT) AS dup_docs
 FROM rep FULL OUTER JOIN nulls ON rep.source = nulls.source
+"""
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension-history merge
+    (``operators.incremental.scd2_merge``): customers with
+    ``c_custkey % 5 != 0`` play the existing OPEN dimension slice
+    (valid_from 0); an update batch of ``c_custkey % 4 == 0`` arrives
+    at ts 1, with segment moved to 'MOVED' where ``c_custkey % 8 == 0``
+    — exercising all three paths in one gate: brand-new keys
+    (%5==0 ∧ %4==0), changed rows (closed + re-opened), and identical
+    no-op rows. One key-shuffle join between the open slice and the
+    delta; closed history never moves."""
+    cust = _t(spark, sf_dir, "customer")
+    current = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 8 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit(1).cast("long").alias("effective_ts"),
+    )
+    return scd2_merge(
+        current, updates, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    )
+
+
+_SCD2_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to,
+         CAST(1 AS INTEGER) AS is_current
+  FROM customer WHERE c_custkey % 5 != 0
+),
+up AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 8 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS u_seg,
+         c_acctbal AS u_bal,
+         CAST(1 AS BIGINT) AS u_ts
+  FROM customer WHERE c_custkey % 4 = 0
+),
+j AS (
+  SELECT coalesce(cur.c_custkey, up.c_custkey) AS c_custkey,
+         cur.c_mktsegment, cur.c_acctbal, cur.valid_from, cur.valid_to,
+         cur.is_current, up.u_seg, up.u_bal, up.u_ts
+  FROM cur FULL OUTER JOIN up ON cur.c_custkey = up.c_custkey
+),
+flags AS (
+  SELECT *,
+         valid_from IS NOT NULL AS has_cur,
+         u_ts IS NOT NULL AS has_upd,
+         (c_mktsegment IS DISTINCT FROM u_seg)
+           OR (c_acctbal IS DISTINCT FROM u_bal) AS changed
+  FROM j
+)
+SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to, is_current
+FROM flags WHERE has_cur AND (NOT has_upd OR NOT changed)
+UNION ALL
+SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, u_ts,
+       CAST(0 AS INTEGER)
+FROM flags WHERE has_cur AND has_upd AND changed
+UNION ALL
+SELECT c_custkey, u_seg, u_bal, u_ts, CAST(NULL AS BIGINT),
+       CAST(1 AS INTEGER)
+FROM flags WHERE has_upd AND (NOT has_cur OR changed)
 """
 
 
@@ -5746,6 +5822,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "bm25_topk": q_bm25_topk,
     "unigram_token_counts": q_unigram_token_counts,
     "ivfpq_topk": q_ivfpq_topk,
+    "scd2_merge": q_scd2_merge,
     # -- judge-only in round 4 (outside the old window) --------------------
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -5767,7 +5844,6 @@ QUERIES: Mapping[str, QueryFn] = {
     "substring_dups": q_substring_dups,
     "remove_dup_substrings": q_remove_dup_substrings,
     
-    "funnel_within": q_funnel_within,
     "dup_clusters": q_dup_clusters,
     # -- promoted round 6: long-unattested hash-oracle entries
     #    (decontaminate + jaccard_verify rotated out round 10 —
@@ -5785,6 +5861,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "price_histogram": q_price_histogram,
     "event_transitions": q_event_transitions,
     "hourly_anomalies": q_hourly_anomalies,
+    "funnel_within": q_funnel_within,
     "hash_split": q_hash_split,
     "percentile_profile": q_percentile_profile,
     # rotated out round 9 (driver-green rounds 4 through 8):
@@ -5910,6 +5987,7 @@ def oracle_sqls() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "unigram_token_counts": _UNIGRAM_TOKEN_SQL,
         "ivfpq_topk": _ivfpq_sql(),
+        "scd2_merge": _SCD2_SQL,
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

@@ -21,6 +21,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from traits_data_spark.operators.windows import dedup_keep_best
+
 # column-name -> how: how in {"sum", "min", "max"} ("count" states merge
 # with "sum").
 MergeSpec = Mapping[str, str]
@@ -140,4 +142,87 @@ def snapshot_diff(
         joined.withColumn(status_col, status)
         .filter(F.col(status_col).isNotNull())
         .select(*key_cols, status_col)
+    )
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge — the dimension-history
+    counterpart of the reference's keyed RDBMS/Parquet upserts
+    (LOADERS/GOLD-data-loader.py:278-303 upserts in place and loses
+    history; SCD2 is what a warehouse runs when it must keep it).
+
+    ``current`` is the existing history: key columns, tracked
+    attributes, ``valid_from``/``valid_to``/``is_current`` (open rows
+    have ``valid_to`` NULL and flag 1). ``updates`` carries one new
+    snapshot per key (extra rows per key are collapsed to the newest
+    ``ts_col`` deterministically — ties break on the tracked values'
+    struct, so re-runs are stable). Per key:
+
+    - new key                    → insert open row at its ``ts_col``
+    - tracked attributes changed → close the open row (``valid_to`` =
+      update ts, flag 0) AND insert the new open row
+    - identical (null-safe)      → no-op (idempotent re-loads)
+
+    Closed history rows pass through untouched.
+
+    Scale shape: ONE key-shuffle join between the OPEN slice and the
+    (bounded, delta-sized) update batch; the closed-history slice is
+    union'd back without a shuffle — store the table partitioned by
+    ``is_current`` and only the open partition is ever read or
+    rewritten (same touched-partition discipline as
+    ``upsert_parquet_partition``). Change detection is a null-safe
+    struct comparison, so NULL→value and value→NULL transitions both
+    version correctly.
+    """
+    key_l = list(keys)
+    trk = list(tracked)
+    up = dedup_keep_best(
+        updates, key_l, [F.col(ts_col).desc(), F.struct(*trk).desc()]
+    ).select(
+        *key_l,
+        *[F.col(c).alias(f"__u_{c}") for c in trk],
+        F.col(ts_col).alias("__u_ts"),
+    )
+    open_rows = current.filter(F.col(current_flag) == 1)
+    closed_rows = current.filter(F.col(current_flag) != 1)
+    j = open_rows.join(up, key_l, "full_outer")
+    has_cur = F.col(valid_from).isNotNull()
+    has_upd = F.col("__u_ts").isNotNull()
+    changed = ~F.struct(*[F.col(c) for c in trk]).eqNullSafe(
+        F.struct(*[F.col(f"__u_{c}") for c in trk])
+    )
+    # surviving open rows: unmatched, or matched-but-identical
+    keep_open = j.filter(has_cur & (~has_upd | ~changed)).select(
+        current.columns
+    )
+    closed_out = (
+        j.filter(has_cur & has_upd & changed)
+        .withColumn(valid_to, F.col("__u_ts"))
+        .withColumn(current_flag, F.lit(0).cast("int"))
+        .select(current.columns)
+    )
+    new_open = (
+        j.filter(has_upd & (~has_cur | changed))
+        .select(
+            *key_l,
+            *[F.col(f"__u_{c}").alias(c) for c in trk],
+            F.col("__u_ts").alias(valid_from),
+            F.lit(None).cast(dict(current.dtypes)[valid_to]).alias(valid_to),
+            F.lit(1).cast("int").alias(current_flag),
+        )
+        .select(current.columns)
+    )
+    return (
+        closed_rows.unionByName(keep_open)
+        .unionByName(closed_out)
+        .unionByName(new_open)
     )
