@@ -144,6 +144,8 @@ BENCH_QUERIES = FLAGSHIPS + [
     "bm25_topk",
     "unigram_token_counts",
     "ivfpq_topk",
+    "dsir_select",
+    "dsir_select_sampled",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

@@ -77,6 +77,10 @@ LOAD_BEARING = [
     "unigram_token_counts",
     "ivfpq_topk",
     "scd2_merge",
+    "dsir_select",
+    "dsir_select_sampled",
+    # rolling_agg / tfidf_top_terms rotated out round 10 (driver-green
+    # rounds 4 through 9)
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

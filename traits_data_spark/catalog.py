@@ -81,6 +81,13 @@ from traits_data_spark.operators.multimodal import (
     synthetic_wav_media,
 )
 from traits_data_spark.operators.ratings import WeightsHierarchy
+from traits_data_spark.operators.selection import (
+    DSIR_MODEL_PATH,
+    N_BUCKETS as _DSIR_N_BUCKETS,
+    dsir_select,
+    dsir_select_sampled,
+    load_dsir_model,
+)
 from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
     ann_recall,
@@ -5768,6 +5775,138 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance-based data selection
+# ---------------------------------------------------------------------------
+
+DSIR_KEEP_BP = 2_500  # deterministic top-25% selection
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-based data selection
+    (``operators.selection.dsir_select``; Xie et al., NeurIPS 2023):
+    every document scored under the committed hashed-n-gram
+    target/raw ratio model (``data/dsir_model.parquet``, trained on
+    the ``doc_id % 10 == 0`` held-out slice with target =
+    ``lang='en'`` by ``tools/build_dsir_model.py``), top 25% by
+    weight flagged ``selected`` — the missing SELECTOR next to the
+    per-doc filters (``gopher_rules``/``lm_perplexity``) and the
+    source mixer (``mixture_plan``). All ``ln`` lives in the
+    artifact (integer micro-nats); the plan hashes word uni+bigrams
+    with the portable 28-bit md5 bucket, joins the broadcast dense
+    model, and does integer sums + integer rank arithmetic, so the
+    DuckDB oracle recomputes every weight and flag bit-for-bit."""
+    docs = _docs_wide(spark, sf_dir)
+    out = dsir_select(docs, load_dsir_model(spark), keep_bp=DSIR_KEEP_BP)
+    avg = F.when(
+        F.col("n_feats") > 0,
+        F.round(
+            F.col("weight_micro").cast("double") / F.col("n_feats"), 6
+        )
+        + F.lit(0.0),
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "weight_micro",
+        avg.alias("avg_weight_micro"),
+        "selected",
+    )
+
+
+DSIR_SAMPLED_RATE_BP = 2_000  # 20% deterministic hash sample for the cut
+
+
+def q_dsir_select_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dsir_select`` with the SCALE-SAFE threshold path
+    (``operators.selection.dsir_select_sampled``): the selection cut
+    comes from a deterministic 20% hash sample — only the sample
+    sorts; the corpus is filtered by comparison against ONE broadcast
+    cut value (ties include, so the kept fraction may exceed
+    ``keep_bp`` by the tie mass). The ``sampled_quantiles``/
+    ``lm_perplexity_sampled`` discipline applied to selection."""
+    docs = _docs_wide(spark, sf_dir)
+    out = dsir_select_sampled(
+        docs,
+        load_dsir_model(spark),
+        keep_bp=DSIR_KEEP_BP,
+        rate_bp=DSIR_SAMPLED_RATE_BP,
+    )
+    return out.select("doc_id", "n_feats", "weight_micro", "selected")
+
+
+# shared weight chain: d (docs+word list) -> g (uni+bigrams) ->
+# f (hashed buckets) -> s (per-doc sums) -> w (zero-filled weights)
+_DSIR_WEIGHT_CTES = f"""d AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(wl) AS gram FROM d
+  UNION ALL
+  SELECT doc_id, wl[i] || ' ' || wl[i + 1] AS gram
+  FROM (SELECT doc_id, wl, unnest(range(1, length(wl))) AS i FROM d)
+),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT)
+           % {_DSIR_N_BUCKETS} AS bucket
+  FROM g
+),
+s AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(m.delta_micro) AS BIGINT) AS weight_micro
+  FROM f JOIN read_parquet('{DSIR_MODEL_PATH}') m USING (bucket)
+  GROUP BY f.doc_id
+),
+w AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(s.weight_micro, 0) AS BIGINT) AS weight_micro
+  FROM d LEFT JOIN s USING (doc_id)
+)"""
+
+_DSIR_SELECT_SQL = f"""
+WITH {_DSIR_WEIGHT_CTES},
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY weight_micro DESC, doc_id) - 1 AS rn0,
+         count(*) OVER () AS cnt
+  FROM w
+)
+SELECT doc_id, n_feats, weight_micro,
+       CASE WHEN n_feats > 0
+            THEN round(weight_micro::DOUBLE / n_feats, 6) + 0.0
+       END AS avg_weight_micro,
+       (rn0 * 10000 < cnt * {DSIR_KEEP_BP}) AS selected
+FROM r
+"""
+
+_DSIR_SELECT_SAMPLED_SQL = f"""
+WITH {_DSIR_WEIGHT_CTES},
+samp AS (
+  SELECT weight_micro, doc_id FROM w
+  WHERE {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 10000
+        < {DSIR_SAMPLED_RATE_BP}
+),
+rk AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM samp
+),
+cut AS (
+  SELECT weight_micro AS c FROM rk
+  WHERE rn = ({DSIR_KEEP_BP} * (n - 1)) // 10000 + 1
+)
+SELECT w.doc_id, w.n_feats, w.weight_micro,
+       (w.weight_micro >= (SELECT c FROM cut)) AS selected
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5823,9 +5962,9 @@ QUERIES: Mapping[str, QueryFn] = {
     "unigram_token_counts": q_unigram_token_counts,
     "ivfpq_topk": q_ivfpq_topk,
     "scd2_merge": q_scd2_merge,
+    "dsir_select": q_dsir_select,
+    "dsir_select_sampled": q_dsir_select_sampled,
     # -- judge-only in round 4 (outside the old window) --------------------
-    "rolling_agg": q_rolling_agg,
-    "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
     "incremental_merge": q_incremental_merge,
     "pack_sequences": q_pack_sequences,
@@ -5851,6 +5990,10 @@ QUERIES: Mapping[str, QueryFn] = {
     #    near-dup flagships stay in-window) ------------------------------
     "lsh_candidates": q_lsh_candidates,
     # ---- driver window boundary (slot 50) --------------------------------
+    # rotated out round 10 (driver-green rounds 4 through 9) to make
+    # room for dsir_select / dsir_select_sampled:
+    "rolling_agg": q_rolling_agg,
+    "tfidf_top_terms": q_tfidf_top_terms,
     # Everything below is either rows-only by declared contract (no DuckDB
     # oracle: binary payloads / sequential FFD fill order) or many-times-
     # stable (driver-green in round 5 or earlier rounds; json_props /
@@ -5988,6 +6131,8 @@ def oracle_sqls() -> dict[str, str]:
         "unigram_token_counts": _UNIGRAM_TOKEN_SQL,
         "ivfpq_topk": _ivfpq_sql(),
         "scd2_merge": _SCD2_SQL,
+        "dsir_select": _DSIR_SELECT_SQL,
+        "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

@@ -73,6 +73,11 @@ from traits_data_spark.operators.windows import (
     rolling_range_agg,
     with_group_rank,
 )
+from traits_data_spark.operators.selection import (
+    dsir_select,
+    dsir_select_sampled,
+    dsir_weights,
+)
 from traits_data_spark.operators.zscore import group_zscores
 from traits_data_spark.operators.ratings import WeightsHierarchy
 
@@ -122,6 +127,9 @@ __all__ = [
     "last_n_filter",
     "rolling_range_agg",
     "with_group_rank",
+    "dsir_select",
+    "dsir_select_sampled",
+    "dsir_weights",
     "group_zscores",
     "WeightsHierarchy",
 ]
