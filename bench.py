@@ -146,6 +146,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "ivfpq_topk",
     "dsir_select",
     "dsir_select_sampled",
+    "matryoshka_recall",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

@@ -79,8 +79,9 @@ LOAD_BEARING = [
     "scd2_merge",
     "dsir_select",
     "dsir_select_sampled",
-    # rolling_agg / tfidf_top_terms rotated out round 10 (driver-green
-    # rounds 4 through 9)
+    "matryoshka_recall",
+    # rolling_agg / tfidf_top_terms / stratified_sample rotated out
+    # round 10 (driver-green rounds 4 through 9)
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

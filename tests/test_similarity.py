@@ -828,3 +828,25 @@ def test_ivfpq_shipped_preset_recall_floor(spark, embeddings):
     )
     assert hits / (5 * len(truth)) >= 0.8
     emb.unpersist()
+
+
+def test_matryoshka_full_dim_recall_is_one(spark, embeddings):
+    """Slicing to the full 64 dims must reproduce the exact top-k
+    bit-for-bit (recall 1.0 for EVERY query) — the self-consistency
+    anchor of the truncation-recall curve; low dims stay in [0, 1]."""
+    from traits_data_spark.operators.similarity import matryoshka_recall
+
+    emb = embeddings.limit(150).cache()
+    q = emb.filter("vec_id < 5")
+    out = matryoshka_recall(emb, q, dims=(8, 64), k=3).collect()
+    by_m = {}
+    for r in out:
+        by_m.setdefault(r["method"], []).append(r)
+    assert set(by_m) == {"dim_08", "dim_64"}
+    assert all(len(v) == 5 for v in by_m.values())  # one row per query
+    assert all(r["recall_at_k"] == 1.0 for r in by_m["dim_64"])
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in by_m["dim_08"])
+    # hits/k arithmetic is exact
+    assert all(
+        r["recall_at_k"] == round(r["hits"] / 3, 6) for r in out
+    )

@@ -91,6 +91,7 @@ from traits_data_spark.operators.selection import (
 from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
     ann_recall,
+    matryoshka_recall,
     ivf_topk_kmeans,
     kmeans_clusters,
     kmeans_fit,
@@ -2371,6 +2372,77 @@ UNION ALL SELECT * FROM r_ivf_kmeans_tuned
 UNION ALL SELECT * FROM r_lsh
 UNION ALL SELECT * FROM r_lsh_multiprobe
 UNION ALL SELECT * FROM r_lsh_multiprobe_tuned
+"""
+
+
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-recall curve
+    (``operators.similarity.matryoshka_recall``; Kusupati et al.,
+    NeurIPS 2022): recall@k of brute-force cosine over the first
+    8/16/32 of 64 dimensions against full-dimension top-k — the
+    EMBEDDING-side compression eval completing the index-side ones
+    ``ann_recall`` grades (PQ/SQ8 shrink the index; truncation shrinks
+    storage, shuffle and scoring cost linearly in d). Eval corpus
+    persisted once and shared by all four top-k pipelines (the
+    ``ann_recall`` single-scan discipline)."""
+    emb = _t(spark, sf_dir, "embeddings").persist()
+    q = emb.filter(F.expr(_QUERY_PRED))
+    return matryoshka_recall(emb, q, dims=MATRYOSHKA_DIMS, k=TOPK)
+
+
+def _truncated_cosine_sql(d: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:{d}] AS qv
+           FROM embeddings WHERE {_QUERY_PRED}),
+c AS (SELECT vec_id AS neighbor_id, (embedding::DOUBLE[])[1:{d}] AS cv
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c, q WHERE neighbor_id != query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id FROM r WHERE rk <= {TOPK}
+"""
+
+
+def _matryoshka_sql() -> str:
+    names = [f"dim_{d:02d}" for d in MATRYOSHKA_DIMS]
+
+    def method_ctes(name: str) -> str:
+        return f"""h_{name} AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM exact e JOIN {name} a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+),
+r_{name} AS (
+  SELECT '{name}' AS method, qs.query_id,
+         CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         round(CAST(coalesce(h.hits, 0) AS DOUBLE) / {float(TOPK)}, 6)
+           + 0.0 AS recall_at_k
+  FROM qs LEFT JOIN h_{name} h USING (query_id)
+)"""
+
+    dim_ctes = ",\n".join(
+        f"{n} AS (SELECT query_id, neighbor_id FROM"
+        f" ({_truncated_cosine_sql(d)}))"
+        for n, d in zip(names, MATRYOSHKA_DIMS)
+    )
+    unions = "\nUNION ALL ".join(f"SELECT * FROM r_{n}" for n in names)
+    return f"""
+WITH
+exact AS (SELECT query_id, neighbor_id FROM ({_COSINE_SQL})),
+{dim_ctes},
+qs AS (SELECT DISTINCT query_id FROM exact),
+{",".join(method_ctes(n) for n in names)}
+{unions}
 """
 
 
@@ -5964,8 +6036,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "scd2_merge": q_scd2_merge,
     "dsir_select": q_dsir_select,
     "dsir_select_sampled": q_dsir_select_sampled,
+    "matryoshka_recall": q_matryoshka_recall,
     # -- judge-only in round 4 (outside the old window) --------------------
-    "stratified_sample": q_stratified_sample,
     "incremental_merge": q_incremental_merge,
     "pack_sequences": q_pack_sequences,
     # -- newest / most complex operators -----------------------------------
@@ -5994,6 +6066,7 @@ QUERIES: Mapping[str, QueryFn] = {
     # room for dsir_select / dsir_select_sampled:
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "stratified_sample": q_stratified_sample,
     # Everything below is either rows-only by declared contract (no DuckDB
     # oracle: binary payloads / sequential FFD fill order) or many-times-
     # stable (driver-green in round 5 or earlier rounds; json_props /
@@ -6133,6 +6206,7 @@ def oracle_sqls() -> dict[str, str]:
         "scd2_merge": _SCD2_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,
+        "matryoshka_recall": _matryoshka_sql(),
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

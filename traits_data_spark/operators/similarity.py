@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import random
 from itertools import combinations
+from typing import Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1685,3 +1686,50 @@ def ann_recall(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Truncation-recall curve for Matryoshka-style embeddings
+    (Kusupati et al., NeurIPS 2022): recall@k of brute-force cosine
+    top-k over the FIRST ``d`` dimensions against full-dimension
+    brute-force top-k, one method row-group per ``d`` in ``dims``
+    (labeled ``dim_04``-style). This is the EMBEDDING-side compression
+    eval next to the index-side ones already graded by ``ann_recall``
+    (PQ/SQ8 shrink the index; truncation shrinks the vectors
+    themselves — storage, shuffle AND scoring cost drop linearly in
+    ``d``, which at 100 TB is usually the bigger lever).
+
+    Truncated cosine re-normalizes implicitly: ``cosine`` divides by
+    the sliced vectors' own norms, exactly how an MRL deployment
+    scores prefixes. Every stage is deterministic (neighbor-id
+    tie-breaks), so per-query recall is fully oracle-able.
+
+    Scale shape: same as ``ann_recall`` — callers persist the (sampled)
+    eval corpus once; each per-dim pipeline is a broadcast of the
+    bounded query frame against the cached corpus, and the recall
+    joins are |Q|·k-sized.
+    """
+    exact = cosine_topk_bruteforce(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+    approx = {}
+    for d in dims:
+        sliced_c = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, int(d)).alias(vec_col),
+        )
+        sliced_q = queries.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, int(d)).alias(vec_col),
+        )
+        approx[f"dim_{int(d):02d}"] = cosine_topk_bruteforce(
+            sliced_c, sliced_q, id_col=id_col, vec_col=vec_col, k=k
+        )
+    return ann_recall(exact, approx, k=k)
