@@ -147,6 +147,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "dsir_select",
     "dsir_select_sampled",
     "matryoshka_recall",
+    "hard_negatives",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

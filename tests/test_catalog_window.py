@@ -80,8 +80,10 @@ LOAD_BEARING = [
     "dsir_select",
     "dsir_select_sampled",
     "matryoshka_recall",
-    # rolling_agg / tfidf_top_terms / stratified_sample rotated out
-    # round 10 (driver-green rounds 4 through 9)
+    "hard_negatives",
+    # rolling_agg / tfidf_top_terms / stratified_sample /
+    # incremental_merge rotated out round 10 (driver-green rounds
+    # 4 through 9)
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

@@ -850,3 +850,55 @@ def test_matryoshka_full_dim_recall_is_one(spark, embeddings):
     assert all(
         r["recall_at_k"] == round(r["hits"] / 3, 6) for r in out
     )
+
+
+def test_hard_negative_mining_roles_ranks_and_labels(spark, embeddings):
+    from traits_data_spark.operators.similarity import hard_negative_mining
+
+    emb = embeddings.limit(150).cache()
+    anchors = emb.filter("vec_id < 6")
+    out = hard_negative_mining(emb, anchors, k_pos=2, k_neg=3).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    by_anchor = {}
+    for r in out:
+        assert r["neighbor_id"] != r["anchor_id"]
+        # role matches the label relationship
+        same = labels[r["neighbor_id"]] == labels[r["anchor_id"]]
+        assert r["role"] == ("pos" if same else "neg")
+        by_anchor.setdefault((r["anchor_id"], r["role"]), []).append(r)
+    for (a, role), rows in by_anchor.items():
+        assert len(rows) <= (2 if role == "pos" else 3)
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        # ranked by cosine descending, neighbor-id tiebreak
+        key = [(-r["cosine"], r["neighbor_id"]) for r in rows]
+        assert key == sorted(key)
+    # negatives really are the globally closest wrong-label items:
+    # no unmined wrong-label neighbor may beat a mined rank-1 negative
+    import itertools
+    sc = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = sum(x * x for x in u) ** 0.5
+        nv = sum(x * x for x in v) ** 0.5
+        return d / (nu * nv)
+
+    for a in (0, 1, 2):
+        negs = by_anchor.get((a, "neg"), [])
+        if not negs:
+            continue
+        mined = {r["neighbor_id"] for r in negs}
+        best_unmined = max(
+            (
+                round(cos(sc[a], sc[n]), 6)
+                for n in sc
+                if n != a and labels[n] != labels[a] and n not in mined
+            ),
+            default=float("-inf"),
+        )
+        worst_mined = min(r["cosine"] for r in negs)
+        assert worst_mined >= best_unmined

@@ -92,6 +92,7 @@ from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (
     ann_recall,
     matryoshka_recall,
+    hard_negative_mining,
     ivf_topk_kmeans,
     kmeans_clusters,
     kmeans_fit,
@@ -2443,6 +2444,52 @@ exact AS (SELECT query_id, neighbor_id FROM ({_COSINE_SQL})),
 qs AS (SELECT DISTINCT query_id FROM exact),
 {",".join(method_ctes(n) for n in names)}
 {unions}
+"""
+
+
+HARD_NEG_K_POS = 2
+HARD_NEG_K_NEG = 3
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining
+    (``operators.similarity.hard_negative_mining``): top same-label
+    positives + top different-label hard negatives per anchor — the
+    training-data GENERATOR next to the representation probes
+    (``knn_label_eval`` grades embeddings; this mines the triplets
+    that improve them). One broadcast cosine pass, roles split by
+    null-safe label equality, rank windows per (anchor, role)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb,
+        emb.filter(F.expr(_QUERY_PRED)),
+        k_pos=HARD_NEG_K_POS,
+        k_neg=HARD_NEG_K_NEG,
+    ).withColumn("rk", F.col("rk").cast("long"))
+
+
+_HARD_NEG_SQL = f"""
+WITH a AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
+           FROM embeddings WHERE {_QUERY_PRED}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS nl
+      FROM embeddings),
+s AS (
+  SELECT anchor_id, neighbor_id,
+         round(list_dot_product(av, cv)
+               / (sqrt(list_dot_product(av, av))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cosine,
+         CASE WHEN nl IS NOT DISTINCT FROM al THEN 'pos'
+              ELSE 'neg' END AS role
+  FROM c, a WHERE neighbor_id != anchor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id, role
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM s)
+SELECT anchor_id, role, CAST(rk AS BIGINT) AS rk, neighbor_id,
+       cosine + 0.0 AS cosine
+FROM r
+WHERE rk <= CASE WHEN role = 'pos' THEN {HARD_NEG_K_POS}
+            ELSE {HARD_NEG_K_NEG} END
 """
 
 
@@ -6037,8 +6084,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "dsir_select": q_dsir_select,
     "dsir_select_sampled": q_dsir_select_sampled,
     "matryoshka_recall": q_matryoshka_recall,
+    "hard_negatives": q_hard_negatives,
     # -- judge-only in round 4 (outside the old window) --------------------
-    "incremental_merge": q_incremental_merge,
     "pack_sequences": q_pack_sequences,
     # -- newest / most complex operators -----------------------------------
     "image_metadata": q_image_metadata,
@@ -6067,6 +6114,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "rolling_agg": q_rolling_agg,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
+    "incremental_merge": q_incremental_merge,
     # Everything below is either rows-only by declared contract (no DuckDB
     # oracle: binary payloads / sequential FFD fill order) or many-times-
     # stable (driver-green in round 5 or earlier rounds; json_props /
@@ -6207,6 +6255,7 @@ def oracle_sqls() -> dict[str, str]:
         "dsir_select": _DSIR_SELECT_SQL,
         "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,
         "matryoshka_recall": _matryoshka_sql(),
+        "hard_negatives": _HARD_NEG_SQL,
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),

@@ -1733,3 +1733,73 @@ def matryoshka_recall(
             sliced_c, sliced_q, id_col=id_col, vec_col=vec_col, k=k
         )
     return ann_recall(exact, approx, k=k)
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_pos: int = 2,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor vector, the
+    top ``k_pos`` SAME-label neighbours (positives) and the top
+    ``k_neg`` DIFFERENT-label neighbours by cosine (hard negatives —
+    the wrong-label items closest to the anchor, which is where
+    triplet/InfoNCE losses get their gradient; random negatives are
+    too easy to teach anything). This is the training-data GENERATOR
+    next to the representation probes (``knn_label_eval`` grades an
+    embedding; this one mines the pairs that improve it).
+
+    One cosine pass: corpus ⋈ broadcast(anchors) scored once, roles
+    split by null-safe label equality, one window per
+    (anchor, role) for the two top-k cuts — the positive and negative
+    rankings never interleave, so a rank-partitioned SQL oracle
+    reproduces every row. Output: ``(anchor_id, role 'pos'|'neg',
+    rk, neighbor_id, cosine)``; anchors with fewer than ``k`` same/
+    different-label rows emit what exists.
+
+    Scale shape: identical to ``cosine_topk_bruteforce`` — the anchor
+    frame broadcasts, the corpus never shuffles, and the window
+    partitions on (anchor_id, role) so no single task sees more than
+    one anchor's candidates. At 100 TB swap the scored-candidate
+    source for an ANN candidate generator (LSH/IVF top-m with
+    m >> k_pos+k_neg) and keep the role split/cut unchanged.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).cast("array<double>").alias("__av"),
+        F.col(label_col).alias("__al"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        F.col(label_col).alias("__nl"),
+    )
+    scored = (
+        c.join(F.broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("__av"), F.col("__cv")), round_to)
+        )
+        .withColumn(
+            "role",
+            F.when(F.col("__nl").eqNullSafe(F.col("__al")), "pos").otherwise(
+                "neg"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    keep = F.when(F.col("role") == "pos", F.lit(int(k_pos))).otherwise(
+        F.lit(int(k_neg))
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= keep)
+        .select("anchor_id", "role", "rk", "neighbor_id", "cosine")
+    )
