@@ -148,6 +148,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "dsir_select_sampled",
     "matryoshka_recall",
     "hard_negatives",
+    "vocab_drift",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

@@ -81,9 +81,10 @@ LOAD_BEARING = [
     "dsir_select_sampled",
     "matryoshka_recall",
     "hard_negatives",
+    "vocab_drift",
     # rolling_agg / tfidf_top_terms / stratified_sample /
-    # incremental_merge rotated out round 10 (driver-green rounds
-    # 4 through 9)
+    # incremental_merge / pack_sequences rotated out round 10
+    # (driver-green rounds 4 through 9)
 ]
 
 # Rows-only-by-contract entries must sit OUTSIDE the window so every

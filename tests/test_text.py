@@ -714,3 +714,44 @@ def test_unigram_token_counts_operator(spark):
     assert out[1]["unigram_tokens"] == 2 * na + nb
     assert out[1]["nll_micro"] == 2 * nlla + nllb
     assert out[2]["unigram_tokens"] == 0 and out[3]["unigram_tokens"] == 0
+
+
+def test_vocab_drift_hand_computed(spark):
+    from traits_data_spark.operators.text import vocab_drift
+
+    a = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame([(3, "x y Y")], "doc_id long, text string")
+    out = {r["word"]: r for r in vocab_drift(a, b).collect()}
+    # totals: A = 5 tokens, B = 3 tokens
+    # x: |2*3 - 1*5| = 1 ; y: |2*3 - 2*5| = 4 ; z: |1*3 - 0*5| = 3
+    assert (out["x"]["count_a"], out["x"]["count_b"]) == (2, 1)
+    assert out["x"]["drift_cross"] == 1
+    assert out["y"]["drift_cross"] == 4
+    assert out["z"]["drift_cross"] == 3
+    assert out["y"]["tv_contrib"] == round(4 / (2 * 5 * 3), 9)
+    # Σ tv_contrib = TV distance, here (1+4+3)/30 (each term rounds
+    # to 9 dp, so the sum carries up to n·5e-10 of rounding)
+    assert sum(r["tv_contrib"] for r in out.values()) == pytest.approx(
+        8 / 30, abs=2e-9
+    )
+
+
+def test_vocab_drift_top_n_and_empty_side(spark):
+    from traits_data_spark.operators.text import vocab_drift
+
+    a = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    out = vocab_drift(a, empty).collect()
+    assert len(out) == 5
+    # empty side: NULL tv (0/0 guarded), drift = count_a * 0 = 0
+    assert all(r["tv_contrib"] is None and r["drift_cross"] == 0 for r in out)
+    top = vocab_drift(
+        a, spark.createDataFrame([(2, "a a a b")], "doc_id long, text string"),
+        top_n=2,
+    ).collect()
+    assert len(top) == 2
+    assert [r["rk"] for r in sorted(top, key=lambda r: r["rk"])] == [1, 2]

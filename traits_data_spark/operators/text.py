@@ -1351,3 +1351,94 @@ def unigram_token_counts(
             ),
         }
     )
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Vocabulary drift between two corpus slices (snapshot T vs T+1,
+    source A vs source B): per-word occurrence counts on each side,
+    ranked by the EXACT cross-product drift statistic
+
+        ``drift_cross = |count_a * total_b - count_b * total_a|``
+
+    — the integer numerator of ``|p_a(w) - p_b(w)|`` cleared of both
+    denominators, so ranking needs no division at all (BIGINT-exact on
+    both engines; the float rate difference would tie-break
+    non-portably). ``tv_contrib`` = the word's contribution to total
+    variation distance, ``drift_cross / (2 * total_a * total_b)`` — a
+    single IEEE-exact division of exact integers, emitted for humans
+    and still hash-stable. Σ tv_contrib over ALL words = TV(p_a, p_b).
+
+    This is the standard drift monitor a corpus pipeline runs between
+    ingestion snapshots (and the Monroe et al. "Fightin' Words" shape
+    for what distinguishes corpus A from B, with raw-count evidence
+    attached).
+
+    Scale shape: two word-keyed partial-agg counts (map-side combined),
+    one vocab-sized full-outer join on the word key, totals broadcast
+    as one-row frames. Nothing corpus-sized survives the first
+    aggregate; the optional ``top_n`` window ranks the VOCAB frame.
+    At 100 TB note ``drift_cross`` spans ~2*log2(count*total) bits —
+    beyond ~3e18 pre-scale counts to per-million rates first.
+    """
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        wl = F.filter(
+            F.split(normalized_text(text_col), " "),
+            lambda w: F.length(w) > 0,
+        )
+        return (
+            df.select(F.explode(wl).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    a = _counts(df_a, "count_a")
+    b = _counts(df_b, "count_b")
+    j = (
+        a.join(b, "word", "full_outer")
+        .withColumn("count_a", F.coalesce("count_a", F.lit(0)).cast("long"))
+        .withColumn("count_b", F.coalesce("count_b", F.lit(0)).cast("long"))
+    )
+    totals = j.agg(
+        F.sum("count_a").cast("long").alias("__ta"),
+        F.sum("count_b").cast("long").alias("__tb"),
+    )
+    out = (
+        j.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "drift_cross",
+            F.abs(
+                F.col("count_a") * F.col("__tb")
+                - F.col("count_b") * F.col("__ta")
+            ).cast("long"),
+        )
+        .withColumn(
+            "tv_contrib",
+            # NULL (not NaN) when either side is empty — 0/0 must not
+            # poison the hash gate
+            F.when(
+                (F.col("__ta") > 0) & (F.col("__tb") > 0),
+                F.round(
+                    F.col("drift_cross").cast("double")
+                    / (
+                        F.lit(2) * F.col("__ta") * F.col("__tb")
+                    ).cast("double"),
+                    9,
+                )
+                + F.lit(0.0),
+            ),
+        )
+        .select("word", "count_a", "count_b", "drift_cross", "tv_contrib")
+    )
+    if top_n is not None:
+        w = Window.orderBy(F.col("drift_cross").desc(), F.col("word").asc())
+        out = (
+            out.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= int(top_n))
+        )
+    return out
