@@ -174,6 +174,7 @@ from traits_data_spark.operators.incremental import (
     scd2_merge,
     snapshot_diff,
 )
+from traits_data_spark.operators.graph import pagerank
 from traits_data_spark.operators.layout import zvalue, zvalue_sql
 from traits_data_spark.operators.packing import (
     cdc_chunks,
@@ -6027,6 +6028,71 @@ FROM w
 
 
 # ---------------------------------------------------------------------------
+# Copy-graph PageRank
+# ---------------------------------------------------------------------------
+
+PAGERANK_DAMPING_PCT = 85
+PAGERANK_ITERS = 5
+
+
+def q_copy_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-graph centrality (``operators.graph.pagerank``):
+    integer-exact damped PageRank over the winnowing copy-detection
+    pairs — surfaces the template/boilerplate HUBS the copy-graph
+    hangs off, the ranking question next to the clustering one
+    ``dup_clusters`` answers. All-integer micro-unit arithmetic
+    (rank DIV degree shares, damping as an integer percentage), fixed
+    5 rounds, so the DuckDB oracle recomputes every rank bit-for-bit
+    from 5 unrolled CTEs. The loop runs on the edge subgraph only."""
+    docs = _docs_wide(spark, sf_dir)
+    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    pairs = winnow_matches(
+        fps, min_shared=WINNOW_MIN_SHARED, max_fp_docs=WINNOW_MAX_FP_DOCS
+    )
+    return pagerank(
+        pairs, damping_pct=PAGERANK_DAMPING_PCT, n_iter=PAGERANK_ITERS
+    ).select(F.col("id").alias("doc_id"), "degree", "rank_micro")
+
+
+def _copy_pagerank_sql() -> str:
+    damp, iters = PAGERANK_DAMPING_PCT, PAGERANK_ITERS
+    base = (100 - damp) * 1_000_000 // 100
+    ctes = [
+        f"""pairs AS ({_winnow_matches_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT d.id,
+         CAST({base} + ({damp} * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r // dg.deg) AS m
+    FROM edges e
+    JOIN r{i - 1} p ON p.id = e.src
+    JOIN deg dg ON dg.id = e.src
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.id AS doc_id, d.deg AS degree, r{iters}.r AS rank_micro
+FROM deg d JOIN r{iters} USING (id)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary drift between corpus snapshots
 # ---------------------------------------------------------------------------
 
@@ -6143,6 +6209,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "matryoshka_recall": q_matryoshka_recall,
     "hard_negatives": q_hard_negatives,
     "vocab_drift": q_vocab_drift,
+    "copy_pagerank": q_copy_pagerank,
     # -- newest / most complex operators -----------------------------------
     "image_metadata": q_image_metadata,
     "audio_metadata": q_audio_metadata,
@@ -6314,6 +6381,7 @@ def oracle_sqls() -> dict[str, str]:
         "matryoshka_recall": _matryoshka_sql(),
         "hard_negatives": _HARD_NEG_SQL,
         "vocab_drift": _VOCAB_DRIFT_SQL,
+        "copy_pagerank": _copy_pagerank_sql(),
         "ann_recall": _ann_recall_sql(),
         "incremental_exact_dedup": _INCREMENTAL_EXACT_DEDUP_SQL,
         "epoch_expand": _epoch_expand_sql(),
