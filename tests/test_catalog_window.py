@@ -25,7 +25,8 @@ LOAD_BEARING = [
     "training_prep",
     "asof_join",
     "range_join",
-    "image_metadata",
+    # image_metadata rotated out round 11 (driver-green rounds 4-10;
+    # webm/video_metadata keep the binary-metadata family in-window)
     "audio_metadata",
     "split_contamination",
     "quality_classifier",
@@ -90,6 +91,18 @@ LOAD_BEARING = [
 # Rows-only-by-contract entries must sit OUTSIDE the window so every
 # driver-recorded row carries a full row+schema+value-hash oracle.
 ROWS_ONLY = {"multimodal_features", "audio_features", "pack_best_fit"}
+
+
+def test_load_bearing_list_fits_in_window():
+    # Static authoring-time guard: a 51st load-bearing name is a
+    # contradiction (the driver attests only 50 slots) and must fail
+    # HERE, not as a mysterious ordering failure below — this is the
+    # overflow class that shipped round 10 with lsh_candidates at
+    # slot 51.
+    assert len(LOAD_BEARING) <= DRIVER_WINDOW, (
+        f"{len(LOAD_BEARING)} load-bearing queries declared but the "
+        f"driver window holds {DRIVER_WINDOW}; rotate something out"
+    )
 
 
 def test_load_bearing_queries_inside_driver_window():

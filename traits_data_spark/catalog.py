@@ -6210,8 +6210,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "vocab_drift": q_vocab_drift,
     "copy_pagerank": q_copy_pagerank,
-    # -- newest / most complex operators -----------------------------------
-    "image_metadata": q_image_metadata,
+    # -- newest / most complex operators (image_metadata rotated out
+    #    round 11 — driver-green rounds 4 through 10; webm_metadata /
+    #    video_metadata keep the binary-metadata family in-window — to
+    #    repair the round-10 window overflow that pushed lsh_candidates
+    #    to slot 51) --------------------------------------------------------
     "audio_metadata": q_audio_metadata,
     "split_contamination": q_split_contamination,
     "quality_classifier": q_quality_classifier,
@@ -6232,6 +6235,9 @@ QUERIES: Mapping[str, QueryFn] = {
     #    near-dup flagships stay in-window) ------------------------------
     "lsh_candidates": q_lsh_candidates,
     # ---- driver window boundary (slot 50) --------------------------------
+    # rotated out round 11 (driver-green rounds 4 through 10; see the
+    # image_metadata rotation note above):
+    "image_metadata": q_image_metadata,
     # rotated out round 10 (driver-green rounds 4 through 9) to make
     # room for dsir_select / dsir_select_sampled:
     "rolling_agg": q_rolling_agg,
