@@ -84,6 +84,8 @@ HEADLINE = [
     "chunk_docs",
     "pack_sequences",
     "training_prep",
+    "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -98,6 +100,11 @@ MAX_SCANS = {
     "training_prep": 4,
     "semantic_dedup": 4,
     "silver_e1": 6,
+    # fit/encode/re-rank must all slice the ONE persisted (id, vector)
+    # base: raw scans = base materialization + the query-side melt
+    # (round-10 regression: 34 scans from per-sub-fit re-slicing)
+    "pq_topk": 4,
+    "ivfpq_topk": 4,
 }
 
 

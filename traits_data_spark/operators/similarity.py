@@ -1204,6 +1204,21 @@ def ivf_topk_kmeans(
     )
 
 
+def _vector_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Project to ``(id, vector-as-double)`` and persist: the ONE
+    materialization every PQ fit/encode pass slices its subspaces
+    from. Without it, each of the ``m`` sub-fits (times the Lloyd
+    iterations inside) and each of the ``m`` encode slices re-executes
+    the raw input plan — plan-audited at 34 parquet scans for
+    ``pq_topk`` with m=16 before this, ≤3 after. Freed by
+    ``spark.catalog.clearCache()`` (same lifecycle as ``ivfpq_topk``'s
+    residual frame)."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).persist()
+
+
 def pq_fit(
     df: DataFrame,
     dim: int,
@@ -1213,6 +1228,7 @@ def pq_fit(
     k: int = 8,
     n_iter: int = 2,
     scale: int = 1_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al., TPAMI'11 — the
     FAISS ``PQ`` index family): split each ``dim``-vector into ``m``
@@ -1222,14 +1238,22 @@ def pq_fit(
     Returns ``(sub, cid, cvec)``, ``m·k`` rows — a bounded model
     artifact (m·k·(dim/m) doubles) that broadcasts everywhere it is
     used. Memory story at 100 TB: encoded vectors cost ``m·log2(k)``
-    bits instead of ``dim·64`` (here 12 bits vs 4096 — ~340×)."""
+    bits instead of ``dim·64`` (here 12 bits vs 4096 — ~340×).
+
+    ``materialize=True`` (default) persists the ``(id, vector)``
+    projection once before the sub-fit pool so the ``m·(n_iter+1)``
+    subspace scans hit the cache, not the raw input plan. Pass
+    ``materialize=False`` when ``df`` is ALREADY persisted/
+    checkpointed (``ivfpq_topk``'s residual frame, ``pq_topk``'s
+    shared base) to avoid caching the same rows twice."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    src = _vector_base(df, id_col, vec_col) if materialize else df
     v = F.col(vec_col).cast("array<double>")
 
     def fit_sub(s: int) -> DataFrame:
-        sliced = df.select(
+        sliced = src.select(
             F.col(id_col), F.slice(v, s * sub + 1, sub).alias("__sv")
         )
         cb = kmeans_fit(
@@ -1263,18 +1287,22 @@ def pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Encode vectors against PQ codebooks: one row per (vector,
     subspace) with the nearest-centroid code — the melt form a
     code-keyed ADC join consumes directly (pack to an array with
     ``collect_list`` if storing). Assignment reuses ``_kmeans_assign``
     (broadcast centroid array, round(d2,6) + cid tie-break), so codes
-    are exactly SQL-reproducible and the corpus never shuffles."""
+    are exactly SQL-reproducible and the corpus never shuffles.
+    ``materialize`` as in ``pq_fit`` — False when ``df`` is already
+    persisted."""
     sub = dim // m
+    src = _vector_base(df, id_col, vec_col) if materialize else df
     v = F.col(vec_col).cast("array<double>")
     outs = []
     for s in range(m):
-        sliced = df.select(
+        sliced = src.select(
             F.col(id_col).alias("__id"),
             F.slice(v, s * sub + 1, sub).alias("__v"),
         )
@@ -1337,13 +1365,18 @@ def pq_topk(
     with a re-rank stage. Without re-rank, pure 12-128-bit ADC recall
     on near-isotropic data is 0.04-0.48 (ladder) — honest, and not
     deployable alone."""
+    # ONE materialization of the corpus projection feeds the fit's
+    # m·(n_iter+1) subspace scans, the encode's m slices, AND the
+    # re-rank vector fetch (34 raw scans before, ≤3 after — plan_audit)
+    base = _vector_base(corpus, id_col, vec_col)
     if codebooks is None:
         codebooks = pq_fit(
-            corpus, dim, m=m, id_col=id_col, vec_col=vec_col, k=n_codes,
-            n_iter=n_iter, scale=scale,
+            base, dim, m=m, id_col=id_col, vec_col=vec_col, k=n_codes,
+            n_iter=n_iter, scale=scale, materialize=False,
         )
     codes = pq_encode(
-        corpus, codebooks, dim, m=m, id_col=id_col, vec_col=vec_col
+        base, codebooks, dim, m=m, id_col=id_col, vec_col=vec_col,
+        materialize=False,
     ).withColumnRenamed(id_col, "neighbor_id")
     sub = dim // m
     qv = F.col(vec_col).cast("array<double>")
@@ -1352,18 +1385,19 @@ def pq_topk(
         - F.lit(2.0) * dot(F.col("__qv"), F.col("cvec"))
         + dot(F.col("cvec"), F.col("cvec"))
     )
-    qsubs = []
-    for s in range(m):
-        qsubs.append(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.lit(s).alias("sub"),
-                F.slice(qv, s * sub + 1, sub).alias("__qv"),
+    # melt queries to (query_id, sub, subvector) with ONE posexplode —
+    # an m-way unionByName here re-scans the queries input m times
+    # (the residue of round 10's 34-scan audit after the corpus base
+    # was persisted)
+    qmelt = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(qv, s * sub + 1, sub),
             )
-        )
-    qmelt = qsubs[0]
-    for q in qsubs[1:]:
-        qmelt = qmelt.unionByName(q)
+        ).alias("sub", "__qv"),
+    )
     qtab = (
         qmelt.join(codebooks, "sub")
         .select(
@@ -1395,9 +1429,9 @@ def pq_topk(
         .filter(F.col("__ark") <= int(rerank))
         .select("query_id", "neighbor_id")
     )
-    cvecs = corpus.select(
+    cvecs = base.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+        F.col(vec_col).alias("__cv"),
     )
     qvecs = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1497,7 +1531,7 @@ def ivfpq_topk(
     )
     books = pq_fit(
         resid, dim, m=m, id_col=id_col, vec_col="embedding", k=n_codes,
-        n_iter=pq_iter, scale=scale,
+        n_iter=pq_iter, scale=scale, materialize=False,
     )
     # encode residuals carrying the cell through pq_encode's id slot
     # as a struct (pure projection — no extra corpus join)
@@ -1508,7 +1542,8 @@ def ivfpq_topk(
         "embedding",
     )
     codes = pq_encode(
-        enc_in, books, dim, m=m, id_col=id_col, vec_col="embedding"
+        enc_in, books, dim, m=m, id_col=id_col, vec_col="embedding",
+        materialize=False,
     ).select(
         F.col(id_col).getField("i").alias("neighbor_id"),
         F.col(id_col).getField("c").alias("cell"),
