@@ -25,11 +25,11 @@ LOAD_BEARING = [
     "training_prep",
     "asof_join",
     "range_join",
-    # image_metadata rotated out round 11 (driver-green rounds 4-10;
-    # webm/video_metadata keep the binary-metadata family in-window)
-    "audio_metadata",
-    "split_contamination",
-    "quality_classifier",
+    # image_metadata + audio_metadata rotated out round 11 (driver-green
+    # rounds 4-10; webm/video_metadata keep the binary-metadata family
+    # in-window)
+    # split_contamination + quality_classifier rotated out round 11
+    # (driver-green rounds 6-10)
     "line_dedup",
     "semantic_dedup",
     "incremental_near_dups",
@@ -77,6 +77,10 @@ LOAD_BEARING = [
     "bm25_topk",
     "unigram_token_counts",
     "ivfpq_topk",
+    # round-11 additions: must be driver-attested before rotating out
+    "pq_incremental_encode",
+    "bpe_train",
+    "train_bigram_lm",
     "scd2_merge",
     "dsir_select",
     "dsir_select_sampled",

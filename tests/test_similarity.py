@@ -902,3 +902,61 @@ def test_hard_negative_mining_roles_ranks_and_labels(spark, embeddings):
         )
         worst_mined = min(r["cosine"] for r in negs)
         assert worst_mined >= best_unmined
+
+
+def test_pq_encode_incremental_parity(spark, embeddings):
+    """Incremental index maintenance: encoding the new-arrival batch
+    against FROZEN codebooks and unioning with the history's stored
+    codes must equal a full re-encode of the appended corpus — the
+    daily-snapshot deployment contract (only the delta is ever
+    touched). Catalog attestation: ``pq_incremental_encode`` (full
+    DuckDB oracle)."""
+    from traits_data_spark.operators.similarity import pq_encode, pq_fit
+
+    emb = embeddings.limit(120).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    hist = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    books = pq_fit(hist, dim=64, m=4, k=8, n_iter=2)
+    full = pq_encode(emb, books, dim=64, m=4)
+    incr = pq_encode(hist, books, dim=64, m=4).unionByName(
+        pq_encode(delta, books, dim=64, m=4)
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, incr.collect())
+    )
+    # the delta-only encode contains ONLY delta ids (index build never
+    # touches history rows)
+    delta_ids = {r["vec_id"] for r in
+                 pq_encode(delta, books, dim=64, m=4).collect()}
+    assert delta_ids and all(i % 10 == 0 for i in delta_ids)
+
+
+def test_pq_encode_m1_is_frozen_cell_assignment_parity(spark, embeddings):
+    """With m=1 the PQ subspace IS the whole vector, so pq_encode
+    against frozen codebooks is exactly IVF cell assignment with
+    frozen centroids (same ``_kmeans_assign`` core ivf_topk_kmeans
+    routes through via ``centroids=``) — batch-split invariance here
+    attests the IVF side of incremental index maintenance too."""
+    from traits_data_spark.operators.similarity import (
+        kmeans_fit,
+        pq_encode,
+    )
+
+    emb = embeddings.limit(100).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = kmeans_fit(hist, k=4, n_iter=2)
+    books = cents.select(
+        F.lit(0).alias("sub"), "cid", F.col("__centv").alias("cvec")
+    )
+    full = pq_encode(emb, books, dim=64, m=1)
+    incr = pq_encode(hist, books, dim=64, m=1).unionByName(
+        pq_encode(delta, books, dim=64, m=1)
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, incr.collect())
+    )

@@ -755,3 +755,55 @@ def test_vocab_drift_top_n_and_empty_side(spark):
     ).collect()
     assert len(top) == 2
     assert [r["rk"] for r in sorted(top, key=lambda r: r["rk"])] == [1, 2]
+
+
+def test_bpe_train_hand_computed(spark):
+    """Hand-checkable corpus: 'abab' x3 + 'ab' x2 -> first merge must
+    be (a,b) count 8 (3 docs x 2 pairs + 2 docs x 1); after merging,
+    'ab ab' yields pair (ab,ab) count 3 for rank 2. Also pins the
+    greedy non-overlap contract: 'aaa' with merge (a,a) becomes
+    [aa, a], so (a,a) counts 2 per 'aaa' occurrence pre-merge."""
+    from traits_data_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [("abab",)] * 3 + [("ab",)] * 2, ["text"]
+    )
+    out = {r["rank"]: (r["left"], r["right"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=2).collect()}
+    assert out[1] == ("a", "b", 8)
+    assert out[2] == ("ab", "ab", 3)
+
+
+def test_bpe_train_overlap_is_left_to_right(spark):
+    """'aaaa' under merge (a,a): greedy left-to-right non-overlapping
+    gives [aa, aa] (not [a, aa, a] or a triple-merge) — the replace-
+    with-sentinel-spaces contract both engines share."""
+    from traits_data_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([("aaaa",), ("aaaa",)], ["text"])
+    out = sorted(
+        bpe_train(docs, n_merges=2).collect(), key=lambda r: r["rank"]
+    )
+    # pairs in ' a a a a ': (a,a) x3 per doc -> count 6
+    assert (out[0]["left"], out[0]["right"], out[0]["pair_count"]) == (
+        "a", "a", 6,
+    )
+    # after merge: ' aa aa ' -> pair (aa,aa) count 1 per doc -> 2
+    assert (out[1]["left"], out[1]["right"], out[1]["pair_count"]) == (
+        "aa", "aa", 2,
+    )
+
+
+def test_train_bigram_lm_hand_computed(spark):
+    """Two docs 'x y' / 'x z': bigrams (<s>,x) x2, (x,y), (x,z).
+    Targets {x,y,z} -> V=4. p(x|<s>) = (2+1)/(2+4) = 0.5;
+    p(y|x) = (1+1)/(2+4) = round(1/3, 9)."""
+    from traits_data_spark.operators.text import train_bigram_lm
+
+    docs = spark.createDataFrame([("x y",), ("x z",)], ["text"])
+    rows = {(r["u"], r["w"]): r for r in train_bigram_lm(docs).collect()}
+    assert rows[("<s>", "x")]["n_uw"] == 2
+    assert rows[("<s>", "x")]["n_u"] == 2
+    assert rows[("<s>", "x")]["p"] == 0.5
+    assert rows[("x", "y")]["p"] == round(2 / 6, 9)
+    assert len(rows) == 3

@@ -97,6 +97,8 @@ from traits_data_spark.operators.similarity import (
     kmeans_clusters,
     kmeans_fit,
     pq_topk,
+    pq_fit,
+    pq_encode,
     ivfpq_topk,
     probe_masks,
     _hyperplanes,
@@ -127,6 +129,8 @@ from traits_data_spark.operators.text import (
     bpe_effective_vocab,
     bpe_merge_token_counts,
     bpe_token_counts,
+    bpe_train,
+    train_bigram_lm,
     bpe_token_counts_table,
     load_bpe_merges,
     load_bpe_vocab,
@@ -2097,6 +2101,109 @@ FROM r2 WHERE rk <= {TOPK}
 """
 
 
+# Incremental index-maintenance preset: 8 subspaces x 8 codes keeps
+# the oracle at half of pq_topk's 16 kmeans chains — the preset is
+# irrelevant to the contract being attested (batch-split invariance
+# of encode against a FROZEN index).
+PQ_INC_M = 8
+PQ_INC_CODES = 8
+
+
+def q_pq_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance attestation: codebooks are
+    fit ONLY on the historical corpus slice (``vec_id % 10 != 0`` —
+    "yesterday's snapshot"), then the history and the new-arrival
+    delta (``vec_id % 10 == 0``) are encoded in two SEPARATE
+    ``pq_encode`` calls against that frozen index and unioned — the
+    daily-snapshot deployment shape, where stored codes are reused and
+    only new vectors are ever encoded. The DuckDB oracle fits the same
+    hash-seeded codebooks on the history slice but assigns ALL vectors
+    in ONE pass, so a hash match proves encode-new-only == full
+    re-encode (batch-split invariance: assignment is row-local given a
+    frozen model). Output is the per-(subspace, code) occupancy
+    histogram with an id-sum witness — any single vector landing in a
+    different code changes both aggregates.
+
+    Reference analogue: the keyed-upsert incremental contract
+    (``DEPRECATED/statsbomb-silver.py:50-111``) that the exact-dedup /
+    LSH / semantic incremental family already mirrors, applied to the
+    ANN index. At 100 TB: the index build touches only the delta
+    (broadcast codebooks, no corpus shuffle), and this query is the
+    standing proof that doing so loses nothing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).persist()
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    books = pq_fit(
+        hist, EMB_DIM, m=PQ_INC_M, k=PQ_INC_CODES, n_iter=PQ_ITER,
+        scale=IVF_SCALE, materialize=False,
+    )
+    enc = pq_encode(
+        hist, books, EMB_DIM, m=PQ_INC_M, materialize=False
+    ).unionByName(
+        pq_encode(delta, books, EMB_DIM, m=PQ_INC_M)
+    )
+    return enc.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
+def _pq_incremental_encode_sql() -> str:
+    sub = EMB_DIM // PQ_INC_M
+    parts = [
+        "WITH hist AS (SELECT * FROM embeddings WHERE vec_id % 10 != 0)"
+    ]
+    assigns = []
+    for s in range(PQ_INC_M):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sl = f"list_slice(embedding::DOUBLE[], {lo}, {hi})"
+        parts.append(
+            _kmeans_cent_ctes(
+                PQ_INC_CODES,
+                PQ_ITER,
+                p=f"i{s}",
+                vec_expr=sl,
+                dim=sub,
+                with_kw=False,
+                src="hist",
+            )
+        )
+        # assign ALL vectors (history + delta in one pass — the
+        # non-incremental form the Spark side must equal) against the
+        # hist-fit centroids
+        parts.append(
+            f"""
+i{s}all AS (SELECT vec_id, {sl} AS vec FROM embeddings),
+i{s}fa AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(v.vec, v.vec)
+               - 2.0 * list_dot_product(v.vec, c.vec)
+               + list_dot_product(c.vec, c.vec), 6) AS d
+  FROM i{s}all v CROSS JOIN i{s}cent{PQ_ITER} c
+),
+i{s}fm AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM i{s}fa
+  ) WHERE rn = 1
+)"""
+        )
+        assigns.append(f"SELECT vec_id, {s} AS sub, cid AS code FROM i{s}fm")
+    codes_union = "\n  UNION ALL ".join(assigns)
+    return (
+        ",".join(parts)
+        + f""",
+allcodes AS (
+  {codes_union}
+)
+SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM allcodes GROUP BY sub, code"""
+    )
+
+
 # Deployable operating point (swept on the sf0.1 eval corpus, 2000
 # vecs / 100 queries, vs exact L2 top-5 — SCALE.md round-10 ladder):
 # probe 6/8 cells + rerank 400 reaches recall@5 = 0.842 with 32-bit
@@ -3588,6 +3695,121 @@ def q_lm_perplexity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_lp_micro",
         "ppl_bucket_sampled",
     )
+
+
+BPE_TRAIN_MERGES = 8
+BPE_TRAIN_MAX_WORD_LEN = 32
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge LEARNING over the documents corpus
+    (``operators.text.bpe_train``): the top-8 most-frequent adjacent
+    symbol pairs, learned by 8 occurrence-weighted merge iterations on
+    the distinct-word table — training the tokenizer ON the corpus
+    being curated (Sennrich et al. ACL'16), where every other
+    tokenizer entry here only APPLIES a pre-trained artifact. The
+    oracle unrolls the same 8 iterations as a CTE chain (pair counts →
+    lexicographic-tie-broken argmax → literal spaced-symbol replace),
+    so ranks, pairs, and counts are integer/string-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(
+        docs, n_merges=BPE_TRAIN_MERGES, max_word_len=BPE_TRAIN_MAX_WORD_LEN
+    )
+
+
+def _bpe_train_sql(
+    n_merges: int = BPE_TRAIN_MERGES,
+    max_word_len: int = BPE_TRAIN_MAX_WORD_LEN,
+) -> str:
+    def pair_and_best(step: int) -> str:
+        return f"""
+p{step} AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, SUM(c) AS cnt FROM (
+    SELECT unnest([{{'l': arr[k], 'r': arr[k+1]}}
+                   for k in range(1, len(arr))]) AS pr, c
+    FROM (SELECT string_split(trim(sym), ' ') AS arr, c FROM w{step})
+  ) GROUP BY 1, 2
+),
+b{step} AS (SELECT l, r, cnt FROM p{step} ORDER BY cnt DESC, l, r LIMIT 1)"""
+
+    parts = [
+        f"""WITH d AS (
+  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+wds AS (
+  SELECT unnest(list_filter(string_split(nt, ' '),
+                x -> length(x) > 0 AND length(x) <= {max_word_len})) AS w
+  FROM d
+),
+w0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, COUNT(*) AS c
+  FROM wds GROUP BY w
+)"""
+    ]
+    for step in range(n_merges):
+        parts.append(pair_and_best(step))
+        if step < n_merges - 1:
+            parts.append(
+                f"""
+w{step + 1} AS (
+  SELECT list_reduce(list_prepend('', string_split(trim(sym), ' ')),
+           (acc, x) -> CASE WHEN ends_with(acc, ' ' || b.l) AND x = b.r
+                            THEN acc || x ELSE acc || ' ' || x END)
+         || ' ' AS sym, c
+  FROM w{step} CROSS JOIN b{step} b
+)"""
+            )
+    finals = "\nUNION ALL ".join(
+        f"""SELECT CAST({s + 1} AS BIGINT) AS rank, l AS "left",
+       r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM b{s}"""
+        for s in range(n_merges)
+    )
+    return ",".join(parts) + "\n" + finals
+
+
+def q_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed word-bigram LM TRAINING over the documents corpus
+    (``operators.text.train_bigram_lm``): the Laplace-smoothed model
+    the CCNet-style perplexity filter consumes, computed on-cluster —
+    one row per seen bigram with its counts and the smoothed
+    ``round((n_uw+1)/(n_u+V), 9)`` probability (single IEEE division —
+    cross-engine exact; the ``ln`` stays in the offline artifact step
+    per the repo's no-in-plan-transcendentals rule). Where
+    ``lm_perplexity`` APPLIES ``tools/build_word_lm.py``'s committed
+    artifact, this trains the same model shape from scratch at corpus
+    scale: one bigram shuffle, context totals derived from the bounded
+    bigram table, V as a one-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return train_bigram_lm(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+
+
+_TRAIN_BIGRAM_LM_SQL = f"""
+WITH d AS (
+  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT list_prepend('<s>', list_filter(string_split(nt, ' '),
+             x -> length(x) > 0 AND length(x) <= {BPE_TRAIN_MAX_WORD_LEN}))
+         AS ws
+  FROM d
+),
+b AS (
+  SELECT unnest([{{'u': ws[k], 'w': ws[k+1]}} for k in range(1, len(ws))])
+         AS bg
+  FROM t
+),
+counts AS (
+  SELECT bg['u'] AS u, bg['w'] AS w, CAST(COUNT(*) AS BIGINT) AS n_uw
+  FROM b GROUP BY 1, 2
+),
+ctx AS (SELECT u, CAST(SUM(n_uw) AS BIGINT) AS n_u FROM counts GROUP BY u),
+v AS (SELECT CAST(COUNT(DISTINCT w) + 1 AS BIGINT) AS vsz FROM counts)
+SELECT c.u, c.w, c.n_uw, x.n_u,
+       round((c.n_uw + 1)::DOUBLE / (x.n_u + v.vsz)::DOUBLE, 9) AS p
+FROM counts c JOIN ctx x USING (u) CROSS JOIN v
+"""
 
 
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6203,6 +6425,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "bm25_topk": q_bm25_topk,
     "unigram_token_counts": q_unigram_token_counts,
     "ivfpq_topk": q_ivfpq_topk,
+    # -- new round 11: incremental ANN-index maintenance attestation,
+    #    on-cluster tokenizer + LM training ---------------------------------
+    "pq_incremental_encode": q_pq_incremental_encode,
+    "bpe_train": q_bpe_train,
+    "train_bigram_lm": q_train_bigram_lm,
     "scd2_merge": q_scd2_merge,
     "dsir_select": q_dsir_select,
     "dsir_select_sampled": q_dsir_select_sampled,
@@ -6210,14 +6437,14 @@ QUERIES: Mapping[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "vocab_drift": q_vocab_drift,
     "copy_pagerank": q_copy_pagerank,
-    # -- newest / most complex operators (image_metadata rotated out
-    #    round 11 — driver-green rounds 4 through 10; webm_metadata /
-    #    video_metadata keep the binary-metadata family in-window — to
-    #    repair the round-10 window overflow that pushed lsh_candidates
-    #    to slot 51) --------------------------------------------------------
-    "audio_metadata": q_audio_metadata,
-    "split_contamination": q_split_contamination,
-    "quality_classifier": q_quality_classifier,
+    # -- newest / most complex operators (image_metadata + audio_metadata
+    #    rotated out round 11 — driver-green rounds 4 through 10;
+    #    webm_metadata / video_metadata keep the binary-metadata family
+    #    in-window — to repair the round-10 window overflow that pushed
+    #    lsh_candidates to slot 51 and to make room for
+    #    pq_incremental_encode; split_contamination + quality_classifier
+    #    rotated out round 11 — driver-green rounds 6 through 10 — to make
+    #    room for bpe_train / train_bigram_lm) -----------------------------
     "line_dedup": q_line_dedup,
     "semantic_dedup": q_semantic_dedup,
     "incremental_near_dups": q_incremental_near_dups,
@@ -6236,8 +6463,11 @@ QUERIES: Mapping[str, QueryFn] = {
     "lsh_candidates": q_lsh_candidates,
     # ---- driver window boundary (slot 50) --------------------------------
     # rotated out round 11 (driver-green rounds 4 through 10; see the
-    # image_metadata rotation note above):
+    # rotation note above):
     "image_metadata": q_image_metadata,
+    "audio_metadata": q_audio_metadata,
+    "split_contamination": q_split_contamination,
+    "quality_classifier": q_quality_classifier,
     # rotated out round 10 (driver-green rounds 4 through 9) to make
     # room for dsir_select / dsir_select_sampled:
     "rolling_agg": q_rolling_agg,
@@ -6381,6 +6611,9 @@ def oracle_sqls() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "unigram_token_counts": _UNIGRAM_TOKEN_SQL,
         "ivfpq_topk": _ivfpq_sql(),
+        "pq_incremental_encode": _pq_incremental_encode_sql(),
+        "bpe_train": _bpe_train_sql(),
+        "train_bigram_lm": _TRAIN_BIGRAM_LM_SQL,
         "scd2_merge": _SCD2_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,

@@ -1442,3 +1442,199 @@ def vocab_drift(
             .filter(F.col("rk") <= int(top_n))
         )
     return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Learn the top-``n_merges`` BPE merges from the corpus (Sennrich
+    et al., ACL'16 — the algorithm behind GPT-2/LLaMA tokenizers),
+    ON-CLUSTER: the distributed counterpart of the offline artifact
+    builder (``tools/build_bpe_merges.py``), for the 100-TB regime
+    where the tokenizer must be trained on the corpus being curated
+    rather than on a laptop sample. Returns ``(rank, left, right,
+    pair_count)`` — most-frequent adjacent symbol pair first,
+    occurrence-weighted, lexicographic (left, right) tie-break.
+
+    Scale shape: the corpus is touched ONCE (the distinct-word count
+    shuffle — the same Zipf collapse every tokenizer op here rides);
+    each merge iteration then runs on the bounded vocabulary table:
+    one pair-count shuffle over ~|vocab| rows, a global top-1
+    (TakeOrderedAndProject — no full sort), and a broadcast one-row
+    cross join applying the merge as a LITERAL (non-regex) string
+    replace over the spaced-symbol form. Per-iteration eager
+    ``localCheckpoint`` keeps the vocab table's plan flat (the frames
+    are vocab-sized, so the job barrier costs microseconds — the
+    opposite trade from ``kmeans_fit``'s corpus-scale loop, which
+    checkpoints only once at the end).
+
+    Exactness: the merge pass is a string FOLD over the symbol array
+    (Spark ``aggregate`` / DuckDB ``list_reduce``, '' sentinel
+    accumulator): append ``x`` to the tail symbol when the tail
+    equals ``left`` and ``x`` equals ``right``, else start a new
+    symbol — exactly canonical greedy left-to-right non-overlapping
+    merging ('a a a a a' under (a,a) → [aa, aa, a]; a freshly merged
+    tail never re-matches because ``ends_with(acc, ' '||left)`` sees
+    the merged symbol, not its suffix). A literal
+    ``replace(' l l ', ' ll ')`` is NOT equivalent: each match
+    consumes the shared separator space, skipping adjacent disjoint
+    occurrences ('a b a b' would merge only the first pair). Pair
+    counts are integer sums — no floating point anywhere.
+    """
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(
+        F.split(nt, " "),
+        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
+    )
+    wc = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(wlist).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cur = wc.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+        ).alias("sym"),
+        "c",
+    ).localCheckpoint()
+
+    merges: list[DataFrame] = []
+    for i in range(n_merges):
+        arr = F.split(F.trim(F.col("sym")), " ")
+        sz = F.size(arr)
+        pairs = cur.select(
+            "c",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, sz - 1),
+                    F.slice(arr, 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("pr.l").alias("left"), F.col("pr.r").alias("right")
+            )
+            .agg(F.sum("c").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .localCheckpoint()
+        )
+        if best.isEmpty():  # vocabulary fully merged — nothing left
+            break
+        merges.append(
+            best.select(
+                F.lit(i + 1).cast("long").alias("rank"),
+                "left",
+                "right",
+                "pair_count",
+            )
+        )
+        def fold_merge(acc: Column, x: Column) -> Column:
+            hit = acc.endswith(F.concat(F.lit(" "), F.col("__l"))) & (
+                x == F.col("__r")
+            )
+            return F.when(hit, F.concat(acc, x)).otherwise(
+                F.concat(acc, F.lit(" "), x)
+            )
+
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("left").alias("__l"),
+                        F.col("right").alias("__r"),
+                    )
+                )
+            )
+            .select(
+                F.concat(
+                    F.aggregate(
+                        F.split(F.trim(F.col("sym")), " "),
+                        F.lit(""),
+                        fold_merge,
+                    ),
+                    F.lit(" "),
+                ).alias("sym"),
+                "c",
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    prob_dp: int = 9,
+) -> DataFrame:
+    """Train the Laplace-smoothed word-bigram LM ON-CLUSTER — the
+    distributed counterpart of the offline artifact builder
+    (``tools/build_word_lm.py``) whose output the CCNet-style
+    perplexity filter (``operators/perplexity.py``) consumes. One row
+    per SEEN bigram: ``(u, w, n_uw, n_u, p)`` with
+    ``p = round((n_uw + 1) / (n_u + V), prob_dp)`` where ``V`` =
+    |vocab| + 1 ('<unk>') — exactly the builder's model, minus the
+    ``ln``: log-probs are transcendental and belong in the artifact
+    step (JVM/glibc ``ln`` is not correctly rounded), while the single
+    IEEE division here IS correctly rounded on both engines, so the
+    smoothed probability itself is hash-matchable.
+
+    Scale shape: sentence-start bigrams via one array prepend (no
+    self-join); ONE corpus-scale shuffle (the bigram groupBy, partial
+    map-side combine); context totals derive from the bigram table
+    (vocab²-bounded), never from a second corpus pass; V is a one-row
+    broadcast cross join."""
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(
+        F.split(nt, " "),
+        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.concat(F.array(F.lit("<s>")), wlist).alias("ws")
+    )
+    arr = F.col("ws")
+    n = F.size(arr)
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("w")),
+            )
+        ).alias("bg")
+    )
+    counts = (
+        big.groupBy(F.col("bg.u").alias("u"), F.col("bg.w").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_uw"))
+    )
+    ctx = counts.groupBy("u").agg(F.sum("n_uw").cast("long").alias("n_u"))
+    # V = distinct target words + '<unk>' (targets only: '<s>' is a
+    # context, never a prediction — mirrors build_word_lm.py's vocab)
+    vocab = counts.select("w").distinct().agg(
+        (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("__V")
+    )
+    return (
+        counts.join(ctx, "u")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "u",
+            "w",
+            "n_uw",
+            "n_u",
+            F.round(
+                (F.col("n_uw") + F.lit(1)).cast("double")
+                / (F.col("n_u") + F.col("__V")).cast("double"),
+                prob_dp,
+            ).alias("p"),
+        )
+    )
