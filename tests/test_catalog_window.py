@@ -35,7 +35,7 @@ LOAD_BEARING = [
     "incremental_near_dups",
     "kmeans_clusters",
     "ivf_topk_kmeans",
-    "cms_top_terms",
+    # cms_top_terms rotated out round 11 (driver-green rounds 5-10)
     "sampled_quantiles",
     "substring_dups",
     "remove_dup_substrings",
@@ -80,6 +80,7 @@ LOAD_BEARING = [
     # round-11 additions: must be driver-attested before rotating out
     "pq_incremental_encode",
     "bpe_train",
+    "bpe_train_tokens",
     "train_bigram_lm",
     "scd2_merge",
     "dsir_select",

@@ -807,3 +807,23 @@ def test_train_bigram_lm_hand_computed(spark):
     assert rows[("<s>", "x")]["p"] == 0.5
     assert rows[("x", "y")]["p"] == round(2 / 6, 9)
     assert len(rows) == 3
+
+
+def test_bpe_train_tokens_hand_computed(spark):
+    """'abab abab' / 'ab' corpus: merges learned are (a,b) then
+    (ab,ab); 'abab' -> 1 token, 'ab' -> 1 token. Doc 1 has two words
+    -> 2 tokens; doc 2 -> 1. A doc with only an over-length word falls
+    back to chars; an empty doc keeps a 0 row."""
+    from traits_data_spark.operators.text import bpe_train_token_counts
+
+    long_word = "q" * 40
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "ab"), (3, long_word), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["bpe_trained_tokens"]
+           for r in bpe_train_token_counts(docs, n_merges=2).collect()}
+    assert out[1] == 2
+    assert out[2] == 1
+    assert out[3] == 40  # char fallback for untrained over-length word
+    assert out[4] == 0

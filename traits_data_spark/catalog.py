@@ -130,6 +130,7 @@ from traits_data_spark.operators.text import (
     bpe_merge_token_counts,
     bpe_token_counts,
     bpe_train,
+    bpe_train_token_counts,
     train_bigram_lm,
     bpe_token_counts_table,
     load_bpe_merges,
@@ -3768,6 +3769,91 @@ w{step + 1} AS (
     return ",".join(parts) + "\n" + finals
 
 
+def q_bpe_train_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE on the documents corpus, then tokenize that same
+    corpus with the merges just learned
+    (``operators.text.bpe_train_token_counts``) — the end-to-end
+    on-cluster tokenizer chain (train → apply in one plan; the final
+    training word-states ARE the tokenization, joined back broadcast).
+    Per-document learned-BPE token counts; over-length words fall back
+    to chars; empty docs keep a 0 row. The oracle replays the 8
+    unrolled merge iterations carrying the word through, then
+    re-tokenizes the corpus from the final state table."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_token_counts(
+        docs, n_merges=BPE_TRAIN_MERGES, max_word_len=BPE_TRAIN_MAX_WORD_LEN
+    )
+
+
+def _bpe_train_tokens_sql(
+    n_merges: int = BPE_TRAIN_MERGES,
+    max_word_len: int = BPE_TRAIN_MAX_WORD_LEN,
+) -> str:
+    def pair_and_best(step: int) -> str:
+        return f"""
+p{step} AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, SUM(c) AS cnt FROM (
+    SELECT unnest([{{'l': arr[k], 'r': arr[k+1]}}
+                   for k in range(1, len(arr))]) AS pr, c
+    FROM (SELECT string_split(trim(sym), ' ') AS arr, c FROM w{step})
+  ) GROUP BY 1, 2
+),
+b{step} AS (SELECT l, r, cnt FROM p{step} ORDER BY cnt DESC, l, r LIMIT 1)"""
+
+    parts = [
+        f"""WITH d0 AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM documents
+),
+wds AS (
+  SELECT unnest(list_filter(string_split(nt, ' '),
+                x -> length(x) > 0 AND length(x) <= {max_word_len})) AS w
+  FROM d0 WHERE nt IS NOT NULL
+),
+w0 AS (
+  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym,
+         COUNT(*) AS c
+  FROM wds GROUP BY w
+)"""
+    ]
+    for step in range(n_merges):
+        parts.append(pair_and_best(step))
+        parts.append(
+            f"""
+w{step + 1} AS (
+  SELECT w,
+         list_reduce(list_prepend('', string_split(trim(sym), ' ')),
+           (acc, x) -> CASE WHEN ends_with(acc, ' ' || b.l) AND x = b.r
+                            THEN acc || x ELSE acc || ' ' || x END)
+         || ' ' AS sym, c
+  FROM w{step} CROSS JOIN b{step} b
+)"""
+        )
+    return (
+        ",".join(parts)
+        + f""",
+ntok AS (
+  SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS nt
+  FROM w{n_merges}
+),
+dw AS (
+  SELECT doc_id, unnest(list_filter(string_split(nt, ' '),
+                x -> length(x) > 0)) AS w
+  FROM d0 WHERE nt IS NOT NULL
+),
+sums AS (
+  SELECT dw.doc_id,
+         SUM(CASE WHEN t.nt IS NOT NULL THEN t.nt
+                  ELSE length(dw.w) END) AS s
+  FROM dw LEFT JOIN ntok t USING (w) GROUP BY dw.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.s, 0) AS BIGINT) AS bpe_trained_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN sums s USING (doc_id)"""
+    )
+
+
 def q_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed word-bigram LM TRAINING over the documents corpus
     (``operators.text.train_bigram_lm``): the Laplace-smoothed model
@@ -6429,6 +6515,7 @@ QUERIES: Mapping[str, QueryFn] = {
     #    on-cluster tokenizer + LM training ---------------------------------
     "pq_incremental_encode": q_pq_incremental_encode,
     "bpe_train": q_bpe_train,
+    "bpe_train_tokens": q_bpe_train_tokens,
     "train_bigram_lm": q_train_bigram_lm,
     "scd2_merge": q_scd2_merge,
     "dsir_select": q_dsir_select,
@@ -6450,7 +6537,8 @@ QUERIES: Mapping[str, QueryFn] = {
     "incremental_near_dups": q_incremental_near_dups,
     "kmeans_clusters": q_kmeans_clusters,
     "ivf_topk_kmeans": q_ivf_topk_kmeans,
-    "cms_top_terms": q_cms_top_terms,
+    # cms_top_terms rotated out round 11 (driver-green rounds 5-10) to
+    # make room for bpe_train_tokens
     "sampled_quantiles": q_sampled_quantiles,
     "substring_dups": q_substring_dups,
     "remove_dup_substrings": q_remove_dup_substrings,
@@ -6468,6 +6556,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "audio_metadata": q_audio_metadata,
     "split_contamination": q_split_contamination,
     "quality_classifier": q_quality_classifier,
+    "cms_top_terms": q_cms_top_terms,
     # rotated out round 10 (driver-green rounds 4 through 9) to make
     # room for dsir_select / dsir_select_sampled:
     "rolling_agg": q_rolling_agg,
@@ -6613,6 +6702,7 @@ def oracle_sqls() -> dict[str, str]:
         "ivfpq_topk": _ivfpq_sql(),
         "pq_incremental_encode": _pq_incremental_encode_sql(),
         "bpe_train": _bpe_train_sql(),
+        "bpe_train_tokens": _bpe_train_tokens_sql(),
         "train_bigram_lm": _TRAIN_BIGRAM_LM_SQL,
         "scd2_merge": _SCD2_SQL,
         "dsir_select": _DSIR_SELECT_SQL,

@@ -1484,23 +1484,57 @@ def bpe_train(
     occurrences ('a b a b' would merge only the first pair). Pair
     counts are integer sums — no floating point anywhere.
     """
+    merges, _ = _bpe_train_loop(
+        df, text_col=text_col, n_merges=n_merges, max_word_len=max_word_len
+    )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_train_words(
+    df: DataFrame, text_col: str, max_word_len: int
+) -> DataFrame:
+    """Distinct-word counts for BPE training: normalized lowercase
+    words, empty and over-length words excluded."""
     nt = normalized_text(F.col(text_col), lowercase=True)
     wlist = F.filter(
         F.split(nt, " "),
         lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
     )
-    wc = (
+    return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.explode(wlist).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _bpe_train_loop(
+    df: DataFrame, text_col: str, n_merges: int, max_word_len: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared merge-learning loop: returns the per-rank one-row merge
+    frames AND the final word-state table ``(w, sym, c)`` — the word
+    survives the loop so ``bpe_train_token_counts`` can tokenize the
+    corpus by joining back on it (in rank-8 BPE the final training
+    states ARE the tokenization under the learned merges)."""
+    wc = _bpe_train_words(df, text_col, max_word_len)
     cur = wc.select(
+        "w",
         F.concat(
             F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
         ).alias("sym"),
         "c",
     ).localCheckpoint()
+
+    def fold_merge(acc: Column, x: Column) -> Column:
+        hit = acc.endswith(F.concat(F.lit(" "), F.col("__l"))) & (
+            x == F.col("__r")
+        )
+        return F.when(hit, F.concat(acc, x)).otherwise(
+            F.concat(acc, F.lit(" "), x)
+        )
 
     merges: list[DataFrame] = []
     for i in range(n_merges):
@@ -1535,14 +1569,6 @@ def bpe_train(
                 "pair_count",
             )
         )
-        def fold_merge(acc: Column, x: Column) -> Column:
-            hit = acc.endswith(F.concat(F.lit(" "), F.col("__l"))) & (
-                x == F.col("__r")
-            )
-            return F.when(hit, F.concat(acc, x)).otherwise(
-                F.concat(acc, F.lit(" "), x)
-            )
-
         cur = (
             cur.crossJoin(
                 F.broadcast(
@@ -1553,6 +1579,7 @@ def bpe_train(
                 )
             )
             .select(
+                "w",
                 F.concat(
                     F.aggregate(
                         F.split(F.trim(F.col("sym")), " "),
@@ -1565,10 +1592,58 @@ def bpe_train(
             )
             .localCheckpoint()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, cur
+
+
+def bpe_train_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_trained_tokens",
+    n_merges: int = 8,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Train BPE on the corpus, then tokenize the SAME corpus with the
+    merges just learned — the end-to-end on-cluster tokenizer story
+    (every other tokenizer entry applies a PRE-committed artifact).
+    With merges applied in rank order, the training loop's final
+    word-state table IS the tokenization, so application costs one
+    vocab-sized broadcast join back to the exploded corpus — no
+    second tokenization pass exists to disagree with training. Words
+    longer than ``max_word_len`` (excluded from training) fall back
+    to one-token-per-char, the same total-function convention as
+    ``bpe_merge_token_counts``; documents with no words keep their
+    row with 0 tokens. Output: ``(id_col, out_col)``."""
+    _, states = _bpe_train_loop(
+        df, text_col=text_col, n_merges=n_merges, max_word_len=max_word_len
+    )
+    ntok = states.select(
+        "w",
+        F.size(F.split(F.trim(F.col("sym")), " ")).cast("long").alias(
+            "__nt"
+        ),
+    )
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(F.split(nt, " "), lambda x: F.length(x) > 0)
+    words = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(F.col(text_col).isNotNull(), wlist)
+        ).alias("w"),
+    )
+    return (
+        words.join(F.broadcast(ntok), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("w").isNull(), F.lit(0))
+                .when(F.col("__nt").isNotNull(), F.col("__nt"))
+                .otherwise(F.length(F.col("w")).cast("long"))
+            )
+            .cast("long")
+            .alias(out_col)
+        )
+    )
 
 
 def train_bigram_lm(
