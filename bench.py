@@ -157,7 +157,9 @@ BENCH_QUERIES = FLAGSHIPS + [
     "copy_pagerank",
     "pq_incremental_encode",
     "bpe_train",
+    "bpe_train_tokens",
     "train_bigram_lm",
+    "bm25_topk_champion",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

@@ -35,8 +35,8 @@ LOAD_BEARING = [
     "incremental_near_dups",
     "kmeans_clusters",
     "ivf_topk_kmeans",
-    # cms_top_terms rotated out round 11 (driver-green rounds 5-10)
-    "sampled_quantiles",
+    # cms_top_terms + sampled_quantiles rotated out round 11
+    # (driver-green rounds 5-10)
     "substring_dups",
     "remove_dup_substrings",
     # event_transitions / hourly_anomalies rotated out round 10
@@ -82,6 +82,7 @@ LOAD_BEARING = [
     "bpe_train",
     "bpe_train_tokens",
     "train_bigram_lm",
+    "bm25_topk_champion",
     "scd2_merge",
     "dsir_select",
     "dsir_select_sampled",

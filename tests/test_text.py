@@ -827,3 +827,41 @@ def test_bpe_train_tokens_hand_computed(spark):
     assert out[2] == 1
     assert out[3] == 40  # char fallback for untrained over-length word
     assert out[4] == 0
+
+
+def test_bm25_champion_lists_bound_and_match_exhaustive_topk(spark):
+    """Champion cut semantics: (1) with champion_n >= |D| the result
+    equals exhaustive BM25 (the salted two-phase top-N selects exactly
+    the single-window cut); (2) with champion_n=1 only each term's
+    highest-tf document is scorable, so a query can never retrieve
+    more than its term count in docs — the bounded-cost contract."""
+    from traits_data_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana banana"),
+            (3, "apple banana cherry"),
+            (4, "cherry cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([(100, "apple banana")], ["doc_id", "text"])
+    exhaustive = sorted(
+        map(tuple, bm25_topk(docs, q, k=10).collect())
+    )
+    wide = sorted(
+        map(tuple, bm25_topk(docs, q, k=10, champion_n=10).collect())
+    )
+    assert exhaustive == wide
+    narrow = bm25_topk(docs, q, k=10, champion_n=1).collect()
+    # apple's champion is doc 1 (tf 3), banana's is doc 2 (tf 2):
+    # docs 3 (tf-1 everywhere) and 4 are unreachable
+    assert sorted(r["neighbor_id"] for r in narrow) == [1, 2]
+    # a doc scores ONLY the terms it champions (doc 1 keeps apple but
+    # loses banana to doc 2), so champion scores are <= exhaustive and
+    # each survivor matches exactly its championed terms
+    exh = {(r[0], r[1]): r for r in exhaustive}
+    for r in narrow:
+        assert r["matched_terms"] == 1
+        assert 0 < r["score_micro"] < exh[(100, r["neighbor_id"])][3]

@@ -4102,11 +4102,45 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql() -> str:
+BM25_CHAMPION_N = 32
+
+
+def q_bm25_topk_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with champion lists (``bm25_topk(champion_n=32)``): only
+    each term's top-32 postings by (tf desc, doc asc) are scored —
+    the bounded-cost retrieval mode for corpora/queries where
+    exhaustive scoring degenerates to |Q|·|D| (the round-11 20× stress
+    decomposition). df/idf stay exact on the uncut postings; the
+    Spark side's salted two-phase per-term top-N must select exactly
+    the single-window cut the oracle replays."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.expr(_BM25_QUERY_PRED))
+    return bm25_topk(
+        docs, queries, k=BM25_K, k1=BM25_K1, b=BM25_B,
+        champion_n=BM25_CHAMPION_N,
+    )
+
+
+def _bm25_sql(champion_n: int | None = None) -> str:
     # float-literal parity: the SQL inlines repr() of the exact Python
     # doubles the Spark plan uses (k1+1 is NOT the literal 2.2)
     k1p1, one_b = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
     k1, b = repr(BM25_K1), repr(BM25_B)
+    if champion_n is None:
+        champ, src = "", "tf"
+    else:
+        # champion cut: single per-term row_number here (the oracle
+        # runs single-node); the Spark side's salted two-phase top-N
+        # selects the identical rows
+        champ = f""",
+ch AS (
+  SELECT doc_id, term, tf, dl FROM (
+    SELECT *, row_number() OVER (PARTITION BY term
+                                 ORDER BY tf DESC, doc_id ASC) AS crk
+    FROM tf)
+  WHERE crk <= {int(champion_n)}
+)"""
+        src = "ch"
     toks = (
         "list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', "
         "'g')), ' '), x -> length(x) > 0)"
@@ -4126,14 +4160,14 @@ qvocab AS (SELECT DISTINCT term FROM qterms),
 matched AS (SELECT w.* FROM words w JOIN qvocab USING (term)),
 tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf, any_value(dl) AS dl
        FROM matched GROUP BY 1, 2),
-dfreq AS (SELECT term, COUNT(*)::BIGINT AS df_docs FROM tf GROUP BY 1),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df_docs FROM tf GROUP BY 1){champ},
 stats AS (
   SELECT COUNT(*)::BIGINT AS n,
          SUM(len({toks}))::DOUBLE / COUNT(*)::DOUBLE AS avgdl
   FROM corp
 ),
 contrib AS (
-  SELECT q.query_id, tf.doc_id AS neighbor_id,
+  SELECT q.query_id, {src}.doc_id AS neighbor_id,
          CAST(ROUND(
            ROUND(LN(1.0::DOUBLE
                     + ((n - df_docs)::DOUBLE + 0.5::DOUBLE)
@@ -4143,7 +4177,7 @@ contrib AS (
                  * ({one_b}::DOUBLE
                     + {b}::DOUBLE * (dl::DOUBLE / avgdl))))
            * 1000000.0::DOUBLE) AS BIGINT) AS c_micro
-  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  FROM {src} JOIN dfreq USING (term) CROSS JOIN stats
        JOIN qterms q USING (term)
 ),
 scored AS (
@@ -6517,6 +6551,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "bpe_train": q_bpe_train,
     "bpe_train_tokens": q_bpe_train_tokens,
     "train_bigram_lm": q_train_bigram_lm,
+    "bm25_topk_champion": q_bm25_topk_champion,
     "scd2_merge": q_scd2_merge,
     "dsir_select": q_dsir_select,
     "dsir_select_sampled": q_dsir_select_sampled,
@@ -6537,9 +6572,9 @@ QUERIES: Mapping[str, QueryFn] = {
     "incremental_near_dups": q_incremental_near_dups,
     "kmeans_clusters": q_kmeans_clusters,
     "ivf_topk_kmeans": q_ivf_topk_kmeans,
-    # cms_top_terms rotated out round 11 (driver-green rounds 5-10) to
-    # make room for bpe_train_tokens
-    "sampled_quantiles": q_sampled_quantiles,
+    # cms_top_terms + sampled_quantiles rotated out round 11
+    # (driver-green rounds 5-10) to make room for bpe_train_tokens /
+    # bm25_topk_champion
     "substring_dups": q_substring_dups,
     "remove_dup_substrings": q_remove_dup_substrings,
     
@@ -6557,6 +6592,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "split_contamination": q_split_contamination,
     "quality_classifier": q_quality_classifier,
     "cms_top_terms": q_cms_top_terms,
+    "sampled_quantiles": q_sampled_quantiles,
     # rotated out round 10 (driver-green rounds 4 through 9) to make
     # room for dsir_select / dsir_select_sampled:
     "rolling_agg": q_rolling_agg,
@@ -6704,6 +6740,7 @@ def oracle_sqls() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(),
         "bpe_train_tokens": _bpe_train_tokens_sql(),
         "train_bigram_lm": _TRAIN_BIGRAM_LM_SQL,
+        "bm25_topk_champion": _bm25_sql(champion_n=BM25_CHAMPION_N),
         "scd2_merge": _SCD2_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,

@@ -1089,6 +1089,8 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    champion_n: int | None = None,
+    champion_salt: int = 32,
 ) -> DataFrame:
     """BM25 full-text retrieval: top-k corpus documents per query
     (Robertson & Spärck Jones probabilistic ranking, the Lucene /
@@ -1114,6 +1116,22 @@ def bm25_topk(
     N are one-row broadcast aggregates. The final top-k is a window
     partitioned by query over |Q|·matched rows. No driver collect, no
     corpus-wide shuffle on a natural key.
+
+    ``champion_n=N`` enables champion lists (Manning IIR §7.1.3, the
+    static index-pruning mode production engines pair with exhaustive
+    scoring): only each term's top-N postings by ``(tf desc, doc asc)``
+    are scored, bounding per-term work to N REGARDLESS of corpus size
+    — the answer to the degenerate every-term-matches-everything case,
+    where exhaustive scoring is |Q|·|D| (round-11 20× stress: 400×
+    scored pairs). Approximate by design: a document outside all of a
+    query's champion lists cannot be retrieved; ``idf``/``df`` stay
+    exact (computed on the UNCUT postings — the standard contract,
+    since champion lists prune scoring, not the dictionary). The cut
+    is a salted two-phase top-N (top-N per (term, hash-salt bucket),
+    then top-N of the ≤ N·``champion_salt`` survivors), so a hot term
+    whose postings list is the whole corpus never sorts in one task —
+    the same analytic-window hot-key hazard the substring profile
+    avoids via groupBy.
     """
     corp = corpus.filter(F.col(text_col).isNotNull())
     # dl rides along in the token projection (any_value'd after the tf
@@ -1143,6 +1161,28 @@ def bm25_topk(
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df_docs")
     )
+    if champion_n is not None:
+        # salted two-phase per-term top-N: phase 1 ranks inside
+        # (term, hash(doc) % salt) buckets — a bucket row ranked past
+        # champion_n can never reach the term's global top-N — phase 2
+        # ranks the <= N*salt survivors. Deterministic regardless of
+        # salting; df/idf above intentionally derive from the UNCUT tf.
+        order = [F.col("tf").desc(), F.col(id_col).asc()]
+        w1 = Window.partitionBy(
+            "term",
+            F.pmod(
+                portable_hash64(F.col(id_col).cast("string")),
+                F.lit(int(champion_salt)),
+            ),
+        ).orderBy(*order)
+        w2 = Window.partitionBy("term").orderBy(*order)
+        tf = (
+            tf.withColumn("__crk", F.row_number().over(w1))
+            .filter(F.col("__crk") <= int(champion_n))
+            .withColumn("__crk", F.row_number().over(w2))
+            .filter(F.col("__crk") <= int(champion_n))
+            .drop("__crk")
+        )
     # avgdl / N over ALL docs — a scan-speed projection folded into a
     # one-row broadcast aggregate
     doclen = corp.select(
