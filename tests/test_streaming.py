@@ -704,3 +704,82 @@ def test_streaming_anomalies_ttl_evicts_and_restarts(spark, tmp_path):
     # the timed-out callback itself emitted nothing (only real data
     # rows appear for x, no eviction artifacts)
     assert all(r.value is not None for r in x_rows)
+
+
+def test_streaming_pq_encode_ingest(spark, tmp_path, embeddings):
+    """E2E: new embeddings stream in and are PQ-encoded against a
+    FROZEN codebook artifact inside foreachBatch — the ANN
+    index-maintenance deployment loop (train once, encode deltas
+    forever; batch-side attestation: the ``pq_incremental_encode``
+    catalog oracle and the encode parity tests). The accumulated code
+    table (stored history codes + streamed delta codes) must equal a
+    full batch re-encode of the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import pq_encode, pq_fit
+
+    emb = (
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .limit(160)
+        .cache()
+    )
+    history = emb.filter(F.col("vec_id") % 4 != 0)
+    new_vecs = emb.filter(F.col("vec_id") % 4 == 0)
+
+    # steady-state assets: frozen codebooks + the history's stored codes
+    books = pq_fit(history, dim=64, m=4, k=8, n_iter=2)
+    books_path = str(tmp_path / "pq_books")
+    books.write.parquet(books_path)
+    codes_path = str(tmp_path / "pq_codes")
+    pq_encode(
+        history, spark.read.parquet(books_path), dim=64, m=4
+    ).write.mode("append").parquet(codes_path)
+
+    # land the delta as TWO micro-batches (distinct mtimes — file
+    # stream orders by modification time)
+    import os as _os
+
+    landing = tmp_path / "vec_landing"
+    landing.mkdir()
+    pdf = new_vecs.toPandas()
+    half = len(pdf) // 2
+    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        p = landing / f"batch{i}.json"
+        p.write_text(
+            chunk.to_json(orient="records", lines=True, double_precision=15)
+        )
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(landing))
+
+    def _encode(batch_df, batch_id):
+        bk = batch_df.sparkSession.read.parquet(books_path)
+        pq_encode(batch_df, bk, dim=64, m=4).write.mode("append").parquet(
+            codes_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_encode)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in spark.read.parquet(codes_path).collect()
+    }
+    want = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq_encode(
+            emb, spark.read.parquet(books_path), dim=64, m=4
+        ).collect()
+    }
+    assert got == want and got
