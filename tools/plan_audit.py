@@ -86,6 +86,12 @@ HEADLINE = [
     "training_prep",
     "pq_topk",
     "ivfpq_topk",
+    "pq_incremental_encode",
+    "bpe_train",
+    "bpe_train_tokens",
+    "train_bigram_lm",
+    "bm25_topk",
+    "bm25_topk_champion",
 ]
 
 
@@ -105,6 +111,16 @@ MAX_SCANS = {
     # (round-10 regression: 34 scans from per-sub-fit re-slicing)
     "pq_topk": 4,
     "ivfpq_topk": 4,
+    # hist-slice persisted once; audited 2 scans / 16 cache refs
+    "pq_incremental_encode": 4,
+    # audited 5 scans each (tokenize + query melt + stats projections)
+    "bm25_topk": 6,
+    "bm25_topk_champion": 6,
+    # trainers: corpus scanned at checkpoint time; final plans are
+    # vocab-sized (bpe_train audits 0 raw scans, like copy_pagerank)
+    "bpe_train": 2,
+    "bpe_train_tokens": 3,
+    "train_bigram_lm": 3,
 }
 
 
