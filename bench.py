@@ -160,6 +160,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "bpe_train_tokens",
     "train_bigram_lm",
     "bm25_topk_champion",
+    "ridge_stats",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

@@ -37,7 +37,7 @@ LOAD_BEARING = [
     "ivf_topk_kmeans",
     # cms_top_terms + sampled_quantiles rotated out round 11
     # (driver-green rounds 5-10)
-    "substring_dups",
+    # substring_dups rotated out round 11 (driver-green rounds 5-10)
     "remove_dup_substrings",
     # event_transitions / hourly_anomalies rotated out round 10
     # (driver-green rounds 6-9)
@@ -83,6 +83,7 @@ LOAD_BEARING = [
     "bpe_train_tokens",
     "train_bigram_lm",
     "bm25_topk_champion",
+    "ridge_stats",
     "scd2_merge",
     "dsir_select",
     "dsir_select_sampled",

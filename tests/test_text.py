@@ -865,3 +865,69 @@ def test_bm25_champion_lists_bound_and_match_exhaustive_topk(spark):
     for r in narrow:
         assert r["matched_terms"] == 1
         assert 0 < r["score_micro"] < exh[(100, r["neighbor_id"])][3]
+
+
+def _naive_bpe_train(texts, n_merges, max_word_len=32):
+    """Deliberately-different reference BPE trainer (dict/Counter,
+    per-word python lists) for randomized parity with the engine's
+    fold-based implementation."""
+    import re
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.sub(r"\s+", " ", t).strip().lower().split(" "):
+            if 0 < len(w) <= max_word_len:
+                wc[w] += 1
+    states = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in states.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        for w, syms in states.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            states[w] = out
+    return merges
+
+
+def test_bpe_train_randomized_parity_with_naive_reference(spark):
+    """Five seeded random corpora over a tiny alphabet (forcing heavy
+    pair overlap and count ties) must train identical merge tables in
+    the engine and the naive reference — rank, pair AND count."""
+    import random
+
+    from traits_data_spark.operators.text import bpe_train
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(30)
+        ]
+        want = _naive_bpe_train(texts, n_merges=5)
+        docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = sorted(
+            (r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train(docs, n_merges=5).collect()
+        )
+        assert got == [(r, l, rt, c) for r, l, rt, c in want], (
+            f"seed {seed}: {got} != {want}"
+        )

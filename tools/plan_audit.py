@@ -92,6 +92,7 @@ HEADLINE = [
     "train_bigram_lm",
     "bm25_topk",
     "bm25_topk_champion",
+    "ridge_stats",
 ]
 
 
@@ -121,6 +122,8 @@ MAX_SCANS = {
     "bpe_train": 2,
     "bpe_train_tokens": 3,
     "train_bigram_lm": 3,
+    # one corpus scan, one featurize shuffle, single-row stats agg
+    "ridge_stats": 2,
 }
 
 

@@ -3854,6 +3854,98 @@ LEFT JOIN sums s USING (doc_id)"""
     )
 
 
+RIDGE_BUCKETS = 6
+
+
+def q_ridge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ridge-regression sufficient statistics
+    (``operators.regression.ridge_stats``) for a linear quality scorer
+    trained ON-CLUSTER: features are hashed bag-of-words counts
+    (portable 60-bit hash into 6 buckets — the fastText hashing-trick
+    featurizer) plus an intercept, label is the document word count.
+    Output is the exact integer-micro X^T X upper triangle, X^T y and
+    row count — everything the driver-side closed-form solve needs;
+    ``ridge_solve`` recovers near-unit weights on this construction
+    (label = sum of the bucket features), pinned in tests. All
+    products are integral here so quantization is exact on both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    from traits_data_spark.functions.scalars import portable_hash64
+    from traits_data_spark.operators.regression import ridge_stats
+
+    nt = F.lower(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    )
+    wlist = F.filter(F.split(nt, " "), lambda x: F.length(x) > 0)
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id"), F.explode(wlist).alias("w"))
+        .withColumn(
+            "bkt", F.pmod(portable_hash64(F.col("w")), F.lit(RIDGE_BUCKETS))
+        )
+    )
+    feats = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("bkt") == b, 1).otherwise(0))
+            .cast("double")
+            .alias(f"c{b}")
+            for b in range(RIDGE_BUCKETS)
+        ],
+        F.count(F.lit(1)).cast("double").alias("n_words"),
+    )
+    return ridge_stats(
+        feats, [f"c{b}" for b in range(RIDGE_BUCKETS)], "n_words"
+    )
+
+
+def _ridge_stats_sql(k_feats: int = RIDGE_BUCKETS) -> str:
+    h = _H60.format(x="w")
+    k = k_feats + 1  # + intercept
+    feat = ", ".join(
+        f"SUM(CASE WHEN bkt = {b} THEN 1 ELSE 0 END)::DOUBLE AS f{b + 1}"
+        for b in range(k_feats)
+    )
+    fexpr = ["1.0::DOUBLE"] + [f"f{i}" for i in range(1, k)]
+    aggs, finals = [], []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                f"SUM(CAST(ROUND({fexpr[i]} * {fexpr[j]} * 1000000.0) "
+                f"AS BIGINT)) AS xx_{i}_{j}"
+            )
+            finals.append(
+                f"SELECT 'xtx' AS kind, {i} AS i, {j} AS j, "
+                f"xx_{i}_{j} AS s_micro FROM agg"
+            )
+    for i in range(k):
+        aggs.append(
+            f"SUM(CAST(ROUND({fexpr[i]} * y * 1000000.0) AS BIGINT)) "
+            f"AS xy_{i}"
+        )
+        finals.append(
+            f"SELECT 'xty', {i}, 0, xy_{i} FROM agg"
+        )
+    aggs.append("COUNT(*)::BIGINT AS n_rows")
+    finals.append("SELECT 'n', 0, 0, n_rows FROM agg")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id, unnest(list_filter(string_split(nt, ' '),
+                                    x -> length(x) > 0)) AS w
+  FROM d
+),
+b AS (SELECT doc_id, {h} % {k_feats} AS bkt FROM w),
+f AS (
+  SELECT doc_id, {feat}, COUNT(*)::DOUBLE AS y
+  FROM b GROUP BY doc_id
+),
+agg AS (SELECT {", ".join(aggs)} FROM f)
+{" UNION ALL ".join(finals)}"""
+
+
 def q_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed word-bigram LM TRAINING over the documents corpus
     (``operators.text.train_bigram_lm``): the Laplace-smoothed model
@@ -6552,6 +6644,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "bpe_train_tokens": q_bpe_train_tokens,
     "train_bigram_lm": q_train_bigram_lm,
     "bm25_topk_champion": q_bm25_topk_champion,
+    "ridge_stats": q_ridge_stats,
     "scd2_merge": q_scd2_merge,
     "dsir_select": q_dsir_select,
     "dsir_select_sampled": q_dsir_select_sampled,
@@ -6575,7 +6668,9 @@ QUERIES: Mapping[str, QueryFn] = {
     # cms_top_terms + sampled_quantiles rotated out round 11
     # (driver-green rounds 5-10) to make room for bpe_train_tokens /
     # bm25_topk_champion
-    "substring_dups": q_substring_dups,
+    # substring_dups rotated out round 11 (driver-green rounds 5-10) to
+    # make room for ridge_stats; remove_dup_substrings (the adversarial
+    # variant) stays
     "remove_dup_substrings": q_remove_dup_substrings,
     
     "dup_clusters": q_dup_clusters,
@@ -6593,6 +6688,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "quality_classifier": q_quality_classifier,
     "cms_top_terms": q_cms_top_terms,
     "sampled_quantiles": q_sampled_quantiles,
+    "substring_dups": q_substring_dups,
     # rotated out round 10 (driver-green rounds 4 through 9) to make
     # room for dsir_select / dsir_select_sampled:
     "rolling_agg": q_rolling_agg,
@@ -6741,6 +6837,7 @@ def oracle_sqls() -> dict[str, str]:
         "bpe_train_tokens": _bpe_train_tokens_sql(),
         "train_bigram_lm": _TRAIN_BIGRAM_LM_SQL,
         "bm25_topk_champion": _bm25_sql(champion_n=BM25_CHAMPION_N),
+        "ridge_stats": _ridge_stats_sql(),
         "scd2_merge": _SCD2_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,
