@@ -931,3 +931,58 @@ def test_bpe_train_randomized_parity_with_naive_reference(spark):
         assert got == [(r, l, rt, c) for r, l, rt, c in want], (
             f"seed {seed}: {got} != {want}"
         )
+
+
+def test_bpe_train_empty_and_unmergeable_corpus(spark):
+    """No learnable merge (all words single-char): bpe_train returns
+    an EMPTY typed frame (round-11 review: it crashed with IndexError),
+    matching the oracle's zero rows."""
+    from traits_data_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([("a b c",), (None,)], ["text"])
+    out = bpe_train(docs, n_merges=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "left", "right", "pair_count",
+    ]
+
+
+def test_bpe_train_oracles_survive_vocab_collapse(spark, tmp_path):
+    """Round-11 review finding (confirmed by execution): when the
+    vocabulary fully merges BEFORE n_merges, the old oracle's
+    unconditional CROSS JOIN against an empty b{step} emptied the
+    word-state chain — Spark said 'ab cd' = 2 tokens, the oracle said
+    4 (char fallback for every word). Both bpe oracles now keep the
+    state through empty steps via LEFT JOIN ON TRUE; this test runs
+    Spark AND DuckDB on the collapsing corpus and requires equality."""
+    import duckdb
+
+    from traits_data_spark.catalog import (
+        _bpe_train_sql,
+        _bpe_train_tokens_sql,
+        q_bpe_train,
+        q_bpe_train_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+
+    got_tok = sorted(
+        (r["doc_id"], r["bpe_trained_tokens"])
+        for r in q_bpe_train_tokens(spark, str(tmp_path)).collect()
+    )
+    want_tok = sorted(con.execute(_bpe_train_tokens_sql()).fetchall())
+    assert got_tok == [(1, 2), (2, 0), (3, 0)]
+    assert got_tok == want_tok
+
+    got_m = sorted(map(tuple, q_bpe_train(spark, str(tmp_path)).collect()))
+    want_m = sorted(con.execute(_bpe_train_sql()).fetchall())
+    assert got_m == [(1, "a", "b", 1), (2, "c", "d", 1)]
+    assert got_m == want_m

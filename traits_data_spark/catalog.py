@@ -3718,10 +3718,25 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_sql(
-    n_merges: int = BPE_TRAIN_MERGES,
-    max_word_len: int = BPE_TRAIN_MAX_WORD_LEN,
+def _bpe_merge_chain_ctes(
+    n_merges: int,
+    max_word_len: int,
+    carry_word: bool,
+    apply_last: bool,
 ) -> str:
+    """Shared unrolled merge-learning chain (``w0..w{n}``, ``p{s}``,
+    ``b{s}``) used by BOTH bpe oracles, so a semantics fix can never
+    apply to one and not the other. The merge application LEFT JOINs
+    the ≤1-row ``b{step}`` ON TRUE and keeps the state UNCHANGED when
+    it is empty (vocabulary collapsed before ``n_merges``) — matching
+    the Spark loop's ``break``; an unconditional CROSS JOIN would
+    empty the whole word-state chain instead (round-11 review
+    finding, confirmed by execution on a two-word corpus).
+    ``carry_word`` keeps the word through the chain (the tokens oracle
+    joins back on it); ``apply_last`` emits the final ``w{n_merges}``
+    state (needed only when the states are consumed downstream)."""
+    w_sel = "w, " if carry_word else ""
+
     def pair_and_best(step: int) -> str:
         return f"""
 p{step} AS (
@@ -3733,40 +3748,61 @@ p{step} AS (
 ),
 b{step} AS (SELECT l, r, cnt FROM p{step} ORDER BY cnt DESC, l, r LIMIT 1)"""
 
+    def apply_merge(step: int) -> str:
+        return f"""
+w{step + 1} AS (
+  SELECT {w_sel}
+         CASE WHEN b.l IS NULL THEN sym
+              ELSE list_reduce(
+                     list_prepend('', string_split(trim(sym), ' ')),
+                     (acc, x) -> CASE WHEN ends_with(acc, ' ' || b.l)
+                                       AND x = b.r
+                                      THEN acc || x
+                                      ELSE acc || ' ' || x END) || ' '
+         END AS sym, c
+  FROM w{step} LEFT JOIN b{step} b ON TRUE
+)"""
+
     parts = [
-        f"""WITH d AS (
-  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
-  FROM documents WHERE text IS NOT NULL
+        f"""WITH d0 AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM documents
 ),
 wds AS (
   SELECT unnest(list_filter(string_split(nt, ' '),
                 x -> length(x) > 0 AND length(x) <= {max_word_len})) AS w
-  FROM d
+  FROM d0 WHERE nt IS NOT NULL
 ),
 w0 AS (
-  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, COUNT(*) AS c
+  SELECT {w_sel}' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym,
+         COUNT(*) AS c
   FROM wds GROUP BY w
 )"""
     ]
     for step in range(n_merges):
         parts.append(pair_and_best(step))
-        if step < n_merges - 1:
-            parts.append(
-                f"""
-w{step + 1} AS (
-  SELECT list_reduce(list_prepend('', string_split(trim(sym), ' ')),
-           (acc, x) -> CASE WHEN ends_with(acc, ' ' || b.l) AND x = b.r
-                            THEN acc || x ELSE acc || ' ' || x END)
-         || ' ' AS sym, c
-  FROM w{step} CROSS JOIN b{step} b
-)"""
-            )
+        if step < n_merges - 1 or apply_last:
+            parts.append(apply_merge(step))
+    return ",".join(parts)
+
+
+def _bpe_train_sql(
+    n_merges: int = BPE_TRAIN_MERGES,
+    max_word_len: int = BPE_TRAIN_MAX_WORD_LEN,
+) -> str:
     finals = "\nUNION ALL ".join(
         f"""SELECT CAST({s + 1} AS BIGINT) AS rank, l AS "left",
        r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM b{s}"""
         for s in range(n_merges)
     )
-    return ",".join(parts) + "\n" + finals
+    return (
+        _bpe_merge_chain_ctes(
+            n_merges, max_word_len, carry_word=False, apply_last=False
+        )
+        + "\n"
+        + finals
+    )
 
 
 def q_bpe_train_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3789,49 +3825,10 @@ def _bpe_train_tokens_sql(
     n_merges: int = BPE_TRAIN_MERGES,
     max_word_len: int = BPE_TRAIN_MAX_WORD_LEN,
 ) -> str:
-    def pair_and_best(step: int) -> str:
-        return f"""
-p{step} AS (
-  SELECT pr['l'] AS l, pr['r'] AS r, SUM(c) AS cnt FROM (
-    SELECT unnest([{{'l': arr[k], 'r': arr[k+1]}}
-                   for k in range(1, len(arr))]) AS pr, c
-    FROM (SELECT string_split(trim(sym), ' ') AS arr, c FROM w{step})
-  ) GROUP BY 1, 2
-),
-b{step} AS (SELECT l, r, cnt FROM p{step} ORDER BY cnt DESC, l, r LIMIT 1)"""
-
-    parts = [
-        f"""WITH d0 AS (
-  SELECT doc_id,
-         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
-  FROM documents
-),
-wds AS (
-  SELECT unnest(list_filter(string_split(nt, ' '),
-                x -> length(x) > 0 AND length(x) <= {max_word_len})) AS w
-  FROM d0 WHERE nt IS NOT NULL
-),
-w0 AS (
-  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym,
-         COUNT(*) AS c
-  FROM wds GROUP BY w
-)"""
-    ]
-    for step in range(n_merges):
-        parts.append(pair_and_best(step))
-        parts.append(
-            f"""
-w{step + 1} AS (
-  SELECT w,
-         list_reduce(list_prepend('', string_split(trim(sym), ' ')),
-           (acc, x) -> CASE WHEN ends_with(acc, ' ' || b.l) AND x = b.r
-                            THEN acc || x ELSE acc || ' ' || x END)
-         || ' ' AS sym, c
-  FROM w{step} CROSS JOIN b{step} b
-)"""
-        )
     return (
-        ",".join(parts)
+        _bpe_merge_chain_ctes(
+            n_merges, max_word_len, carry_word=True, apply_last=True
+        )
         + f""",
 ntok AS (
   SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS nt

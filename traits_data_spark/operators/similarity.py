@@ -1212,7 +1212,12 @@ def _vector_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     the raw input plan — plan-audited at 34 parquet scans for
     ``pq_topk`` with m=16 before this, ≤3 after. Freed by
     ``spark.catalog.clearCache()`` (same lifecycle as ``ivfpq_topk``'s
-    residual frame)."""
+    residual frame). The fit-then-encode recipe (``pq_fit(df)`` then
+    ``pq_encode(df, books)``) does NOT double-cache: both calls build
+    the identical analyzed plan and Spark's cacheManager dedupes it
+    (probed: 1 persistent RDD after both, round 11) — callers only
+    need ``materialize=False`` when the input is ALREADY persisted
+    under a different plan (ivfpq's residual frame)."""
     return df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),

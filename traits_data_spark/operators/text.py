@@ -1527,6 +1527,10 @@ def bpe_train(
     merges, _ = _bpe_train_loop(
         df, text_col=text_col, n_merges=n_merges, max_word_len=max_word_len
     )
+    if not merges:  # nothing learnable (empty corpus / single-char words)
+        return df.sparkSession.createDataFrame(
+            [], "rank long, left string, right string, pair_count long"
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
