@@ -12,5 +12,8 @@ python -m pytest tests/ -q
 echo "== oracle gate ($SF) =="
 python tools/oracle_check.py "$SF"
 
+echo "== plan audit (MAX_SCANS gate) =="
+python tools/plan_audit.py --exec
+
 echo "== bench (sf0.1) =="
 python bench.py
