@@ -2,8 +2,6 @@
 closed-form weight recovery, quantization contract."""
 
 import numpy as np
-import pytest
-from pyspark.sql import functions as F
 
 from traits_data_spark.operators.regression import (
     MICRO,
@@ -81,3 +79,14 @@ def test_catalog_ridge_query_weights_near_unit(spark, sf_dir):
     w = ridge_solve(rows, k=RIDGE_BUCKETS + 1, lam=0.0)
     assert abs(w[0]) < 1e-3
     assert np.allclose(w[1:], 1.0, atol=1e-3)
+
+
+def test_ridge_solve_empty_input_raises_clearly(spark):
+    """Zero input rows make every SUM NULL; ridge_solve must name the
+    cause instead of dying on NoneType arithmetic (review finding)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([], "x1 double, y double")
+    rows = ridge_stats(df, ["x1"], "y").collect()
+    with _pytest.raises(ValueError, match="0 rows"):
+        ridge_solve(rows, k=2)

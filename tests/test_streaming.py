@@ -739,23 +739,31 @@ def test_streaming_pq_encode_ingest(spark, tmp_path, embeddings):
     ).write.mode("append").parquet(codes_path)
 
     # land the delta as TWO micro-batches (distinct mtimes — file
-    # stream orders by modification time)
+    # stream orders by modification time). Parquet, NOT JSON: a JSON
+    # round-trip perturbs doubles by ~1 ulp and a vector near-
+    # equidistant between two centroids could then encode differently
+    # than the batch re-encode of the exact vector (review finding).
     import os as _os
 
     landing = tmp_path / "vec_landing"
     landing.mkdir()
-    pdf = new_vecs.toPandas()
-    half = len(pdf) // 2
-    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
-        p = landing / f"batch{i}.json"
-        p.write_text(
-            chunk.to_json(orient="records", lines=True, double_precision=15)
-        )
-        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    half_df = new_vecs.withColumn(
+        "__h", (F.monotonically_increasing_id() % 2).cast("int")
+    ).cache()
+    for i in (0, 1):
+        sub = landing / f"batch{i}"
+        half_df.filter(F.col("__h") == i).drop("__h").coalesce(
+            1
+        ).write.parquet(str(sub))
+        for f in sub.iterdir():
+            _os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    stream = spark.readStream.schema(
-        "vec_id long, embedding array<double>"
-    ).json(str(landing))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(landing))
+    )
 
     def _encode(batch_df, batch_id):
         bk = batch_df.sparkSession.read.parquet(books_path)

@@ -12,8 +12,8 @@ python -m pytest tests/ -q
 echo "== oracle gate ($SF) =="
 python tools/oracle_check.py "$SF"
 
-echo "== plan audit (MAX_SCANS gate) =="
-python tools/plan_audit.py --exec
+echo "== plan audit (MAX_SCANS gate, $SF) =="
+python tools/plan_audit.py --exec "$SF"
 
 echo "== bench (sf0.1) =="
 python bench.py

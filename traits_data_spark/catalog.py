@@ -3765,8 +3765,7 @@ w{step + 1} AS (
 
     parts = [
         f"""WITH d0 AS (
-  SELECT doc_id,
-         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  SELECT doc_id, {_NORM} AS nt
   FROM documents
 ),
 wds AS (
@@ -3868,11 +3867,10 @@ def q_ridge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     docs = _t(spark, sf_dir, "documents")
     from traits_data_spark.functions.scalars import portable_hash64
+    from traits_data_spark.operators.dedup import normalized_text
     from traits_data_spark.operators.regression import ridge_stats
 
-    nt = F.lower(
-        F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    )
+    nt = normalized_text(F.col("text"))
     wlist = F.filter(F.split(nt, " "), lambda x: F.length(x) > 0)
     words = (
         docs.filter(F.col("text").isNotNull())
@@ -3926,7 +3924,7 @@ def _ridge_stats_sql(k_feats: int = RIDGE_BUCKETS) -> str:
     finals.append("SELECT 'n', 0, 0, n_rows FROM agg")
     return f"""
 WITH d AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  SELECT doc_id, {_NORM} AS nt
   FROM documents WHERE text IS NOT NULL
 ),
 w AS (
@@ -3961,7 +3959,7 @@ def q_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRAIN_BIGRAM_LM_SQL = f"""
 WITH d AS (
-  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  SELECT {_NORM} AS nt
   FROM documents WHERE text IS NOT NULL
 ),
 t AS (

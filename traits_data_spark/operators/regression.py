@@ -109,9 +109,14 @@ def ridge_solve(
     that contract."""
     import numpy as np
 
+    rows = list(stats_rows)
+    if any(r["kind"] == "n" and r["s_micro"] == 0 for r in rows):
+        # zero input rows: every SUM came back NULL — fail with the
+        # real cause, not a NoneType arithmetic error
+        raise ValueError("ridge_solve: statistics computed over 0 rows")
     xtx = np.zeros((k, k))
     xty = np.zeros(k)
-    for r in stats_rows:
+    for r in rows:
         kind, i, j, s = r["kind"], r["i"], r["j"], r["s_micro"]
         if kind == "xtx":
             xtx[i, j] = s / scale
