@@ -90,3 +90,45 @@ def test_ridge_solve_empty_input_raises_clearly(spark):
     rows = ridge_stats(df, ["x1"], "y").collect()
     with _pytest.raises(ValueError, match="0 rows"):
         ridge_solve(rows, k=2)
+
+
+def test_ridge_stats_drops_rows_with_any_null(spark):
+    """NULL contract (round-11 advisory): a row with NULL in any
+    feature or the label is excluded entirely — n, every X^T X cell,
+    and X^T y all see the same complete-row set."""
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, 5.0),
+            (None, 3.0, 7.0),   # NULL feature -> dropped
+            (2.0, None, 9.0),   # NULL feature -> dropped
+            (3.0, 1.0, None),   # NULL label   -> dropped
+            (4.0, 2.0, 11.0),
+        ],
+        "x1 double, x2 double, y double",
+    )
+    clean = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (4.0, 2.0, 11.0)], "x1 double, x2 double, y double"
+    )
+    got = sorted(map(tuple, _stats_rows(df, ["x1", "x2"], "y")))
+    want = sorted(map(tuple, _stats_rows(clean, ["x1", "x2"], "y")))
+    assert got == want
+    n = [r for r in ridge_stats(df, ["x1", "x2"], "y").collect()
+         if r["kind"] == "n"]
+    assert n[0]["s_micro"] == 2
+
+
+def test_ridge_solve_null_stat_with_rows_raises_clearly():
+    """Hand-fed stats with a NULL sum but n_rows > 0 must raise the
+    named contract error, not TypeError on None / scale."""
+    import pytest as _pytest
+
+    rows = [
+        {"kind": "xtx", "i": 0, "j": 0, "s_micro": None},
+        {"kind": "xtx", "i": 0, "j": 1, "s_micro": 1_000_000},
+        {"kind": "xtx", "i": 1, "j": 1, "s_micro": 2_000_000},
+        {"kind": "xty", "i": 0, "j": 0, "s_micro": 1_000_000},
+        {"kind": "xty", "i": 1, "j": 0, "s_micro": 1_000_000},
+        {"kind": "n", "i": 0, "j": 0, "s_micro": 3},
+    ]
+    with _pytest.raises(ValueError, match="NULL sufficient statistic"):
+        ridge_solve(rows, k=2)

@@ -3910,7 +3910,7 @@ def _ridge_stats_sql(k_feats: int = RIDGE_BUCKETS) -> str:
             )
             finals.append(
                 f"SELECT 'xtx' AS kind, {i} AS i, {j} AS j, "
-                f"xx_{i}_{j} AS s_micro FROM agg"
+                f"CAST(xx_{i}_{j} AS BIGINT) AS s_micro FROM agg"
             )
     for i in range(k):
         aggs.append(
@@ -3918,7 +3918,7 @@ def _ridge_stats_sql(k_feats: int = RIDGE_BUCKETS) -> str:
             f"AS xy_{i}"
         )
         finals.append(
-            f"SELECT 'xty', {i}, 0, xy_{i} FROM agg"
+            f"SELECT 'xty', {i}, 0, CAST(xy_{i} AS BIGINT) FROM agg"
         )
     aggs.append("COUNT(*)::BIGINT AS n_rows")
     finals.append("SELECT 'n', 0, 0, n_rows FROM agg")

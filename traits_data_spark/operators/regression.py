@@ -50,6 +50,11 @@ def ridge_stats(
     2^63 — pre-normalize features (or lower ``scale``) when magnitudes
     are large; the caller owns feature scaling exactly as with any
     normal-equations solver.
+
+    NULL contract: a row with NULL in ANY feature or the label is
+    dropped before aggregation (otherwise SUM's per-cell null-skip
+    would count the row in ``n`` and in cells not touching the NULL
+    column, yielding mutually inconsistent X^T X entries).
     """
     feats: list[Column] = [
         F.col(c) if isinstance(c, str) else c for c in feature_cols
@@ -60,6 +65,11 @@ def ridge_stats(
     y = y.cast("double")
     feats = [f.cast("double") for f in feats]
     k = len(feats)
+
+    complete = y.isNotNull()
+    for f in feats:
+        complete = complete & f.isNotNull()
+    df = df.where(complete)
 
     def q(prod: Column) -> Column:
         return F.round(prod * F.lit(float(scale))).cast("long")
@@ -114,6 +124,13 @@ def ridge_solve(
         # zero input rows: every SUM came back NULL — fail with the
         # real cause, not a NoneType arithmetic error
         raise ValueError("ridge_solve: statistics computed over 0 rows")
+    if any(r["s_micro"] is None for r in rows):
+        # n_rows > 0 yet a sum is NULL: stats were built without the
+        # ridge_stats NULL filter (e.g. hand-fed) — fail loudly
+        raise ValueError(
+            "ridge_solve: NULL sufficient statistic with n_rows > 0 "
+            "(input rows with NULL features were not filtered)"
+        )
     xtx = np.zeros((k, k))
     xty = np.zeros(k)
     for r in rows:
