@@ -17,3 +17,6 @@ python tools/plan_audit.py --exec "$SF"
 
 echo "== bench (sf0.1) =="
 python bench.py
+
+echo "== bench vs anchor =="
+python tools/bench_compare.py
