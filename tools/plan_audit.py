@@ -93,6 +93,8 @@ HEADLINE = [
     "bm25_topk",
     "bm25_topk_champion",
     "ridge_stats",
+    "unigram_train",
+    "unigram_train_tokens",
 ]
 
 
@@ -124,6 +126,12 @@ MAX_SCANS = {
     "train_bigram_lm": 3,
     # one corpus scan, one featurize shuffle, single-row stats agg
     "ridge_stats": 2,
+    # corpus scanned once at the word-count checkpoint; EM runs on the
+    # collected vocab artifact, so the FINAL plan is driver-built
+    # (0 raw scans, like bpe_train's post-checkpoint state)
+    "unigram_train": 2,
+    # + the apply pass re-reads the corpus for the doc-grain join
+    "unigram_train_tokens": 3,
 }
 
 

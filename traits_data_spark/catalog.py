@@ -148,6 +148,15 @@ from traits_data_spark.operators.text import (
     tfidf_top_terms,
     token_counts,
     unigram_token_counts,
+    unigram_train,
+    unigram_train_token_counts,
+    UNIGRAM_TRAIN_MAX_PIECE_LEN,
+    UNIGRAM_TRAIN_MAX_WORD_LEN,
+    UNIGRAM_TRAIN_EM_ITERS,
+    UNIGRAM_TRAIN_VOCAB_SIZE,
+    UNIGRAM_TRAIN_SEED_CAP,
+    UNIGRAM_TRAIN_UNK_Q20,
+    UNIGRAM_MAX_WORD_LEN,
     vocab_drift,
     winnow_fingerprints,
     winnow_matches,
@@ -3985,6 +3994,295 @@ FROM counts c JOIN ctx x USING (u) CROSS JOIN v
 """
 
 
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SentencePiece-style unigram-LM tokenizer TRAINING
+    over the documents corpus (``operators.text.unigram_train``, Kudo
+    ACL'18) — the last member of the on-cluster trainer triad next to
+    ``bpe_train`` and ``train_bigram_lm``, replacing the offline
+    artifact builder ``tools/build_unigram_vocab.py``: substring-seeded
+    counts, 2 hard-EM refinements (Viterbi E-step over the distinct
+    words; M-step count→log-prob via the transcendental-free
+    square-and-shift ``ilog2_q20``), pruned to 150 pieces with
+    single-char coverage. The oracle replays the WHOLE chain in
+    recursive CTEs — the seed explosion, the fixed-point log2 digit
+    recurrence, the ``(score, -n, len)`` tie-broken Viterbi with
+    backtrace, the singles floor, and the final prune — so piece
+    counts AND Q20 log-probs are BIGINT-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_train(docs)
+
+
+def _ilog2_ctes(name: str, src: str, key: str) -> str:
+    """Recursive-CTE fixed-point ``log2`` in Q20 over relation ``src``
+    providing ``({key}, x BIGINT >= 1)`` — the SQL twin of
+    ``functions.intmath.ilog2_q20`` (same square-and-shift digit
+    recurrence, max intermediate 2^62, so counts→log-probs are
+    engine-exact integers with NO libm on either side). Emits CTE
+    ``{name}({key}, il)``. A recursive CTE (not lateral column
+    aliases, which DuckDB expands by exponential textual
+    substitution; not an unrolled 20-column SELECT for the same
+    reason) keeps the plan linear in the 20 fraction bits."""
+    return f"""
+{name}_b AS MATERIALIZED (
+  SELECT {key}, x, CAST(length(bin(x)) - 1 AS BIGINT) AS bb FROM {src}
+),
+{name}_it AS (
+  SELECT {key}, bb,
+         CASE WHEN bb <= 30 THEN x * (1::BIGINT << CAST(30 - bb AS INT))
+              ELSE x >> CAST(bb - 30 AS INT) END AS m,
+         0::BIGINT AS f, 0 AS k
+  FROM {name}_b
+  UNION ALL
+  SELECT {key}, bb, CASE WHEN t >= 2147483648 THEN t >> 1 ELSE t END,
+         f * 2 + CASE WHEN t >= 2147483648 THEN 1 ELSE 0 END, k + 1
+  FROM (SELECT {key}, bb, (m * m) >> 30 AS t, f, k
+        FROM {name}_it WHERE k < 20)
+),
+{name} AS MATERIALIZED (SELECT {key}, (bb << 20) + f AS il FROM {name}_it WHERE k = 20)"""
+
+
+def _unigram_score_ctes(p: str, cnt: str) -> str:
+    """Q20 log2-prob scores from a piece-count relation ``cnt(piece,
+    c)``: ``il(c) - il(total)`` — the trainer's M-step. Emits
+    ``{p}score(piece, s)``."""
+    return (
+        f"""
+{p}tot AS MATERIALIZED (SELECT 1 AS j, CAST(SUM(c) AS BIGINT) AS x FROM {cnt}),"""
+        + _ilog2_ctes(f"{p}ilt", f"{p}tot", "j")
+        + ","
+        + _ilog2_ctes(f"{p}ilp", f"(SELECT piece, c AS x FROM {cnt})", "piece")
+        + f""",
+{p}score AS MATERIALIZED (
+  SELECT p.piece, p.il - t.il AS s FROM {p}ilp p CROSS JOIN {p}ilt t
+)"""
+    )
+
+
+def _unigram_viterbi_ctes(
+    p: str,
+    words: str,
+    vocab: str,
+    maxp: int = UNIGRAM_TRAIN_MAX_PIECE_LEN,
+    unk: int = UNIGRAM_TRAIN_UNK_Q20,
+    with_backtrace: bool = True,
+) -> str:
+    """Recursive-CTE Viterbi over ``words(w)`` with piece scores
+    ``vocab(piece, s)``: forward DP maximizing ``(score, -n_pieces,
+    piece_len)`` lexicographically (struct ``{{s, n, l}}`` —
+    ``list_sort(...)[-1]`` IS that max, and the third key pins the
+    chosen pieces when segmentations tie, matching
+    ``unigram_train_viterbi_py``), then a backtrace recursion
+    extracting the pieces. Emits ``{p}fin(w, d)`` (full DP list; final
+    state at ``d[length(w)+1]``) and, with backtrace, ``{p}toks(w,
+    pieces)``. Unknown single chars score ``unk``; longer unknown
+    substrings are not candidates."""
+    bt = f""",
+{p}bt AS (
+  SELECT w, CAST(length(w) AS BIGINT) AS pos, []::VARCHAR[] AS pieces, d
+  FROM {p}fin
+  UNION ALL
+  SELECT w, pos - d[CAST(pos + 1 AS INT)].l,
+         list_append(pieces,
+           w[CAST(pos - d[CAST(pos + 1 AS INT)].l + 1 AS INT)
+             : CAST(pos AS INT)]),
+         d
+  FROM {p}bt WHERE pos > 0
+),
+{p}toks AS MATERIALIZED (
+  SELECT w, list_reverse(pieces) AS pieces FROM {p}bt WHERE pos = 0
+)"""
+    return f"""
+{p}cand0 AS MATERIALIZED (
+  SELECT w.w, CAST(i AS BIGINT) AS i, CAST(l AS BIGINT) AS l,
+         w.w[CAST(i - l + 1 AS INT) : CAST(i AS INT)] AS piece
+  FROM {words} w,
+       LATERAL unnest(range(1, length(w.w) + 1)) AS t1(i),
+       LATERAL unnest(range(1, least({maxp}, i) + 1)) AS t2(l)
+),
+{p}cand AS MATERIALIZED (
+  SELECT c.w, c.i, c.l,
+         COALESCE(v.s, CASE WHEN c.l = 1 THEN {unk}::BIGINT END) AS s
+  FROM {p}cand0 c LEFT JOIN {vocab} v ON v.piece = c.piece
+  WHERE COALESCE(v.s, CASE WHEN c.l = 1 THEN 0 END) IS NOT NULL
+),
+{p}candl AS MATERIALIZED (
+  SELECT w, list_sort(list({{'i': i, 'l': l, 's': s}})) AS cs
+  FROM {p}cand GROUP BY w
+),
+{p}dp AS (
+  SELECT c.w, 0::BIGINT AS i,
+         [{{'s': 0::BIGINT, 'n': 0::BIGINT, 'l': 0::BIGINT}}] AS d
+  FROM {p}candl c
+  UNION ALL
+  SELECT dp.w, dp.i + 1,
+         dp.d || [list_sort(list_transform(
+                    list_filter(c.cs, x -> x.i = dp.i + 1),
+                    x -> {{'s': dp.d[CAST(dp.i + 2 - x.l AS INT)].s + x.s,
+                          'n': dp.d[CAST(dp.i + 2 - x.l AS INT)].n - 1,
+                          'l': x.l}}))[-1]]
+  FROM {p}dp dp JOIN {p}candl c ON c.w = dp.w
+  WHERE dp.i < length(dp.w)
+),
+{p}fin AS MATERIALIZED (SELECT w, d FROM {p}dp WHERE i = length(w)){bt if with_backtrace else ""}"""
+
+
+def _unigram_estep_ctes(p: str, score_rel: str) -> str:
+    """One hard-EM E-step: Viterbi every distinct word under
+    ``score_rel``, count chosen pieces occurrence-weighted, then apply
+    the single-char coverage floor (missing seeded singles re-enter at
+    count 1 — ``counts.setdefault(p, 1)`` in the Spark loop). Emits
+    ``{p}cnt_f(piece, c)``. Assumes ``w0(w, c)`` and
+    ``useed_singles(piece)`` exist."""
+    return (
+        _unigram_viterbi_ctes(p, "w0", score_rel)
+        + f""",
+{p}cnt AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c) AS BIGINT) AS c
+  FROM (SELECT unnest(t.pieces) AS piece, w0.c
+        FROM {p}toks t JOIN w0 USING (w))
+  GROUP BY piece
+),
+{p}cnt_f AS MATERIALIZED (
+  SELECT COALESCE(n.piece, s.piece) AS piece,
+         COALESCE(n.c, 1::BIGINT) AS c
+  FROM {p}cnt n FULL OUTER JOIN useed_singles s ON n.piece = s.piece
+)"""
+    )
+
+
+def _unigram_train_chain_ctes(
+    max_word_len: int = UNIGRAM_TRAIN_MAX_WORD_LEN,
+    max_piece_len: int = UNIGRAM_TRAIN_MAX_PIECE_LEN,
+    em_iters: int = UNIGRAM_TRAIN_EM_ITERS,
+    vocab_size: int = UNIGRAM_TRAIN_VOCAB_SIZE,
+    seed_cap: int = UNIGRAM_TRAIN_SEED_CAP,
+) -> tuple[str, str]:
+    """The full unigram-trainer replay: seed → ``em_iters`` E/M rounds
+    → prune. Returns ``(ctes, final_cnt_name)`` where the final CTE
+    chain ends with ``ukept(piece, c)`` (the pruned vocabulary) and
+    ``ufscore(piece, s)`` (its Q20 log-probs)."""
+    parts = [
+        f"""ud0 AS (
+  SELECT {_NORM} AS nt FROM documents
+),
+uwds AS (
+  SELECT unnest(list_filter(string_split(nt, ' '),
+                x -> length(x) > 0 AND length(x) <= {max_word_len})) AS w
+  FROM ud0 WHERE nt IS NOT NULL
+),
+w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uwds GROUP BY w),
+useed0 AS (
+  SELECT w0.w[CAST(i - l + 1 AS INT) : CAST(i AS INT)] AS piece, w0.c
+  FROM w0,
+       LATERAL unnest(range(1, length(w0.w) + 1)) AS t1(i),
+       LATERAL unnest(range(1, least({max_piece_len}, i) + 1)) AS t2(l)
+),
+useed_cnt AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c) AS BIGINT) AS c FROM useed0 GROUP BY piece
+),
+useed_singles AS MATERIALIZED (SELECT piece FROM useed_cnt WHERE length(piece) = 1),
+useed AS MATERIALIZED (
+  SELECT piece, c FROM useed_cnt WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, piece ASC) AS rk
+    FROM useed_cnt WHERE length(piece) > 1)
+  WHERE rk <= {seed_cap}
+)"""
+    ]
+    cnt = "useed"
+    for it in range(1, em_iters + 1):
+        parts.append(_unigram_score_ctes(f"um{it}_", cnt))
+        parts.append(_unigram_estep_ctes(f"ue{it}_", f"um{it}_score"))
+        cnt = f"ue{it}_cnt_f"
+    parts.append(
+        f"""
+unsing AS (SELECT COUNT(*) AS n FROM useed_singles),
+ukept AS MATERIALIZED (
+  SELECT piece, c FROM {cnt} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, piece ASC) AS rk
+    FROM {cnt} WHERE length(piece) > 1)
+  WHERE rk <= {vocab_size} - (SELECT n FROM unsing)
+)"""
+    )
+    parts.append(_unigram_score_ctes("uf_", "ukept"))
+    parts.append(
+        "\nufscore AS MATERIALIZED (SELECT piece, s FROM uf_score)"
+    )
+    return ",".join(parts), "ukept"
+
+
+def _unigram_train_sql() -> str:
+    ctes, kept = _unigram_train_chain_ctes()
+    return f"""WITH RECURSIVE {ctes}
+SELECT k.piece, k.c AS em_count, f.s AS logp2_q20
+FROM {kept} k JOIN ufscore f USING (piece)"""
+
+
+def q_unigram_train_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram LM on the documents corpus, then tokenize
+    that same corpus with the pieces just learned
+    (``operators.text.unigram_train_token_counts``) — the end-to-end
+    train→apply chain for the SentencePiece family (mirror of
+    ``bpe_train_tokens``). Per-document learned-unigram token counts
+    and total negative Q20 log2-prob; application is total (UNK
+    single-char fallback; char segmentation beyond the DP length
+    guard); empty docs keep a 0 row. The oracle replays the training
+    chain and then runs the SAME recursive-CTE Viterbi once more over
+    the full corpus vocabulary with the learned scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_train_token_counts(docs)
+
+
+def _unigram_train_tokens_sql(
+    apply_max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+    unk: int = UNIGRAM_TRAIN_UNK_Q20,
+) -> str:
+    ctes, _ = _unigram_train_chain_ctes()
+    return f"""WITH RECURSIVE {ctes},
+uadw AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM}, ' '),
+                x -> length(x) > 0)) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+uaw AS MATERIALIZED (SELECT DISTINCT w FROM uadw WHERE length(w) <= {apply_max_word_len}),
+{_unigram_viterbi_ctes("ua_", "uaw", "ufscore", with_backtrace=False).lstrip()},
+ua_res AS MATERIALIZED (
+  SELECT w,
+         CAST(-d[length(w) + 1].n AS BIGINT) AS n_tokens,
+         CAST(-d[length(w) + 1].s AS BIGINT) AS nll
+  FROM ua_fin
+),
+uafb0 AS (
+  SELECT a.w, a.w[CAST(i AS INT) : CAST(i AS INT)] AS ch
+  FROM (SELECT DISTINCT w FROM uadw
+        WHERE length(w) > {apply_max_word_len}) a,
+       LATERAL unnest(range(1, length(a.w) + 1)) AS t(i)
+),
+uafb AS (
+  SELECT f.w, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(-SUM(COALESCE(v.s, {unk})) AS BIGINT) AS nll
+  FROM uafb0 f LEFT JOIN ufscore v ON v.piece = f.ch
+  GROUP BY f.w
+),
+uaperw AS (SELECT * FROM ua_res UNION ALL SELECT * FROM uafb),
+uasums AS (
+  SELECT dw.doc_id, CAST(SUM(p.n_tokens) AS BIGINT) AS nt,
+         CAST(SUM(p.nll) AS BIGINT) AS nl
+  FROM uadw dw JOIN uaperw p USING (w) GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.nt, 0) AS BIGINT) AS unigram_trained_tokens,
+       CAST(COALESCE(s.nl, 0) AS BIGINT) AS nll_q20
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN uasums s USING (doc_id)"""
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility report — tokens per whitespace
     word under all THREE shipped subword tokenizers (greedy
@@ -6640,10 +6938,13 @@ QUERIES: Mapping[str, QueryFn] = {
     "train_bigram_lm": q_train_bigram_lm,
     "bm25_topk_champion": q_bm25_topk_champion,
     "ridge_stats": q_ridge_stats,
-    "scd2_merge": q_scd2_merge,
-    "dsir_select": q_dsir_select,
-    "dsir_select_sampled": q_dsir_select_sampled,
-    "matryoshka_recall": q_matryoshka_recall,
+    # -- new round 12: on-cluster unigram-LM (SentencePiece) training —
+    #    completes the trainer triad (scd2_merge / dsir_select /
+    #    dsir_select_sampled / matryoshka_recall rotated out round 12 —
+    #    driver-green rounds 10 AND 11 — to reserve these slots BEFORE
+    #    adding, per the round-10 overflow lesson) ------------------------
+    "unigram_train": q_unigram_train,
+    "unigram_train_tokens": q_unigram_train_tokens,
     "hard_negatives": q_hard_negatives,
     "vocab_drift": q_vocab_drift,
     "copy_pagerank": q_copy_pagerank,
@@ -6675,6 +6976,12 @@ QUERIES: Mapping[str, QueryFn] = {
     #    near-dup flagships stay in-window) ------------------------------
     "lsh_candidates": q_lsh_candidates,
     # ---- driver window boundary (slot 50) --------------------------------
+    # rotated out round 12 (driver-green rounds 10 AND 11) to make room
+    # for the round-12 additions:
+    "scd2_merge": q_scd2_merge,
+    "dsir_select": q_dsir_select,
+    "dsir_select_sampled": q_dsir_select_sampled,
+    "matryoshka_recall": q_matryoshka_recall,
     # rotated out round 11 (driver-green rounds 4 through 10; see the
     # rotation note above):
     "image_metadata": q_image_metadata,
@@ -6833,6 +7140,8 @@ def oracle_sqls() -> dict[str, str]:
         "train_bigram_lm": _TRAIN_BIGRAM_LM_SQL,
         "bm25_topk_champion": _bm25_sql(champion_n=BM25_CHAMPION_N),
         "ridge_stats": _ridge_stats_sql(),
+        "unigram_train": _unigram_train_sql(),
+        "unigram_train_tokens": _unigram_train_tokens_sql(),
         "scd2_merge": _SCD2_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,

@@ -1757,3 +1757,288 @@ def train_bigram_lm(
             ).alias("p"),
         )
     )
+
+
+# --- on-cluster unigram-LM (SentencePiece) training --------------------
+
+UNIGRAM_TRAIN_MAX_PIECE_LEN = 4
+UNIGRAM_TRAIN_MAX_WORD_LEN = 16
+UNIGRAM_TRAIN_EM_ITERS = 2
+UNIGRAM_TRAIN_VOCAB_SIZE = 150
+UNIGRAM_TRAIN_SEED_CAP = 4096
+# 2^-40 in Q20 micro-bits. In TRAINING this never fires (every corpus
+# char is a seeded single); it exists for the apply path's totality on
+# unseen text.
+UNIGRAM_TRAIN_UNK_Q20 = -(40 << 20)
+
+
+def unigram_train_viterbi_py(
+    word: str,
+    scores: Mapping[str, int],
+    max_piece_len: int = UNIGRAM_TRAIN_MAX_PIECE_LEN,
+) -> tuple[int, int, list[str]]:
+    """Viterbi segmentation WITH backtrace for the unigram trainer's
+    E-step: maximize ``(Σ score_q20, -n_pieces, last_piece_len)``
+    lexicographically. The third key makes the CHOSEN PIECES (not just
+    the optimum value) deterministic when two segmentations tie on
+    score and count — the trainer counts pieces, so both engines must
+    pick the same ones (the DuckDB oracle's ``list_sort(...)[-1]``
+    realizes the identical order). Returns
+    ``(n_tokens, total_score_q20, pieces)``. Unknown single chars take
+    ``UNIGRAM_TRAIN_UNK_Q20``."""
+    L = len(word)
+    # dp[i] = best (score, -count, piece_len) for word[:i]
+    dp: list[tuple[int, int, int]] = [(0, 0, 0)] + [None] * L  # type: ignore[list-item]
+    for i in range(1, L + 1):
+        best = None
+        for l in range(1, min(max_piece_len, i) + 1):
+            s = scores.get(word[i - l : i])
+            if s is None:
+                if l != 1:
+                    continue
+                s = UNIGRAM_TRAIN_UNK_Q20
+            prev = dp[i - l]
+            cand = (prev[0] + s, prev[1] - 1, l)
+            if best is None or cand > best:
+                best = cand
+        dp[i] = best  # type: ignore[assignment]
+    pieces: list[str] = []
+    pos = L
+    while pos > 0:
+        l = dp[pos][2]
+        pieces.append(word[pos - l : pos])
+        pos -= l
+    pieces.reverse()
+    return -dp[L][1], dp[L][0], pieces
+
+
+def _unigram_seed_counts(
+    wc: DataFrame, max_piece_len: int, seed_cap: int
+) -> DataFrame:
+    """Substring-seeded piece counts from the distinct-word table:
+    every substring of length ``1..max_piece_len`` of every word,
+    occurrence-weighted — the standard unigram-LM candidate inventory
+    (Kudo 2018 seeds from frequent substrings the same way). Single
+    chars are ALWAYS kept (coverage); multi-char pieces are capped at
+    the top ``seed_cap`` by ``(count DESC, piece ASC)`` so the driver
+    collect that follows is bounded by the CAP, not by the corpus'
+    substring diversity (the 100-TB guard: a CJK-heavy corpus has
+    billions of distinct 4-grams; its top few thousand is a model
+    artifact). The global rank window runs on the already-aggregated
+    piece table — vocab-scale, one task, microseconds."""
+    pieces = (
+        wc.select(
+            "c", "w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+        )
+        .select(
+            "c",
+            "w",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), F.col("i"))
+                )
+            ).alias("l"),
+        )
+        .select(
+            F.col("w").substr(
+                F.col("i") - F.col("l") + 1, F.col("l")
+            ).alias("piece"),
+            "c",
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    singles = pieces.filter(F.length("piece") == 1)
+    rk = Window.orderBy(F.col("c").desc(), F.col("piece").asc())
+    multis = (
+        pieces.filter(F.length("piece") > 1)
+        .withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") <= int(seed_cap))
+        .drop("__rk")
+    )
+    return singles.unionByName(multis)
+
+
+def _unigram_train_loop(
+    df: DataFrame,
+    text_col: str,
+    max_word_len: int,
+    max_piece_len: int,
+    em_iters: int,
+    vocab_size: int,
+    seed_cap: int,
+) -> tuple[dict[str, int], list[tuple[str, int, int]]]:
+    """Shared unigram-LM EM loop. Returns ``(scores, rows)`` where
+    ``scores`` maps each kept piece to its final Q20 log2-prob and
+    ``rows`` is the pruned ``(piece, em_count, logp2_q20)`` table.
+
+    Execution shape (the one that scales): the corpus is touched ONCE
+    (the distinct-word count shuffle — the same Zipf collapse every
+    tokenizer op here rides, persisted across iterations); the seed
+    pass and every E-step then run on vocab-scale frames. Per
+    iteration: one driver collect of the ≤(seed_cap + alphabet)-row
+    count table (a bounded model artifact, the same contract as
+    ``_bpe_train_loop``'s per-merge collect), a driver-side
+    count→score conversion via the transcendental-free
+    ``ilog2_q20`` (``functions.intmath`` — NO libm anywhere, so the
+    scores are engine-exact integers), one broadcast, one Arrow-batched
+    Viterbi over the distinct words, and one vocab-scale re-count
+    shuffle."""
+    from traits_data_spark.functions.intmath import logp2_q20
+
+    wc = _bpe_train_words(df, text_col, max_word_len).localCheckpoint()
+    seed = _unigram_seed_counts(wc, max_piece_len, seed_cap)
+    counts = {r["piece"]: int(r["c"]) for r in seed.collect()}
+    if not counts:
+        return {}, []
+    singles = sorted(p for p in counts if len(p) == 1)
+    spark = df.sparkSession
+
+    for _ in range(em_iters):
+        total = sum(counts.values())
+        scores = {p: logp2_q20(c, total) for p, c in counts.items()}
+        bc = spark.sparkContext.broadcast(scores)
+
+        @F.pandas_udf("array<string>")
+        def _pieces(words: pd.Series) -> pd.Series:
+            t = bc.value
+            return words.map(
+                lambda w: unigram_train_viterbi_py(w, t, max_piece_len)[2]
+            )
+
+        new = (
+            wc.select(F.explode(_pieces(F.col("w"))).alias("piece"), "c")
+            .groupBy("piece")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        counts = {r["piece"]: int(r["c"]) for r in new.collect()}
+        for p in singles:
+            counts.setdefault(p, 1)  # coverage floor
+
+    # prune: singles always kept; multis by (count DESC, piece ASC)
+    multis = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )
+    kept = {p: counts[p] for p in singles}
+    for p, c in multis[: max(0, vocab_size - len(kept))]:
+        kept[p] = c
+    total = sum(kept.values())
+    rows = [
+        (p, c, logp2_q20(c, total)) for p, c in sorted(kept.items())
+    ]
+    return {p: lp for p, _, lp in rows}, rows
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = UNIGRAM_TRAIN_MAX_WORD_LEN,
+    max_piece_len: int = UNIGRAM_TRAIN_MAX_PIECE_LEN,
+    em_iters: int = UNIGRAM_TRAIN_EM_ITERS,
+    vocab_size: int = UNIGRAM_TRAIN_VOCAB_SIZE,
+    seed_cap: int = UNIGRAM_TRAIN_SEED_CAP,
+) -> DataFrame:
+    """Train a SentencePiece-style unigram LM tokenizer ON-CLUSTER
+    (Kudo, ACL'18) — the third and last member of the tokenizer-trainer
+    triad next to ``bpe_train`` (merge learning) and
+    ``train_bigram_lm`` (LM sufficient statistics), replacing the
+    offline artifact builder ``tools/build_unigram_vocab.py`` for the
+    100-TB regime where the tokenizer must be trained on the corpus
+    being curated: substring-seeded candidate counts, ``em_iters``
+    hard-EM refinements (Viterbi E-step over the distinct-word table;
+    M-step count→log-prob via the engine-exact integer ``ilog2_q20``,
+    never libm), then pruning to ``vocab_size`` with single-char
+    coverage guaranteed.
+
+    Returns the learned piece inventory ``(piece, em_count,
+    logp2_q20)``: final E-step occurrence count and Q20 fixed-point
+    ``log2(count/total)`` — all BIGINT, hash-exact against the oracle's
+    recursive-CTE replay of the same seeding, the same square-and-shift
+    log2, and the same ``(score, -n, len)`` tie-broken Viterbi."""
+    _, rows = _unigram_train_loop(
+        df, text_col, max_word_len, max_piece_len, em_iters, vocab_size,
+        seed_cap,
+    )
+    return df.sparkSession.createDataFrame(
+        rows, "piece string, em_count long, logp2_q20 long"
+    )
+
+
+def unigram_train_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "unigram_trained_tokens",
+    max_word_len: int = UNIGRAM_TRAIN_MAX_WORD_LEN,
+    max_piece_len: int = UNIGRAM_TRAIN_MAX_PIECE_LEN,
+    em_iters: int = UNIGRAM_TRAIN_EM_ITERS,
+    vocab_size: int = UNIGRAM_TRAIN_VOCAB_SIZE,
+    seed_cap: int = UNIGRAM_TRAIN_SEED_CAP,
+    apply_max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+) -> DataFrame:
+    """Train the unigram LM on the corpus, then tokenize the SAME
+    corpus with the pieces just learned — the end-to-end on-cluster
+    chain (mirrors ``bpe_train_token_counts`` for the BPE family).
+    Application is TOTAL: every word segments via Viterbi under the
+    learned scores with single-char UNK fallback, and words longer
+    than ``apply_max_word_len`` (excluded from training and from the
+    O(L²) DP) tokenize as chars. Output: ``(id_col, out_col,
+    nll_q20)`` — token count and total negative Q20 log2-prob;
+    documents with no words keep their row with 0s."""
+    scores, _ = _unigram_train_loop(
+        df, text_col, max_word_len, max_piece_len, em_iters, vocab_size,
+        seed_cap,
+    )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(scores)
+
+    @F.pandas_udf("n_tokens long, nll_q20 long")
+    def _tok(words: pd.Series) -> pd.DataFrame:
+        t = bc.value
+
+        def one(w: str) -> tuple[int, int]:
+            if len(w) > apply_max_word_len:
+                s = sum(t.get(c, UNIGRAM_TRAIN_UNK_Q20) for c in w)
+                return len(w), -s
+            n, s, _ = unigram_train_viterbi_py(w, t, max_piece_len)
+            return n, -s
+
+        out = words.map(one)
+        return pd.DataFrame(
+            {
+                "n_tokens": out.map(lambda p: p[0]).astype("int64"),
+                "nll_q20": out.map(lambda p: p[1]).astype("int64"),
+            }
+        )
+
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    warr = F.filter(F.split(nt, " "), lambda w: F.length(w) > 0)
+    words = df.select(F.col(id_col), F.explode(warr).alias("__w"))
+    percw = (
+        words.select("__w")
+        .distinct()
+        .withColumn("__t", _tok(F.col("__w")))
+        .select("__w", "__t.n_tokens", "__t.nll_q20")
+    )
+    sums = (
+        words.join(F.broadcast(percw), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_tokens").cast("long").alias(out_col),
+            F.sum("nll_q20").cast("long").alias("nll_q20"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(sums, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col),
+            F.coalesce(F.col("nll_q20"), F.lit(0)).cast("long").alias(
+                "nll_q20"
+            ),
+        )
+    )
