@@ -92,6 +92,7 @@ LOAD_BEARING = [
     # round-12 additions: must be driver-attested before rotating out
     "unigram_train",
     "unigram_train_tokens",
+    "train_quality_classifier",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

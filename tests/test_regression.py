@@ -132,3 +132,126 @@ def test_ridge_solve_null_stat_with_rows_raises_clearly():
     ]
     with _pytest.raises(ValueError, match="NULL sufficient statistic"):
         ridge_solve(rows, k=2)
+
+
+# ------------------------- in-plan Cramer solve / train_linear_scorer
+
+
+def test_leibniz_det_matches_numpy():
+    import duckdb
+    import numpy as np
+
+    from traits_data_spark.operators.regression import leibniz_det_sql
+
+    rng = np.random.default_rng(11)
+    for k in (2, 3, 4):
+        m = rng.integers(-9, 10, size=(k, k)).astype(float)
+        expr = leibniz_det_sql(
+            [
+                [f"CAST({m[i, j]!r} AS DOUBLE)" for j in range(k)]
+                for i in range(k)
+            ]
+        )
+        got = duckdb.sql(f"SELECT {expr} AS d").fetchone()[0]
+        assert abs(got - np.linalg.det(m)) < 1e-6
+
+
+def test_leibniz_det_rejects_large_k():
+    import pytest as _pytest
+
+    from traits_data_spark.operators.regression import leibniz_det_sql
+
+    with _pytest.raises(ValueError):
+        leibniz_det_sql([["0"] * 6 for _ in range(6)])
+
+
+def test_cramer_weight_sql_matches_ridge_solve():
+    """The in-plan Cramer weights must agree with the driver-side
+    numpy solve on the same statistics (to float tolerance — the two
+    paths factor differently)."""
+    import duckdb
+    import numpy as np
+
+    from traits_data_spark.operators.regression import (
+        cramer_weight_sql,
+        ridge_solve,
+    )
+
+    rng = np.random.default_rng(5)
+    X = np.hstack(
+        [np.ones((40, 1)), rng.integers(0, 50, size=(40, 2)).astype(float)]
+    )
+    yv = X @ np.array([3.0, 2.0, -1.5]) + rng.normal(0, 0.1, 40)
+    k = 3
+    cols, rows = [], []
+    for i in range(k):
+        for j in range(i, k):
+            s = int(round((X[:, i] * X[:, j] * 1e6).round().sum()))
+            cols.append(f"{s}::BIGINT AS xx_{i}_{j}")
+            rows.append({"kind": "xtx", "i": i, "j": j, "s_micro": s})
+    for i in range(k):
+        s = int((np.round(X[:, i] * yv * 1e6)).sum())
+        cols.append(f"{s}::BIGINT AS xy_{i}")
+        rows.append({"kind": "xty", "i": i, "j": 0, "s_micro": s})
+    rows.append({"kind": "n", "i": 0, "j": 0, "s_micro": 40})
+    lam = 1.0
+    wex = cramer_weight_sql(k, lam=lam)
+    got = duckdb.sql(
+        "SELECT "
+        + ", ".join(f"({w}) AS w_{i}" for i, w in enumerate(wex))
+        + " FROM (SELECT "
+        + ", ".join(cols)
+        + ")"
+    ).fetchone()
+    want = ridge_solve(rows, k=k, lam=lam)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_train_linear_scorer_recovers_exact_linear_label(spark):
+    """label = 5 + 2*x1 + 3*x2 exactly, lam=0: the learned micro
+    weights must reproduce the label exactly on every row (train and
+    held-out), because the statistics are exact integers and the
+    Cramer ratio of exact determinants quantizes to the true
+    weights."""
+    import random
+
+    from traits_data_spark.operators.regression import train_linear_scorer
+
+    random.seed(3)
+    data = [
+        (i, random.randint(0, 20), random.randint(0, 20))
+        for i in range(60)
+    ]
+    rows = [(i, x1, x2, float(5 + 2 * x1 + 3 * x2)) for i, x1, x2 in data]
+    df = spark.createDataFrame(
+        rows, "doc_id long, x1 long, x2 long, y double"
+    )
+    got = train_linear_scorer(
+        df, ["x1", "x2"], "y", lam=0.0, pred_col="pred_micro"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    for i, x1, x2 in data:
+        r = by_id[i]
+        assert r["pred_micro"] == (5 + 2 * x1 + 3 * x2) * 1_000_000
+        assert r["is_train"] == (1 if i % 5 == 1 else 0)
+
+
+def test_train_linear_scorer_scores_unlabeled_rows(spark):
+    """Rows with NULL label (outside the expensive-label slice) must
+    still be scored — distillation's whole point."""
+    from traits_data_spark.operators.regression import train_linear_scorer
+
+    rows = [
+        (i, i % 7, float(10 + 4 * (i % 7))) if i % 5 == 1 else (i, i % 7, None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, x1 long, y double")
+    got = {
+        r["doc_id"]: r["pred_micro"]
+        for r in train_linear_scorer(
+            df, ["x1"], "y", lam=0.0, pred_col="pred_micro"
+        ).collect()
+    }
+    assert len(got) == 40
+    for i in range(40):
+        assert got[i] == (10 + 4 * (i % 7)) * 1_000_000

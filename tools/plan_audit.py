@@ -95,6 +95,7 @@ HEADLINE = [
     "ridge_stats",
     "unigram_train",
     "unigram_train_tokens",
+    "train_quality_classifier",
 ]
 
 
@@ -132,6 +133,11 @@ MAX_SCANS = {
     "unigram_train": 2,
     # + the apply pass re-reads the corpus for the doc-grain join
     "unigram_train_tokens": 3,
+    # persisted (id, features, label) base + slice-only LM labeling:
+    # documents x2 (features, label tokenize) + the tiny committed
+    # word-LM artifact files (bigram x1, context x3 — vocab map, unk
+    # join, unseen join; artifact-sized, not corpus) — audited 6
+    "train_quality_classifier": 6,
 }
 
 

@@ -3950,6 +3950,148 @@ agg AS (SELECT {", ".join(aggs)} FROM f)
 {" UNION ALL ".join(finals)}"""
 
 
+TQC_FEATURES = ("n_words_f", "n_punct_f", "n_stop_f")
+TQC_LAM = 1.0
+
+
+def _tqc_features(docs: DataFrame) -> DataFrame:
+    """Integer surface features for the trained quality scorer —
+    word / punctuation / stopword COUNTS (not ratios: the exact-LONG
+    scoring contract of ``train_linear_scorer`` wants integer
+    features), NULL text → all-zero row. Same regex classes and
+    normalized stopword match as ``quality_features``."""
+    from traits_data_spark.operators.text import (
+        _STOPWORDS_EN,
+        NONSPACE,
+        PUNCT_CLASS,
+        _count_matches,
+    )
+    from traits_data_spark.operators.dedup import normalized_text
+
+    t = F.col("text")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS_EN])
+    n_stop = F.size(
+        F.filter(
+            F.split(normalized_text(t), " "),
+            lambda w: F.array_contains(stop_arr, w),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(_count_matches(t, NONSPACE), F.lit(0))
+        .cast("long")
+        .alias("n_words_f"),
+        F.coalesce(_count_matches(t, PUNCT_CLASS), F.lit(0))
+        .cast("long")
+        .alias("n_punct_f"),
+        F.coalesce(n_stop, F.lit(0)).cast("long").alias("n_stop_f"),
+    )
+
+
+def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED quality-classifier training loop on ``ridge_stats``
+    (``operators.regression.train_linear_scorer``): distill the
+    expensive CCNet LM-perplexity signal (``lm_perplexity``'s
+    ``avg_lp_micro``, computed here only on the labeled slice) into a
+    cheap linear surface-feature model — label the deterministic 20%
+    id-slice (``doc_id % 5 == 1``, disjoint from the LM artifact's own
+    ``% 10 == 0`` training split), fit ridge via the one-pass exact
+    sufficient statistics, solve the 4×4 normal equations IN-PLAN with
+    the engine-portable fixed-order Cramer expansion
+    (``leibniz_det_sql`` — both engines evaluate the IDENTICAL
+    arithmetic string, so the double weights are bit-identical),
+    quantize to micro-units, and score EVERY document with exact
+    BIGINT arithmetic. This is the fastText-style distillation step a
+    curation pipeline runs so the full corpus never pays the LM pass
+    (CCNet, Wenzek et al. 2020). Output: ``(doc_id, is_train,
+    pred_lp_micro)`` — the learned predicted avg log-prob, hash-exact
+    against the oracle's replay of features, LM labels, statistics,
+    Cramer solve, and scoring."""
+    from traits_data_spark.operators.regression import train_linear_scorer
+
+    docs = _docs_wide(spark, sf_dir)
+    bigram, context = load_word_lm(spark)
+    # the expensive LM label runs ONLY on the 20% train slice (that is
+    # the distillation economics); the slice-restricted left join is
+    # exactly equivalent for the fit, which drops NULL labels anyway
+    lab = score_perplexity(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == F.lit(1)),
+        bigram,
+        context,
+    ).select("doc_id", "avg_lp_micro")
+    # one narrow (id, 3 ints, label) frame feeds both the stats pass
+    # and the scoring pass — persist it so the corpus scans once
+    feats = _tqc_features(docs).join(lab, "doc_id", "left").persist()
+    return train_linear_scorer(
+        feats,
+        list(TQC_FEATURES),
+        "avg_lp_micro",
+        lam=TQC_LAM,
+        pred_col="pred_lp_micro",
+    )
+
+
+def _train_quality_classifier_sql(lam: float = TQC_LAM) -> str:
+    from traits_data_spark.operators.regression import (
+        MICRO,
+        cramer_weight_sql,
+    )
+    from traits_data_spark.operators.text import _STOPWORDS_EN
+
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS_EN)
+    k = 4  # intercept + 3 surface features
+    fexpr = ["1.0::DOUBLE", "x1::DOUBLE", "x2::DOUBLE", "x3::DOUBLE"]
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                f"SUM(CAST(ROUND({fexpr[i]} * {fexpr[j]} * 1000000.0) "
+                f"AS BIGINT)) AS xx_{i}_{j}"
+            )
+    for i in range(k):
+        aggs.append(
+            f"SUM(CAST(ROUND({fexpr[i]} * y * 1000000.0) AS BIGINT)) "
+            f"AS xy_{i}"
+        )
+    aggs.append("COUNT(*)::BIGINT AS n_rows")
+    wsel = ", ".join(
+        f"CAST(ROUND(({w}) * CAST({float(MICRO)!r} AS DOUBLE)) AS BIGINT)"
+        f" AS w_{i}_micro"
+        for i, w in enumerate(cramer_weight_sql(k, lam=lam))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, {_NORM} AS nt FROM documents),
+feats AS (
+  SELECT doc_id,
+         CAST(COALESCE(len(regexp_extract_all(text, '\\S+')), 0)
+              AS BIGINT) AS x1,
+         CAST(COALESCE(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')),
+              0) AS BIGINT) AS x2,
+         CAST(COALESCE(len(list_filter(string_split(nt, ' '),
+              w -> list_contains([{stops}], w))), 0) AS BIGINT) AS x3
+  FROM d
+),
+lsrc AS (
+  SELECT doc_id,
+         list_filter(string_split(nt, ' '), x -> length(x) > 0) AS wl
+  FROM d WHERE doc_id % 5 = 1
+),
+{_lm_chain('tqc', 'lsrc')},
+tr AS (
+  SELECT f.x1, f.x2, f.x3, l.avg_lp_micro AS y
+  FROM feats f JOIN tqca2 l USING (doc_id)
+  WHERE f.doc_id % 5 = 1 AND l.avg_lp_micro IS NOT NULL
+),
+agg AS (SELECT {", ".join(aggs)} FROM tr),
+w AS (SELECT {wsel} FROM agg)
+SELECT f.doc_id,
+       CAST(CASE WHEN f.doc_id % 5 = 1 THEN 1 ELSE 0 END AS INT)
+         AS is_train,
+       CAST(w_0_micro + w_1_micro * x1 + w_2_micro * x2
+            + w_3_micro * x3 AS BIGINT) AS pred_lp_micro
+FROM feats f CROSS JOIN w"""
+
+
 def q_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed word-bigram LM TRAINING over the documents corpus
     (``operators.text.train_bigram_lm``): the Laplace-smoothed model
@@ -6945,6 +7087,7 @@ QUERIES: Mapping[str, QueryFn] = {
     #    adding, per the round-10 overflow lesson) ------------------------
     "unigram_train": q_unigram_train,
     "unigram_train_tokens": q_unigram_train_tokens,
+    "train_quality_classifier": q_train_quality_classifier,
     "hard_negatives": q_hard_negatives,
     "vocab_drift": q_vocab_drift,
     "copy_pagerank": q_copy_pagerank,
@@ -7142,6 +7285,7 @@ def oracle_sqls() -> dict[str, str]:
         "ridge_stats": _ridge_stats_sql(),
         "unigram_train": _unigram_train_sql(),
         "unigram_train_tokens": _unigram_train_tokens_sql(),
+        "train_quality_classifier": _train_quality_classifier_sql(),
         "scd2_merge": _SCD2_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,

@@ -28,33 +28,19 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
-def ridge_stats(
+def ridge_stats_wide(
     df: DataFrame,
     feature_cols: Sequence[str | Column],
     label_col: str | Column,
     scale: int = MICRO,
     add_intercept: bool = True,
-) -> DataFrame:
-    """Exact sufficient statistics for ridge regression: one row per
-    (i, j) upper-triangle cell of X^T X (``kind='xtx'``), one per
-    X^T y component (``kind='xty'``), plus the row count
-    (``kind='n'``) — everything the closed-form solve needs.
-
-    Scale shape (100 TB): ONE corpus pass; the k(k+3)/2 + 1 quantized
-    products are computed per row inside whole-stage codegen and
-    reduced by a single global aggregate (partial/map-side combine —
-    the shuffle carries one row per partition). No explode, no
-    driver-side data movement beyond the k x k result.
-
-    Overflow: |sum| < n_rows * max|x_i * x_j| * scale must stay under
-    2^63 — pre-normalize features (or lower ``scale``) when magnitudes
-    are large; the caller owns feature scaling exactly as with any
-    normal-equations solver.
-
-    NULL contract: a row with NULL in ANY feature or the label is
-    dropped before aggregation (otherwise SUM's per-cell null-skip
-    would count the row in ``n`` and in cells not touching the NULL
-    column, yielding mutually inconsistent X^T X entries).
+) -> tuple[DataFrame, int, list[tuple[str, int, int]]]:
+    """The shared single-row sufficient-statistics aggregate behind
+    ``ridge_stats`` (which melts it for the stats-table contract) and
+    ``train_linear_scorer`` (which consumes it wide for the in-plan
+    Cramer solve). Returns ``(one_row_df, k, names)`` with columns
+    ``xx_{i}_{j}`` (upper triangle), ``xy_{i}``, ``n_rows`` — all
+    BIGINT micro. Same NULL/quantization contract as ``ridge_stats``.
     """
     feats: list[Column] = [
         F.col(c) if isinstance(c, str) else c for c in feature_cols
@@ -85,8 +71,177 @@ def ridge_stats(
         names.append(("xty", i, 0))
     aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
     names.append(("n", 0, 0))
+    return df.agg(*aggs), k, names
 
-    one = df.agg(*aggs)
+
+def leibniz_det_sql(entries: Sequence[Sequence[str]]) -> str:
+    """Leibniz-expansion determinant of a small matrix of SQL scalar
+    expressions, as ONE arithmetic string with a FIXED term order
+    (``itertools.permutations`` is lexicographic) and fixed
+    left-to-right products — so Spark's ``F.expr`` and DuckDB parse
+    the IDENTICAL expression tree and every IEEE multiply/add happens
+    in the same order, making the double result bit-identical across
+    engines by construction (the portable-Cramer trick: neither
+    engine can solve a linear system, but both evaluate the same
+    polynomial in the statistics identically). k! terms — intended
+    for the k <= 5 quality-scorer regime, NOT general linear algebra
+    (``ridge_solve`` is the driver-side general path)."""
+    from itertools import permutations
+
+    n = len(entries)
+    if n > 5:
+        raise ValueError(f"leibniz_det_sql is k<=5 only, got {n}")
+    terms = []
+    for perm in permutations(range(n)):
+        inv = sum(
+            1
+            for a in range(n)
+            for b in range(a + 1, n)
+            if perm[a] > perm[b]
+        )
+        prod = " * ".join(entries[i][perm[i]] for i in range(n))
+        terms.append(("- " if inv % 2 else "+ ") + f"({prod})")
+    out = " ".join(terms)
+    return out[2:] if out.startswith("+ ") else out
+
+
+def cramer_weight_sql(
+    k: int, lam: float = 1.0, scale: int = MICRO
+) -> list[str]:
+    """SQL expression strings for the ridge weights solved by Cramer's
+    rule over the WIDE sufficient statistics (columns ``xx_{i}_{j}``
+    BIGINT micro, ``xy_{i}`` BIGINT micro): entry ``(i, j)`` of
+    ``X^T X + lam*I`` is ``xx/scale (+ lam on the diagonal)`` and the
+    returned ``w_i`` string is ``det(A_i)/det(A)`` with ``A_i`` the
+    column-substituted matrix. Engine-portable per
+    ``leibniz_det_sql``'s fixed-order contract; quantize the result
+    with ``CAST(ROUND(w * 1e6) AS BIGINT)`` (HALF_UP == round half
+    away from zero on both engines) for exact integer scoring."""
+    # every literal is CAST AS DOUBLE: DuckDB (and Spark SQL) parse a
+    # bare decimal literal as DECIMAL, whose division/product rules
+    # differ from IEEE doubles and overflow DECIMAL(18) at scale — the
+    # portability contract here is double arithmetic only
+    s = f"CAST({float(scale)!r} AS DOUBLE)"
+
+    def a(i: int, j: int) -> str:
+        lo, hi = min(i, j), max(i, j)
+        base = f"(xx_{lo}_{hi} / {s})"
+        if i == j and lam:
+            return f"({base} + CAST({float(lam)!r} AS DOUBLE))"
+        return base
+
+    def b(i: int) -> str:
+        return f"(xy_{i} / {s})"
+
+    A = [[a(i, j) for j in range(k)] for i in range(k)]
+    det = leibniz_det_sql(A)
+    out = []
+    for col in range(k):
+        Ai = [
+            [b(i) if j == col else A[i][j] for j in range(k)]
+            for i in range(k)
+        ]
+        out.append(f"(({leibniz_det_sql(Ai)}) / ({det}))")
+    return out
+
+
+def train_linear_scorer(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    id_col: str = "doc_id",
+    sample_mod: int = 5,
+    sample_rem: int = 1,
+    lam: float = 1.0,
+    scale: int = MICRO,
+    pred_col: str = "pred_micro",
+) -> DataFrame:
+    """The CLOSED training loop on ``ridge_stats``: fit a ridge model
+    on the deterministic id-slice ``id % sample_mod == sample_rem``
+    (the labeled sample), solve the normal equations IN-PLAN via the
+    engine-portable Cramer expansion, quantize the weights to integer
+    micro-units, and score EVERY row with exact BIGINT arithmetic —
+    train-where-the-data-is with no driver-side solve and no floats
+    in the scoring path.
+
+    Contract: ``feature_cols`` must be INTEGER-VALUED columns (counts;
+    NULL→0 upstream) so ``pred = w0_micro + Σ w_i_micro * x_i`` is
+    exact LONG math; the label may be any numeric (it only enters the
+    quantized statistics). Rows outside the sample or with NULL label
+    still get scored — that is the point (the cheap learned scorer
+    generalizes the expensive label to the full corpus). Output: the
+    input's ``id_col`` plus ``is_train`` (0/1) and ``pred_col``.
+
+    Scale shape: ONE pass over the labeled slice for the statistics
+    (map-side combined single-row aggregate), weights derived from
+    that one row (broadcast cross join), ONE codegen projection over
+    the corpus for scoring. The k! Cramer terms are scalar arithmetic
+    on a single row — free at any corpus size; k is small by the
+    feature contract (k <= 5 enforced by ``leibniz_det_sql``)."""
+    k_feats = list(feature_cols)
+    train = df.where(
+        F.pmod(F.col(id_col).cast("long"), F.lit(sample_mod))
+        == F.lit(sample_rem)
+    )
+    wide, k, _ = ridge_stats_wide(train, k_feats, label_col, scale=scale)
+    wexprs = cramer_weight_sql(k, lam=lam, scale=scale)
+    weights = wide.select(
+        *[
+            F.expr(
+                f"CAST(ROUND(({w}) * CAST({float(scale)!r} AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias(f"w_{i}_micro")
+            for i, w in enumerate(wexprs)
+        ]
+    )
+    pred = F.col("w_0_micro")
+    for i, c in enumerate(k_feats, start=1):
+        pred = pred + F.col(f"w_{i}_micro") * F.col(c).cast("long")
+    return df.crossJoin(F.broadcast(weights)).select(
+        id_col,
+        F.when(
+            F.pmod(F.col(id_col).cast("long"), F.lit(sample_mod))
+            == F.lit(sample_rem),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_train"),
+        pred.cast("long").alias(pred_col),
+    )
+
+
+def ridge_stats(
+    df: DataFrame,
+    feature_cols: Sequence[str | Column],
+    label_col: str | Column,
+    scale: int = MICRO,
+    add_intercept: bool = True,
+) -> DataFrame:
+    """Exact sufficient statistics for ridge regression: one row per
+    (i, j) upper-triangle cell of X^T X (``kind='xtx'``), one per
+    X^T y component (``kind='xty'``), plus the row count
+    (``kind='n'``) — everything the closed-form solve needs.
+
+    Scale shape (100 TB): ONE corpus pass; the k(k+3)/2 + 1 quantized
+    products are computed per row inside whole-stage codegen and
+    reduced by a single global aggregate (partial/map-side combine —
+    the shuffle carries one row per partition). No explode, no
+    driver-side data movement beyond the k x k result.
+
+    Overflow: |sum| < n_rows * max|x_i * x_j| * scale must stay under
+    2^63 — pre-normalize features (or lower ``scale``) when magnitudes
+    are large; the caller owns feature scaling exactly as with any
+    normal-equations solver.
+
+    NULL contract: a row with NULL in ANY feature or the label is
+    dropped before aggregation (otherwise SUM's per-cell null-skip
+    would count the row in ``n`` and in cells not touching the NULL
+    column, yielding mutually inconsistent X^T X entries).
+    """
+    one, k, names = ridge_stats_wide(
+        df, feature_cols, label_col, scale=scale, add_intercept=add_intercept
+    )
     # melt the single row to long form with stack (no driver collect)
     cols = [f"xx_{i}_{j}" for _, i, j in names[: k * (k + 1) // 2]]
     cols += [f"xy_{i}" for i in range(k)]
