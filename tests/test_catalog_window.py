@@ -93,6 +93,7 @@ LOAD_BEARING = [
     "unigram_train",
     "unigram_train_tokens",
     "train_quality_classifier",
+    "balanced_shards",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

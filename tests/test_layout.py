@@ -72,3 +72,55 @@ def test_write_zordered_clusters_files(spark, lineitem, tmp_path):
     spans.sort()
     for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
         assert hi_a <= lo_b  # disjoint consecutive files
+
+
+# ------------------------------------------------------ balanced_shards
+
+
+def test_balanced_shards_exact_balance_and_contiguity(spark):
+    from traits_data_spark.operators.layout import balanced_shards
+
+    rows = [(i, i % 7) for i in range(100)]  # skewed-ish cluster sizes
+    df = spark.createDataFrame(rows, "vec_id long, cluster long")
+    got = balanced_shards(df, "vec_id", "cluster", n_shards=6).collect()
+    assert len(got) == 100
+    sizes = {}
+    for r in got:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    # exactly balanced: sizes differ by at most 1 and all 6 shards used
+    assert sorted(sizes) == list(range(6))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # semantic contiguity: in (cluster, id) order the shard id is
+    # non-decreasing — each shard is one contiguous slice of the
+    # cluster-sorted layout
+    ordered = sorted(got, key=lambda r: (r["cluster"], r["vec_id"]))
+    shards = [r["shard"] for r in ordered]
+    assert shards == sorted(shards)
+
+
+def test_balanced_shards_single_shard_and_errors(spark):
+    import pytest as _pytest
+
+    from traits_data_spark.operators.layout import balanced_shards
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1)], "vec_id long, cluster long"
+    )
+    one = balanced_shards(df, "vec_id", "cluster", n_shards=1).collect()
+    assert {r["shard"] for r in one} == {0}
+    with _pytest.raises(ValueError):
+        balanced_shards(df, "vec_id", "cluster", n_shards=0)
+
+
+def test_balanced_shards_catalog_sizes(spark):
+    """500 embeddings / 6 shards → five shards of 83 and one of 85?
+    No: (pos*6) DIV 500 chunks as |{pos: pos*6 // 500 == s}| — sizes
+    84/83 alternating (500 = 6*83 + 2 → two shards get 84)."""
+    from traits_data_spark.catalog import q_balanced_shards
+
+    got = q_balanced_shards(spark, "/root/testdata/sf0.001").collect()
+    sizes = {}
+    for r in got:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert sum(sizes.values()) == 500
+    assert max(sizes.values()) - min(sizes.values()) <= 1

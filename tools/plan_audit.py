@@ -96,6 +96,7 @@ HEADLINE = [
     "unigram_train",
     "unigram_train_tokens",
     "train_quality_classifier",
+    "balanced_shards",
 ]
 
 
@@ -138,6 +139,8 @@ MAX_SCANS = {
     # word-LM artifact files (bigram x1, context x3 — vocab map, unk
     # join, unseen join; artifact-sized, not corpus) — audited 6
     "train_quality_classifier": 6,
+    # kmeans assign (2 slices of the persisted fit) + shard windows
+    "balanced_shards": 4,
 }
 
 

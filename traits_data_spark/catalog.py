@@ -1936,6 +1936,73 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d + 0.0 AS dist2 FROM mf"""
     )
 
 
+BALANCED_SHARDS_N = 6
+
+
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced embedding-space sharding
+    (``operators.layout.balanced_shards`` over
+    ``similarity.kmeans_clusters``): k-means the embeddings with the
+    deterministic Lloyd fit, then chunk the (cluster, id) order into
+    exactly-even shards — semantic neighbours co-locate per shard
+    (curriculum sampling, shard-local near-dup) while shard sizes
+    differ by at most one row (no straggler output files). The 1-D
+    semantic analogue of ``zorder_values``' multi-column layout. No
+    corpus-wide total order: cluster offsets come from a k-row
+    cumulative window; rows rank within their cluster only. 500
+    vectors / 6 shards → sizes 83/84, pinned by test."""
+    from traits_data_spark.operators.layout import balanced_shards
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # persist the assignment: balanced_shards consumes it three times
+    # (cluster counts, total, within-cluster rank) and the k-means
+    # assign pass — a vectors × centroids distance fold — must run
+    # ONCE, not per consumer (measured 23.5 s → 16.7 s at the 20×
+    # stress; the remainder is the fit+assign passes themselves,
+    # in-family with ivf_topk_kmeans' 20× row)
+    asg = (
+        kmeans_clusters(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
+        .select("vec_id", "cluster")
+        .persist()
+    )
+    return balanced_shards(
+        asg, "vec_id", "cluster", n_shards=BALANCED_SHARDS_N
+    )
+
+
+def _balanced_shards_sql(
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITER,
+    n_shards: int = BALANCED_SHARDS_N,
+) -> str:
+    return (
+        _kmeans_cent_ctes(k, n_iter)
+        + ","
+        + _kmeans_assign_cte(f"cent{n_iter}", "f")
+        + f""",
+basg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM mf),
+bcs AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM basg GROUP BY cluster
+),
+boff AS (
+  SELECT cluster,
+         SUM(csz) OVER (ORDER BY cluster ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - csz AS o
+  FROM bcs
+),
+btot AS (SELECT CAST(SUM(csz) AS BIGINT) AS t FROM bcs),
+brn AS (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id ASC) AS rn
+  FROM basg
+)
+SELECT r.vec_id, r.cluster,
+       CAST(((o.o + r.rn - 1) * {n_shards}) // t.t AS BIGINT) AS shard
+FROM brn r JOIN boff o USING (cluster) CROSS JOIN btot t"""
+    )
+
+
 IVF_KMEANS_PROBE = 2
 
 
@@ -7088,6 +7155,7 @@ QUERIES: Mapping[str, QueryFn] = {
     "unigram_train": q_unigram_train,
     "unigram_train_tokens": q_unigram_train_tokens,
     "train_quality_classifier": q_train_quality_classifier,
+    "balanced_shards": q_balanced_shards,
     "hard_negatives": q_hard_negatives,
     "vocab_drift": q_vocab_drift,
     "copy_pagerank": q_copy_pagerank,
@@ -7286,6 +7354,7 @@ def oracle_sqls() -> dict[str, str]:
         "unigram_train": _unigram_train_sql(),
         "unigram_train_tokens": _unigram_train_tokens_sql(),
         "train_quality_classifier": _train_quality_classifier_sql(),
+        "balanced_shards": _balanced_shards_sql(),
         "scd2_merge": _SCD2_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "dsir_select_sampled": _DSIR_SELECT_SAMPLED_SQL,

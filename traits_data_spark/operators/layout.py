@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BITS = 16
@@ -82,4 +82,65 @@ def write_zordered(
         .write.mode("overwrite")
         .option("compression", compression)
         .parquet(path)
+    )
+
+
+def balanced_shards(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    n_shards: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """EXACTLY-balanced, semantically-contiguous shard assignment —
+    the embedding-space layout step downstream of ``kmeans_clusters``:
+    order rows by ``(cluster, id)`` conceptually and chunk that order
+    into ``n_shards`` equal slices (sizes differ by at most 1), so
+    semantic neighbours co-locate in the same output shard (the layout
+    a curriculum sampler or a shard-local near-dup pass wants) while
+    shard sizes stay perfectly even (what the write path wants — no
+    straggler files). Same layout move as ``write_zordered``, with the
+    cluster id as the 1-D locality key.
+
+    NO corpus-wide total order exists in the plan (the
+    ``sampled_quantiles`` discipline): per-cluster counts (a k-row
+    frame) cumulative-sum into cluster offsets in a k-row window, each
+    row ranks WITHIN its cluster (``row_number`` partitioned by
+    cluster — parallel across clusters), and the global position is
+    ``offset + rank``. ``shard = (pos * n_shards) DIV total`` is
+    integer arithmetic, engine-exact. A severely skewed cluster makes
+    its within-cluster sort one task — at that point the cluster id
+    itself is the skew problem and k should grow; the id-order within
+    a cluster is only a determinism tie-break, not a semantic
+    contract.
+
+    Output: input columns plus ``shard_col`` (0-based BIGINT).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    counts = (
+        df.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__csz"))
+    )
+    w_off = (
+        Window.orderBy(F.col(cluster_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        cluster_col,
+        (F.sum("__csz").over(w_off) - F.col("__csz")).alias("__off"),
+    )
+    total = counts.agg(F.sum("__csz").cast("long").alias("__tot"))
+    w_rn = Window.partitionBy(cluster_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w_rn).cast("long"))
+        .join(F.broadcast(offsets), cluster_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            shard_col,
+            F.expr(
+                f"((__off + __rn - 1) * {int(n_shards)}) DIV __tot"
+            ).cast("long"),
+        )
+        .drop("__rn", "__off", "__tot")
     )
