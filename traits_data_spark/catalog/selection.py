@@ -1,0 +1,417 @@
+"""Training-set selection and layout: training_prep, z-order values, DSIR selection, copy-PageRank, vocabulary drift."""
+
+from __future__ import annotations
+
+from traits_data_spark.catalog._shared import (
+    DSIR_MODEL_PATH,
+    DataFrame,
+    F,
+    SparkSession,
+    _DSIR_N_BUCKETS,
+    _H60,
+    _NORM,
+    _docs_wide,
+    _t,
+    chunk_documents,
+    clean_corpus,
+    dsir_select,
+    dsir_select_sampled,
+    hash_split,
+    load_dsir_model,
+    pack_contiguous,
+    pagerank,
+    vocab_drift,
+    widen_if_narrow,
+    winnow_fingerprints,
+    winnow_matches,
+    word_array,
+    zvalue,
+    zvalue_sql,
+)
+from traits_data_spark.catalog.text import (
+    WINNOW_K,
+    WINNOW_MAX_FP_DOCS,
+    WINNOW_MIN_SHARED,
+    WINNOW_W,
+    _clean_corpus_sql,
+    _winnow_matches_sql,
+)
+from traits_data_spark.catalog.sketches import (
+    _CHUNK,
+    _OVERLAP,
+)
+
+# Packs are budgeted in TOKENS (whitespace tokenization, matching
+# token_counts' ws_tokens so the DuckDB oracle stays expressible) — a
+# real pipeline packs sequences against the model's context length in
+# tokens, not characters. 320 tokens ≈ the old 2000-char budget at the
+# corpus' ~5.2 chars/token.
+_PREP_TOKEN_BUDGET, _PREP_BUCKETS = 320, 32
+
+
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM training-data prep flagship: corpus cleaning
+    (quality → langid → exact dedup → LSH near-dup) → overlapping
+    chunking → document-level train/val/test split (all chunks of a
+    doc share a split, so no near-duplicate leakage across splits) →
+    token-budgeted contiguous packing per (split, hash bucket).
+
+    Packing is token-aware: each chunk's cost is its whitespace token
+    count (``word_array``, the same tokenization ``token_counts``
+    reports as ``ws_tokens``), so packs respect a context-length-style
+    token budget rather than a character proxy.
+
+    The pack window partitions on ``(split, doc_id % 32)``, not just
+    ``split``: a split-only window puts ~90% of the corpus (the train
+    split) into ONE running-sum task at 100 TB. Buckets affect only
+    pack NUMBERING (ids are bucket-prefixed), never pack validity, so
+    the layout stays deterministic and the parallelism scales with the
+    bucket count."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = clean_corpus(docs).select("doc_id")
+    with_text = docs.join(survivors, "doc_id", "left_semi")
+    chunks = chunk_documents(
+        widen_if_narrow(with_text), chunk_chars=_CHUNK, overlap=_OVERLAP
+    )
+    labeled = (
+        hash_split(chunks, "doc_id")
+        .withColumn(
+            "chunk_tokens", F.size(word_array("chunk_text")).cast("long")
+        )
+        .withColumn("bucket", F.col("doc_id") % _PREP_BUCKETS)
+    )
+    packed = pack_contiguous(
+        labeled,
+        "chunk_tokens",
+        ["doc_id", "chunk_idx"],
+        budget=_PREP_TOKEN_BUDGET,
+        partition_cols=["split", "bucket"],
+    )
+    return packed.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "split",
+        "pack_id",
+        "chunk_tokens",
+    )
+
+
+def _training_prep_sql() -> str:
+    step = _CHUNK - _OVERLAP
+    # whitespace token count of the chunk — mirrors word_array / ws_tokens
+    toks = (
+        "len(list_filter(string_split(trim(regexp_replace("
+        f"substring(text, CAST(chunk_start AS INT), {_CHUNK}), "
+        "'\\s+', ' ', 'g')), ' '), w -> length(w) > 0))"
+    )
+    cum = (
+        f"COALESCE(SUM(chunk_tokens) OVER (PARTITION BY split, "
+        f"doc_id % {_PREP_BUCKETS} ORDER BY doc_id, chunk_idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""
+WITH survivors AS (SELECT doc_id FROM ({_clean_corpus_sql()})),
+wt AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN survivors USING (doc_id)
+),
+ch AS (
+  SELECT doc_id,
+         CAST((chunk_start - 1) // {step} AS BIGINT) AS chunk_idx,
+         {toks} AS chunk_tokens
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - {_OVERLAP}, 1) + 1, {step}))
+             AS chunk_start
+    FROM wt
+  )
+),
+sp AS (
+  SELECT *, CASE WHEN b < 9000 THEN 'train'
+                 WHEN b < 9500 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM (
+    SELECT *, {_H60.format(x='CAST(doc_id AS VARCHAR)')} % 10000 AS b FROM ch
+  )
+)
+SELECT doc_id, chunk_idx, split,
+       split || '-' || CAST(doc_id % {_PREP_BUCKETS} AS VARCHAR) || '-' ||
+         CAST(CAST(FLOOR({cum} / {_PREP_TOKEN_BUDGET}) AS BIGINT) AS VARCHAR)
+         AS pack_id,
+       CAST(chunk_tokens AS BIGINT) AS chunk_tokens
+FROM sp
+"""
+
+
+_Z_COLS = ["l_partkey % 65536", "l_suppkey % 65536"]
+
+
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for 2-D clustering (``operators.layout``) —
+    the column the z-ordered writer range-partitions and sorts on."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zvalue([F.expr(c) for c in _Z_COLS]).alias("zval"),
+    )
+
+
+def _zorder_sql() -> str:
+    return f"""
+SELECT l_orderkey, l_linenumber, {zvalue_sql([f'({c})' for c in _Z_COLS])} AS zval
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-based data selection
+# ---------------------------------------------------------------------------
+
+DSIR_KEEP_BP = 2_500  # deterministic top-25% selection
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-based data selection
+    (``operators.selection.dsir_select``; Xie et al., NeurIPS 2023):
+    every document scored under the committed hashed-n-gram
+    target/raw ratio model (``data/dsir_model.parquet``, trained on
+    the ``doc_id % 10 == 0`` held-out slice with target =
+    ``lang='en'`` by ``tools/build_dsir_model.py``), top 25% by
+    weight flagged ``selected`` — the missing SELECTOR next to the
+    per-doc filters (``gopher_rules``/``lm_perplexity``) and the
+    source mixer (``mixture_plan``). All ``ln`` lives in the
+    artifact (integer micro-nats); the plan hashes word uni+bigrams
+    with the portable 28-bit md5 bucket, joins the broadcast dense
+    model, and does integer sums + integer rank arithmetic, so the
+    DuckDB oracle recomputes every weight and flag bit-for-bit."""
+    docs = _docs_wide(spark, sf_dir)
+    out = dsir_select(docs, load_dsir_model(spark), keep_bp=DSIR_KEEP_BP)
+    avg = F.when(
+        F.col("n_feats") > 0,
+        F.round(
+            F.col("weight_micro").cast("double") / F.col("n_feats"), 6
+        )
+        + F.lit(0.0),
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "weight_micro",
+        avg.alias("avg_weight_micro"),
+        "selected",
+    )
+
+
+DSIR_SAMPLED_RATE_BP = 2_000  # 20% deterministic hash sample for the cut
+
+
+def q_dsir_select_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dsir_select`` with the SCALE-SAFE threshold path
+    (``operators.selection.dsir_select_sampled``): the selection cut
+    comes from a deterministic 20% hash sample — only the sample
+    sorts; the corpus is filtered by comparison against ONE broadcast
+    cut value (ties include, so the kept fraction may exceed
+    ``keep_bp`` by the tie mass). The ``sampled_quantiles``/
+    ``lm_perplexity_sampled`` discipline applied to selection."""
+    docs = _docs_wide(spark, sf_dir)
+    out = dsir_select_sampled(
+        docs,
+        load_dsir_model(spark),
+        keep_bp=DSIR_KEEP_BP,
+        rate_bp=DSIR_SAMPLED_RATE_BP,
+    )
+    return out.select("doc_id", "n_feats", "weight_micro", "selected")
+
+
+# shared weight chain: d (docs+word list) -> g (uni+bigrams) ->
+# f (hashed buckets) -> s (per-doc sums) -> w (zero-filled weights)
+_DSIR_WEIGHT_CTES = f"""d AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(wl) AS gram FROM d
+  UNION ALL
+  SELECT doc_id, wl[i] || ' ' || wl[i + 1] AS gram
+  FROM (SELECT doc_id, wl, unnest(range(1, length(wl))) AS i FROM d)
+),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT)
+           % {_DSIR_N_BUCKETS} AS bucket
+  FROM g
+),
+s AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(m.delta_micro) AS BIGINT) AS weight_micro
+  FROM f JOIN read_parquet('{DSIR_MODEL_PATH}') m USING (bucket)
+  GROUP BY f.doc_id
+),
+w AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(s.weight_micro, 0) AS BIGINT) AS weight_micro
+  FROM d LEFT JOIN s USING (doc_id)
+)"""
+
+_DSIR_SELECT_SQL = f"""
+WITH {_DSIR_WEIGHT_CTES},
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY weight_micro DESC, doc_id) - 1 AS rn0,
+         count(*) OVER () AS cnt
+  FROM w
+)
+SELECT doc_id, n_feats, weight_micro,
+       CASE WHEN n_feats > 0
+            THEN round(weight_micro::DOUBLE / n_feats, 6) + 0.0
+       END AS avg_weight_micro,
+       (rn0 * 10000 < cnt * {DSIR_KEEP_BP}) AS selected
+FROM r
+"""
+
+_DSIR_SELECT_SAMPLED_SQL = f"""
+WITH {_DSIR_WEIGHT_CTES},
+samp AS (
+  SELECT weight_micro, doc_id FROM w
+  WHERE {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 10000
+        < {DSIR_SAMPLED_RATE_BP}
+),
+rk AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM samp
+),
+cut AS (
+  SELECT weight_micro AS c FROM rk
+  WHERE rn = ({DSIR_KEEP_BP} * (n - 1)) // 10000 + 1
+)
+SELECT w.doc_id, w.n_feats, w.weight_micro,
+       (w.weight_micro >= (SELECT c FROM cut)) AS selected
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Copy-graph PageRank
+# ---------------------------------------------------------------------------
+
+PAGERANK_DAMPING_PCT = 85
+PAGERANK_ITERS = 5
+
+
+def q_copy_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-graph centrality (``operators.graph.pagerank``):
+    integer-exact damped PageRank over the winnowing copy-detection
+    pairs — surfaces the template/boilerplate HUBS the copy-graph
+    hangs off, the ranking question next to the clustering one
+    ``dup_clusters`` answers. All-integer micro-unit arithmetic
+    (rank DIV degree shares, damping as an integer percentage), fixed
+    5 rounds, so the DuckDB oracle recomputes every rank bit-for-bit
+    from 5 unrolled CTEs. The loop runs on the edge subgraph only."""
+    docs = _docs_wide(spark, sf_dir)
+    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    pairs = winnow_matches(
+        fps, min_shared=WINNOW_MIN_SHARED, max_fp_docs=WINNOW_MAX_FP_DOCS
+    )
+    return pagerank(
+        pairs, damping_pct=PAGERANK_DAMPING_PCT, n_iter=PAGERANK_ITERS
+    ).select(F.col("id").alias("doc_id"), "degree", "rank_micro")
+
+
+def _copy_pagerank_sql() -> str:
+    damp, iters = PAGERANK_DAMPING_PCT, PAGERANK_ITERS
+    base = (100 - damp) * 1_000_000 // 100
+    ctes = [
+        f"""pairs AS ({_winnow_matches_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT d.id,
+         CAST({base} + ({damp} * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r // dg.deg) AS m
+    FROM edges e
+    JOIN r{i - 1} p ON p.id = e.src
+    JOIN deg dg ON dg.id = e.src
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.id AS doc_id, d.deg AS degree, r{iters}.r AS rank_micro
+FROM deg d JOIN r{iters} USING (id)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift between corpus snapshots
+# ---------------------------------------------------------------------------
+
+VOCAB_DRIFT_TOP_N = 20
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift monitor (``operators.text.vocab_drift``):
+    top drifted words between the even- and odd-``doc_id`` snapshot
+    halves, ranked by the EXACT integer cross-product statistic
+    ``|count_a*total_b - count_b*total_a|`` (the numerator of
+    ``|p_a - p_b|`` cleared of both denominators — no division in the
+    ranking, so both engines order identically), with each word's
+    total-variation contribution as one IEEE-exact division."""
+    docs = _docs_wide(spark, sf_dir)
+    return vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_n=VOCAB_DRIFT_TOP_N,
+    )
+
+
+_VOCAB_DRIFT_SQL = f"""
+WITH d AS (
+  SELECT doc_id % 2 = 0 AS side_a,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+w AS (SELECT side_a, unnest(wl) AS word FROM d),
+c AS (
+  SELECT word,
+         CAST(sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT) AS count_a,
+         CAST(sum(CASE WHEN NOT side_a THEN 1 ELSE 0 END) AS BIGINT)
+           AS count_b
+  FROM w GROUP BY word
+),
+t AS (SELECT sum(count_a) AS ta, sum(count_b) AS tb FROM c),
+x AS (
+  SELECT word, count_a, count_b,
+         CAST(abs(count_a * t.tb - count_b * t.ta) AS BIGINT)
+           AS drift_cross,
+         CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+           round(abs(count_a * t.tb - count_b * t.ta)::DOUBLE
+                 / (2 * t.ta * t.tb), 9) + 0.0
+         END AS tv_contrib
+  FROM c, t
+),
+r AS (SELECT *, row_number() OVER (ORDER BY drift_cross DESC, word) AS rk
+      FROM x)
+SELECT word, count_a, count_b, drift_cross, tv_contrib,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {VOCAB_DRIFT_TOP_N}
+"""
