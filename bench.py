@@ -161,6 +161,11 @@ BENCH_QUERIES = FLAGSHIPS + [
     "train_bigram_lm",
     "bm25_topk_champion",
     "ridge_stats",
+    # round 12: trainer triad completion + classifier loop + layout
+    "unigram_train",
+    "unigram_train_tokens",
+    "train_quality_classifier",
+    "balanced_shards",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the
