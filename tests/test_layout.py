@@ -112,15 +112,34 @@ def test_balanced_shards_single_shard_and_errors(spark):
         balanced_shards(df, "vec_id", "cluster", n_shards=0)
 
 
-def test_balanced_shards_catalog_sizes(spark):
-    """500 embeddings / 6 shards → five shards of 83 and one of 85?
-    No: (pos*6) DIV 500 chunks as |{pos: pos*6 // 500 == s}| — sizes
-    84/83 alternating (500 = 6*83 + 2 → two shards get 84)."""
+def test_balanced_shards_catalog_sizes(spark, sf_dir, embeddings):
+    """Every embedding gets a shard and sizes differ by at most one —
+    (pos*6) DIV total chunks as |{pos: pos*6 // total == s}|."""
     from traits_data_spark.catalog import q_balanced_shards
 
-    got = q_balanced_shards(spark, "/root/testdata/sf0.001").collect()
+    got = q_balanced_shards(spark, sf_dir).collect()
     sizes = {}
     for r in got:
         sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
-    assert sum(sizes.values()) == 500
+    assert sum(sizes.values()) == embeddings.count()
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_balanced_shards_null_cluster_rows_survive(spark):
+    """A NULL cluster is a legitimate group: its rows must get shards
+    (an equi-join would silently drop them against an inflated total)
+    and the exact-balance contract must hold."""
+    from traits_data_spark.operators.layout import balanced_shards
+
+    rows = [(i, None if i < 5 else i % 3) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, cluster long")
+    got = balanced_shards(df, "vec_id", "cluster", n_shards=4).collect()
+    assert len(got) == 12
+    sizes = {}
+    for r in got:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert sorted(sizes) == [0, 1, 2, 3]
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the NULL group sorts first → occupies the leading positions
+    null_shards = {r["shard"] for r in got if r["cluster"] is None}
+    assert null_shards <= {0, 1}

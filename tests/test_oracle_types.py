@@ -43,11 +43,12 @@ def _allowed(t) -> bool:
     s = str(t)
     if s in ALLOWED:
         return True
-    # Nested types are fine as long as every leaf is allowed.
-    if s.endswith("[]"):
-        return _allowed(s[:-2])
-    if s.startswith(("STRUCT(", "MAP(")):
-        return all(_allowed(c) for c in t.children)
+    # Nested types are fine as long as every leaf is allowed. Recurse
+    # on the DuckDBPyType's children (id == 'list'/'struct'/'map'), not
+    # on the type STRING — stripping '[]' and re-dispatching a str
+    # crashed on list-of-struct columns instead of reporting them.
+    if getattr(t, "id", None) in ("list", "struct", "map"):
+        return all(_allowed(c) for _, c in t.children)
     return False
 
 

@@ -255,3 +255,17 @@ def test_train_linear_scorer_scores_unlabeled_rows(spark):
     assert len(got) == 40
     for i in range(40):
         assert got[i] == (10 + 4 * (i % 7)) * 1_000_000
+
+
+def test_train_linear_scorer_empty_slice_raises(spark):
+    """ids all ≡ 0 (mod 5) → empty training slice → loud ValueError,
+    not an all-NULL prediction column."""
+    import pytest as _pytest
+
+    from traits_data_spark.operators.regression import train_linear_scorer
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (5, 2, 2.0)], "doc_id long, x1 long, y double"
+    )
+    with _pytest.raises(ValueError, match="training slice"):
+        train_linear_scorer(df, ["x1"], "y")

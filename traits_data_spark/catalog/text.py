@@ -738,18 +738,19 @@ feats AS (
 lsrc AS (
   SELECT doc_id,
          list_filter(string_split(nt, ' '), x -> length(x) > 0) AS wl
-  FROM d WHERE doc_id % 5 = 1
+  FROM d WHERE ((doc_id % 5) + 5) % 5 = 1
 ),
 {_lm_chain('tqc', 'lsrc')},
 tr AS (
   SELECT f.x1, f.x2, f.x3, l.avg_lp_micro AS y
   FROM feats f JOIN tqca2 l USING (doc_id)
-  WHERE f.doc_id % 5 = 1 AND l.avg_lp_micro IS NOT NULL
+  WHERE ((f.doc_id % 5) + 5) % 5 = 1 AND l.avg_lp_micro IS NOT NULL
 ),
 agg AS (SELECT {", ".join(aggs)} FROM tr),
 w AS (SELECT {wsel} FROM agg)
 SELECT f.doc_id,
-       CAST(CASE WHEN f.doc_id % 5 = 1 THEN 1 ELSE 0 END AS INT)
+       CAST(CASE WHEN ((f.doc_id % 5) + 5) % 5 = 1 THEN 1 ELSE 0 END
+            AS INT)
          AS is_train,
        CAST(w_0_micro + w_1_micro * x1 + w_2_micro * x2
             + w_3_micro * x3 AS BIGINT) AS pred_lp_micro

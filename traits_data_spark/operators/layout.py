@@ -132,9 +132,19 @@ def balanced_shards(
     )
     total = counts.agg(F.sum("__csz").cast("long").alias("__tot"))
     w_rn = Window.partitionBy(cluster_col).orderBy(F.col(id_col).asc())
+    # null-safe offset join: a NULL cluster is a legitimate group
+    # (groupBy and the rank window both treat it as one) and an
+    # equi-join would silently DROP those rows while the total still
+    # counted them — breaking both "every row gets a shard" and the
+    # exact-balance contract. NULL sorts first in the offset window,
+    # so the NULL group occupies the leading shard slots.
     return (
         df.withColumn("__rn", F.row_number().over(w_rn).cast("long"))
-        .join(F.broadcast(offsets), cluster_col)
+        .join(
+            F.broadcast(offsets.withColumnRenamed(cluster_col, "__bs_c")),
+            F.col(cluster_col).eqNullSafe(F.col("__bs_c")),
+        )
+        .drop("__bs_c")
         .crossJoin(F.broadcast(total))
         .withColumn(
             shard_col,

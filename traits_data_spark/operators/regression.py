@@ -161,8 +161,10 @@ def train_linear_scorer(
     (the labeled sample), solve the normal equations IN-PLAN via the
     engine-portable Cramer expansion, quantize the weights to integer
     micro-units, and score EVERY row with exact BIGINT arithmetic —
-    train-where-the-data-is with no driver-side solve and no floats
-    in the scoring path.
+    train-where-the-data-is with no driver-side solve (the k solved
+    integers are collected once as the bounded model artifact, and an
+    empty/all-NULL training slice raises like ``ridge_solve`` instead
+    of silently scoring NULL) and no floats in the scoring path.
 
     Contract: ``feature_cols`` must be INTEGER-VALUED columns (counts;
     NULL→0 upstream) so ``pred = w0_micro + Σ w_i_micro * x_i`` is
@@ -185,7 +187,7 @@ def train_linear_scorer(
     )
     wide, k, _ = ridge_stats_wide(train, k_feats, label_col, scale=scale)
     wexprs = cramer_weight_sql(k, lam=lam, scale=scale)
-    weights = wide.select(
+    wrow = wide.select(
         *[
             F.expr(
                 f"CAST(ROUND(({w}) * CAST({float(scale)!r} AS DOUBLE)) "
@@ -193,6 +195,22 @@ def train_linear_scorer(
             ).alias(f"w_{i}_micro")
             for i, w in enumerate(wexprs)
         ]
+    ).first()
+    # fail LOUDLY like ridge_solve does, instead of silently scoring
+    # every row NULL: an empty/all-NULL-label training slice makes
+    # every SUM (hence every Cramer weight) NULL
+    if any(wrow[f"w_{i}_micro"] is None for i in range(k)):
+        raise ValueError(
+            "train_linear_scorer: NULL weights — the training slice "
+            f"(id % {sample_mod} == {sample_rem}) is empty or every "
+            "sampled label/feature is NULL"
+        )
+    # the k collected integers are the model artifact; re-emitting them
+    # as a literal one-row frame keeps scoring a pure broadcast
+    # projection without re-running the stats aggregate per consumer
+    weights = df.sparkSession.createDataFrame(
+        [tuple(int(wrow[f"w_{i}_micro"]) for i in range(k))],
+        ", ".join(f"w_{i}_micro long" for i in range(k)),
     )
     pred = F.col("w_0_micro")
     for i, c in enumerate(k_feats, start=1):
