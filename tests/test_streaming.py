@@ -791,3 +791,75 @@ def test_streaming_pq_encode_ingest(spark, tmp_path, embeddings):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_unigram_tokenize_ingest(spark, tmp_path, documents):
+    """E2E: train the unigram tokenizer ONCE on the history corpus
+    (``unigram_train`` — the on-cluster trainer), persist the piece
+    table, then tokenize newly-landing documents inside a streaming
+    ``foreachBatch`` against the FROZEN vocabulary — the tokenizer
+    twin of the PQ encode-deltas-forever loop. The accumulated token
+    counts must equal a batch apply over all the new docs."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.text import (
+        unigram_apply_token_counts,
+        unigram_train,
+    )
+
+    docs = documents.select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") < 300)
+    new_docs = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 420)
+    ).cache()
+
+    vocab_path = str(tmp_path / "unigram_vocab")
+    unigram_train(history).write.parquet(vocab_path)
+
+    landing = tmp_path / "doc_landing"
+    landing.mkdir()
+    for i, half in enumerate(
+        (new_docs.filter(F.col("doc_id") % 2 == 0),
+         new_docs.filter(F.col("doc_id") % 2 == 1))
+    ):
+        sub = landing / f"batch{i}"
+        half.coalesce(1).write.parquet(str(sub))
+        for f in sub.iterdir():
+            _os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out_path = str(tmp_path / "tok_counts")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(landing))
+    )
+
+    def _tokenize(batch_df, batch_id):
+        vb = batch_df.sparkSession.read.parquet(vocab_path)
+        unigram_apply_token_counts(batch_df, vb).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_tokenize)
+        .option("checkpointLocation", str(tmp_path / "ckpt_unigram"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r["doc_id"], r["unigram_trained_tokens"], r["nll_q20"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r["doc_id"], r["unigram_trained_tokens"], r["nll_q20"])
+        for r in unigram_apply_token_counts(
+            new_docs, spark.read.parquet(vocab_path)
+        ).collect()
+    }
+    assert got == want and len(got) == new_docs.count()

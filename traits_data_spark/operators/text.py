@@ -1991,6 +1991,43 @@ def unigram_train_token_counts(
         df, text_col, max_word_len, max_piece_len, em_iters, vocab_size,
         seed_cap,
     )
+    return unigram_apply_token_counts(
+        df,
+        scores,
+        text_col=text_col,
+        id_col=id_col,
+        out_col=out_col,
+        max_piece_len=max_piece_len,
+        apply_max_word_len=apply_max_word_len,
+    )
+
+
+def unigram_apply_token_counts(
+    df: DataFrame,
+    vocab: DataFrame | Mapping[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "unigram_trained_tokens",
+    max_piece_len: int = UNIGRAM_TRAIN_MAX_PIECE_LEN,
+    apply_max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+) -> DataFrame:
+    """Tokenize a corpus under a FROZEN trained unigram vocabulary —
+    the steady-state deployment path (train once with
+    ``unigram_train``, persist ``(piece, logp2_q20)``, tokenize deltas
+    forever — batch or inside a streaming ``foreachBatch``, exactly
+    the ``pq_encode``-against-frozen-codebooks contract for the
+    tokenizer family). ``vocab`` is the trained piece table (DataFrame
+    with ``piece``/``logp2_q20``, or an equivalent mapping); the
+    tokenization itself is ``unigram_train_token_counts``'s total
+    apply (Viterbi + UNK single-char fallback + char segmentation
+    beyond the DP length guard)."""
+    if isinstance(vocab, DataFrame):
+        scores = {
+            r["piece"]: int(r["logp2_q20"])
+            for r in vocab.select("piece", "logp2_q20").collect()
+        }
+    else:
+        scores = dict(vocab)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(scores)
 
