@@ -166,6 +166,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "unigram_train_tokens",
     "train_quality_classifier",
     "balanced_shards",
+    "shard_local_near_dups",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

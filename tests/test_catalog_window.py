@@ -88,12 +88,13 @@ LOAD_BEARING = [
     # rotated out round 12 (driver-green rounds 10 AND 11) to reserve
     # slots for the round-12 additions BEFORE adding them
     "hard_negatives",
-    "vocab_drift",
+    # vocab_drift rotated out round 12 (driver-green rounds 10 AND 11)
     # round-12 additions: must be driver-attested before rotating out
     "unigram_train",
     "unigram_train_tokens",
     "train_quality_classifier",
     "balanced_shards",
+    "shard_local_near_dups",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -960,3 +960,62 @@ def test_pq_encode_m1_is_frozen_cell_assignment_parity(spark, embeddings):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, incr.collect())
     )
+
+
+def test_keyed_near_dups_shard_local_recall(spark, embeddings):
+    """Shard-local near-dup = keyed_near_dups over balanced_shards:
+    every emitted pair is co-shard and appears in the all-pairs ground
+    truth, and semantic sharding recovers a solid fraction of the
+    global pairs at ~1/n_shards of the comparisons."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.catalog import (
+        BALANCED_SHARDS_N,
+        KMEANS_ITER,
+        KMEANS_K,
+        NEAR_DUP_THRESHOLD,
+    )
+    from traits_data_spark.operators.layout import balanced_shards
+    from traits_data_spark.operators.similarity import (
+        cosine,
+        keyed_near_dups,
+        kmeans_clusters,
+    )
+
+    emb = embeddings.limit(300).cache()
+    asg = kmeans_clusters(emb, k=KMEANS_K, n_iter=KMEANS_ITER).select(
+        "vec_id", "cluster"
+    )
+    sh = balanced_shards(asg, "vec_id", "cluster", BALANCED_SHARDS_N)
+    keyed = emb.join(sh.select("vec_id", "shard"), "vec_id")
+    local = {
+        (r["id_a"], r["id_b"])
+        for r in keyed_near_dups(
+            keyed, "shard", threshold=NEAR_DUP_THRESHOLD
+        ).collect()
+    }
+    # all-pairs ground truth (300² is test-sized only)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("va"), F.col("vb")), 6) + F.lit(0.0),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+        .collect()
+    }
+    assert local <= full
+    shard_of = {r["vec_id"]: r["shard"] for r in sh.collect()}
+    assert all(shard_of[x] == shard_of[y] for x, y in local)
+    # semantic co-location beats random sharding's 1/n expected recall
+    assert full and len(local) / len(full) >= 2.0 / BALANCED_SHARDS_N

@@ -97,6 +97,7 @@ HEADLINE = [
     "unigram_train_tokens",
     "train_quality_classifier",
     "balanced_shards",
+    "shard_local_near_dups",
 ]
 
 
@@ -141,6 +142,8 @@ MAX_SCANS = {
     "train_quality_classifier": 6,
     # kmeans assign (2 slices of the persisted fit) + shard windows
     "balanced_shards": 4,
+    # + the embeddings join and the same-shard pair join
+    "shard_local_near_dups": 5,
 }
 
 

@@ -406,6 +406,7 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d + 0.0 AS dist2 FROM mf"""
 
 
 BALANCED_SHARDS_N = 6
+SHARD_TARGET_SIZE = 84  # rows per shard the size-targeted layout holds
 
 
 def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,11 +440,16 @@ def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _balanced_shards_sql(
+def _balanced_shards_ctes(
     k: int = KMEANS_K,
     n_iter: int = KMEANS_ITER,
-    n_shards: int = BALANCED_SHARDS_N,
+    n_shards: "int | str" = BALANCED_SHARDS_N,
 ) -> str:
+    """Shared kmeans→balanced-shard CTE chain ending in ``bshard
+    (vec_id, cluster, shard)`` — used by the ``balanced_shards``
+    oracle and by every shard-consuming oracle downstream
+    (``shard_local_near_dups``), so the layout replay can never
+    diverge between them."""
     return (
         _kmeans_cent_ctes(k, n_iter)
         + ","
@@ -465,10 +471,89 @@ brn AS (
   SELECT vec_id, cluster,
          ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id ASC) AS rn
   FROM basg
+),
+bshard AS (
+  SELECT r.vec_id, r.cluster,
+         CAST(((o.o + r.rn - 1) * ({n_shards})) // t.t AS BIGINT) AS shard
+  FROM brn r JOIN boff o USING (cluster) CROSS JOIN btot t
+)"""
+    )
+
+
+def _balanced_shards_sql(
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITER,
+    n_shards: int = BALANCED_SHARDS_N,
+) -> str:
+    return (
+        _balanced_shards_ctes(k, n_iter, n_shards)
+        + "\nSELECT vec_id, cluster, shard FROM bshard"
+    )
+
+
+def q_shard_local_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-LOCAL near-duplicate pairs
+    (``similarity.keyed_near_dups`` over ``layout.balanced_shards``):
+    the dedup pass a semantically-sharded corpus actually runs —
+    pairwise cosine WITHIN each balanced shard only, so the quadratic
+    work is bounded by (total/n_shards)² per shard and the shuffle key
+    is the layout itself (the SemDeDup deployment shape: cluster, then
+    dedup inside clusters). Because ``balanced_shards`` co-locates
+    k-means neighbours, the shard-local pass recovers the bulk of the
+    global near-dup pairs at a fraction of the comparisons — the
+    recall-vs-cost contract is pinned by test, and the pairs are
+    hash-exact against the oracle's replay of the full layout chain +
+    same-shard join."""
+    from traits_data_spark.operators.layout import balanced_shards
+    from traits_data_spark.operators.similarity import keyed_near_dups
+
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = (
+        kmeans_clusters(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
+        .select("vec_id", "cluster")
+        .persist()
+    )
+    # shard SIZE is the scale contract, not shard count: n_shards
+    # grows with the corpus so per-shard pairwise work stays
+    # ~SHARD_TARGET_SIZE² regardless of N (a fixed count is quadratic
+    # in N — measured as the 20× stress blowing past 10 minutes before
+    # this derivation). Identical formula in the oracle:
+    # greatest(1, ceil(t / SHARD_TARGET_SIZE)).
+    n_shards = max(1, math.ceil(asg.count() / float(SHARD_TARGET_SIZE)))
+    sh = balanced_shards(asg, "vec_id", "cluster", n_shards)
+    keyed = emb.join(sh.select("vec_id", "shard"), "vec_id")
+    return keyed_near_dups(
+        keyed, "shard", threshold=NEAR_DUP_THRESHOLD
+    )
+
+
+def _shard_local_near_dups_sql(
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITER,
+    target: int = SHARD_TARGET_SIZE,
+) -> str:
+    return (
+        _balanced_shards_ctes(
+            k,
+            n_iter,
+            f"greatest(1, CAST(ceil(t.t / {float(target)!r}) AS BIGINT))",
+        )
+        + f""",
+se AS (
+  SELECT s.shard, e.vec_id AS id, e.embedding::DOUBLE[] AS v
+  FROM bshard s JOIN embeddings e USING (vec_id)
+),
+sp AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6)
+           + 0.0 AS cosine
+  FROM se a JOIN se b USING (shard) WHERE a.id < b.id
 )
-SELECT r.vec_id, r.cluster,
-       CAST(((o.o + r.rn - 1) * {n_shards}) // t.t AS BIGINT) AS shard
-FROM brn r JOIN boff o USING (cluster) CROSS JOIN btot t"""
+SELECT id_a, id_b, cosine FROM sp WHERE cosine >= {NEAR_DUP_THRESHOLD}"""
     )
 
 

@@ -779,14 +779,41 @@ def embedding_near_dups(
         n_planes,
         seed,
     )
+    return keyed_near_dups(
+        b, "bucket", id_col="id", vec_col="__v",
+        threshold=threshold, round_to=round_to,
+    )
+
+
+def keyed_near_dups(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Same-key pairwise cosine near-duplicates: ONE shuffle on
+    ``key_col``, quadratic work only within a key group. The key is
+    the recall/cost dial — an LSH bucket (``embedding_near_dups``),
+    a balanced semantic shard (``layout.balanced_shards`` — the
+    shard-local dedup pass a sharded corpus runs instead of a global
+    one), or any other co-location key. Returns ``(id_a, id_b,
+    cosine)`` with ``id_a < id_b``; NULL keys pair with nothing (an
+    unkeyed row has no locality group)."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(key_col).alias("__k"),
+    )
     left = b.select(
-        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "bucket"
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__k"
     )
     right = b.select(
-        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "bucket"
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__k"
     )
     pairs = (
-        left.join(right, "bucket")
+        left.join(right, "__k")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
