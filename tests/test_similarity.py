@@ -1019,3 +1019,21 @@ def test_keyed_near_dups_shard_local_recall(spark, embeddings):
     assert all(shard_of[x] == shard_of[y] for x, y in local)
     # semantic co-location beats random sharding's 1/n expected recall
     assert full and len(local) / len(full) >= 2.0 / BALANCED_SHARDS_N
+
+
+def test_keyed_near_dups_zero_norm_vectors_excluded(spark):
+    """A zero-norm vector has no cosine: it must be dropped before
+    pairing (ANSI division throws; NaN >= threshold is TRUE on Spark
+    but NULL on the SQL oracle — the same guard the IVF scorers use)."""
+    from traits_data_spark.operators.similarity import keyed_near_dups
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 0.0], 0),  # zero-norm, same key
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, k int"
+    )
+    got = keyed_near_dups(df, "k", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]

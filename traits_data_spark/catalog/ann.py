@@ -460,8 +460,11 @@ bcs AS (
   SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM basg GROUP BY cluster
 ),
 boff AS (
+  -- NULLS FIRST + null-safe join: the Spark operator treats a NULL
+  -- cluster as a leading group (layout.py balanced_shards); DuckDB's
+  -- window default is NULLS LAST and USING() drops NULL keys
   SELECT cluster,
-         SUM(csz) OVER (ORDER BY cluster ASC
+         SUM(csz) OVER (ORDER BY cluster ASC NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - csz AS o
   FROM bcs
@@ -475,7 +478,8 @@ brn AS (
 bshard AS (
   SELECT r.vec_id, r.cluster,
          CAST(((o.o + r.rn - 1) * ({n_shards})) // t.t AS BIGINT) AS shard
-  FROM brn r JOIN boff o USING (cluster) CROSS JOIN btot t
+  FROM brn r JOIN boff o ON r.cluster IS NOT DISTINCT FROM o.cluster
+  CROSS JOIN btot t
 )"""
     )
 
@@ -544,6 +548,8 @@ def _shard_local_near_dups_sql(
 se AS (
   SELECT s.shard, e.vec_id AS id, e.embedding::DOUBLE[] AS v
   FROM bshard s JOIN embeddings e USING (vec_id)
+  WHERE list_dot_product(e.embedding::DOUBLE[],
+                         e.embedding::DOUBLE[]) > 0
 ),
 sp AS (
   SELECT a.id AS id_a, b.id AS id_b,
@@ -1357,7 +1363,9 @@ def _near_dups_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
                   {_bucket_sql('embedding::DOUBLE[]', NEAR_DUP_PLANES)} AS bucket
-           FROM embeddings),
+           FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[]) > 0),
 p AS (
   SELECT a.id AS id_a, b.id AS id_b,
          round(list_dot_product(a.v, b.v)
@@ -1396,7 +1404,9 @@ def _incremental_near_dups_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
                   {_bucket_sql('embedding::DOUBLE[]', NEAR_DUP_PLANES)} AS bucket
-           FROM embeddings),
+           FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[]) > 0),
 p AS (
   SELECT a.id AS id_a, b.id AS id_b,
          round(list_dot_product(a.v, b.v)

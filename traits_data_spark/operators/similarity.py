@@ -805,7 +805,10 @@ def keyed_near_dups(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.col(key_col).alias("__k"),
-    )
+    ).filter(_norm2(F.col("__v")) > 0)  # zero-norm vectors have no
+    # cosine: under ANSI the division throws, and NaN >= threshold is
+    # TRUE on Spark but the oracle's x/0.0 is NULL — same guard as the
+    # IVF scorers
     left = b.select(
         F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__k"
     )
