@@ -167,6 +167,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "train_quality_classifier",
     "balanced_shards",
     "shard_local_near_dups",
+    "curate_corpus_trained",
 ]
 
 # Fixed tail-capture budget on the driver side: the driver records the

@@ -87,14 +87,15 @@ LOAD_BEARING = [
     # scd2_merge / dsir_select / dsir_select_sampled / matryoshka_recall
     # rotated out round 12 (driver-green rounds 10 AND 11) to reserve
     # slots for the round-12 additions BEFORE adding them
-    "hard_negatives",
-    # vocab_drift rotated out round 12 (driver-green rounds 10 AND 11)
+    # hard_negatives + vocab_drift rotated out round 12 (driver-green
+    # rounds 10 AND 11)
     # round-12 additions: must be driver-attested before rotating out
     "unigram_train",
     "unigram_train_tokens",
     "train_quality_classifier",
     "balanced_shards",
     "shard_local_near_dups",
+    "curate_corpus_trained",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -98,6 +98,7 @@ HEADLINE = [
     "train_quality_classifier",
     "balanced_shards",
     "shard_local_near_dups",
+    "curate_corpus_trained",
 ]
 
 
@@ -144,6 +145,9 @@ MAX_SCANS = {
     "balanced_shards": 4,
     # + the embeddings join and the same-shard pair join
     "shard_local_near_dups": 5,
+    # full curation chain + the trained-classifier gate (documents x3:
+    # chain, features, label tokenize; + 3 artifact-file reads)
+    "curate_corpus_trained": 8,
 }
 
 

@@ -434,7 +434,14 @@ lmw AS (
 )"""
 
 
-def _curate_corpus_sql(bpe: bool = False, lm: bool = False) -> str:
+def _curate_corpus_sql(
+    bpe: bool = False, lm: bool = False, gq_ctes: str | None = None
+) -> str:
+    """``gq_ctes`` (round 12): caller-supplied override for the
+    quality-stage CTE block — must define ``gq`` over ``g`` (the
+    Gopher-kept set) and end WITHOUT a trailing comma. Used by the
+    trained-classifier curate variant (``catalog.text``) to inject
+    its prefixed prediction chain; mutually exclusive with ``lm``."""
     cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in CURATE_WEIGHTS.items())
     # The bpe variant budgets the mixture in subword tokens: tokenize
     # the DISTINCT lowercase words of the post-dedup/decon survivors
@@ -479,7 +486,7 @@ g AS (
   SELECT doc_id, source, nt, CAST(n_words AS BIGINT) AS ws_tokens
   FROM m
   WHERE {_gopher_keep_sql()}
-),{(_lm_filter_ctes('g', 'gq') + ',') if lm else '''
+),{(_lm_filter_ctes('g', 'gq') + ',') if lm else (gq_ctes + ',') if gq_ctes else '''
 gq AS (SELECT * FROM g),'''}
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM gq GROUP BY {_H60.format(x='nt')}),
 ded AS (SELECT gq.* FROM gq JOIN keepers USING (doc_id)),

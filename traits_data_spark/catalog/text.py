@@ -50,15 +50,19 @@ from traits_data_spark.catalog._shared import (
     unigram_token_counts,
     unigram_train,
     unigram_train_token_counts,
+    widen_if_narrow,
     winnow_fingerprints,
     winnow_matches,
 )
 from traits_data_spark.catalog.dedup import (
     BANDS,
+    DECON_BENCH_SOURCE,
     NUM_HASHES,
 )
 from traits_data_spark.catalog.corpus import (
+    CURATE_PPL_MAX_NLL_MICRO,
     _bpe_tok_ctes,
+    _curate_corpus_sql,
     _lm_chain,
     _near_dup_drop_sql,
 )
@@ -668,12 +672,23 @@ def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT arithmetic. This is the fastText-style distillation step a
     curation pipeline runs so the full corpus never pays the LM pass
     (CCNet, Wenzek et al. 2020). Output: ``(doc_id, is_train,
-    pred_lp_micro)`` — the learned predicted avg log-prob, hash-exact
-    against the oracle's replay of features, LM labels, statistics,
-    Cramer solve, and scoring."""
+    pred_lp_pico)`` — the learned predicted avg log-prob in
+    PICO-nats: the label is ``avg_lp_micro`` (micro-nats) and the
+    micro-quantized weights scale predictions by another 1e6, so
+    compare against micro-nat thresholds × 1e6 (see
+    ``curate_corpus_trained``). Hash-exact against the oracle's
+    replay of features, LM labels, statistics, Cramer solve, and
+    scoring."""
+    return _tqc_scores(spark, _docs_wide(spark, sf_dir))
+
+
+def _tqc_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The trained-quality-classifier pipeline over an arbitrary
+    ``(doc_id, text)`` frame — shared by the standalone catalog entry
+    and the trained curate variant (which scores the
+    benchmark-excluded corpus slice)."""
     from traits_data_spark.operators.regression import train_linear_scorer
 
-    docs = _docs_wide(spark, sf_dir)
     bigram, context = load_word_lm(spark)
     # the expensive LM label runs ONLY on the 20% train slice (that is
     # the distillation economics); the slice-restricted left join is
@@ -691,11 +706,19 @@ def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(TQC_FEATURES),
         "avg_lp_micro",
         lam=TQC_LAM,
-        pred_col="pred_lp_micro",
+        pred_col="pred_lp_pico",
     )
 
 
-def _train_quality_classifier_sql(lam: float = TQC_LAM) -> str:
+def _tqc_pred_ctes(where_extra: str = "", lam: float = TQC_LAM) -> str:
+    """The trained-quality-classifier chain as prefixed CTEs (``qd``,
+    ``qfeats``, ``qlsrc``, ``tqc*`` LM labels, ``qtr``, ``qagg``,
+    ``qw``) ending in ``tqcpred(doc_id, is_train, pred_lp_pico)`` —
+    composable into other oracles (the trained curate variant injects
+    it into the curation chain, whose own first CTE is named ``w``;
+    the prefixes avoid the collision). ``where_extra`` restricts the
+    source documents (e.g. the curation chain's benchmark-source
+    exclusion)."""
     from traits_data_spark.operators.regression import (
         MICRO,
         cramer_weight_sql,
@@ -723,9 +746,9 @@ def _train_quality_classifier_sql(lam: float = TQC_LAM) -> str:
         f" AS w_{i}_micro"
         for i, w in enumerate(cramer_weight_sql(k, lam=lam))
     )
-    return f"""
-WITH d AS (SELECT doc_id, text, {_NORM} AS nt FROM documents),
-feats AS (
+    return f"""qd AS (SELECT doc_id, text, {_NORM} AS nt
+       FROM documents{where_extra}),
+qfeats AS (
   SELECT doc_id,
          CAST(COALESCE(len(regexp_extract_all(text, '\\S+')), 0)
               AS BIGINT) AS x1,
@@ -733,28 +756,96 @@ feats AS (
               0) AS BIGINT) AS x2,
          CAST(COALESCE(len(list_filter(string_split(nt, ' '),
               w -> list_contains([{stops}], w))), 0) AS BIGINT) AS x3
-  FROM d
+  FROM qd
 ),
-lsrc AS (
+qlsrc AS (
   SELECT doc_id,
          list_filter(string_split(nt, ' '), x -> length(x) > 0) AS wl
-  FROM d WHERE ((doc_id % 5) + 5) % 5 = 1
+  FROM qd WHERE ((doc_id % 5) + 5) % 5 = 1
 ),
-{_lm_chain('tqc', 'lsrc')},
-tr AS (
+{_lm_chain('tqc', 'qlsrc')},
+qtr AS (
   SELECT f.x1, f.x2, f.x3, l.avg_lp_micro AS y
-  FROM feats f JOIN tqca2 l USING (doc_id)
+  FROM qfeats f JOIN tqca2 l USING (doc_id)
   WHERE ((f.doc_id % 5) + 5) % 5 = 1 AND l.avg_lp_micro IS NOT NULL
 ),
-agg AS (SELECT {", ".join(aggs)} FROM tr),
-w AS (SELECT {wsel} FROM agg)
-SELECT f.doc_id,
-       CAST(CASE WHEN ((f.doc_id % 5) + 5) % 5 = 1 THEN 1 ELSE 0 END
-            AS INT)
-         AS is_train,
-       CAST(w_0_micro + w_1_micro * x1 + w_2_micro * x2
-            + w_3_micro * x3 AS BIGINT) AS pred_lp_micro
-FROM feats f CROSS JOIN w"""
+qagg AS (SELECT {", ".join(aggs)} FROM qtr),
+qw AS (SELECT {wsel} FROM qagg),
+tqcpred AS (
+  SELECT f.doc_id,
+         CAST(CASE WHEN ((f.doc_id % 5) + 5) % 5 = 1 THEN 1 ELSE 0 END
+              AS INT)
+           AS is_train,
+         CAST(w_0_micro + w_1_micro * x1 + w_2_micro * x2
+              + w_3_micro * x3 AS BIGINT) AS pred_lp_pico
+  FROM qfeats f CROSS JOIN qw
+)"""
+
+
+def _train_quality_classifier_sql(lam: float = TQC_LAM) -> str:
+    return (
+        "\nWITH "
+        + _tqc_pred_ctes(lam=lam)
+        + "\nSELECT doc_id, is_train, pred_lp_pico FROM tqcpred"
+    )
+
+
+# keep docs whose PREDICTED avg log-prob clears the same 3.43
+# nats/token ceiling the exact-LM curate variant uses — in pico-nats,
+# since train_linear_scorer's micro-quantized weights scale the
+# micro-nat label by another 1e6
+CURATE_TQC_MIN_PRED_PICO = -CURATE_PPL_MAX_NLL_MICRO * 1_000_000
+
+
+def q_curate_corpus_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curate_corpus`` with the TRAINED quality stage ON (round 12):
+    where ``curate_corpus_ppl`` pays the exact LM pass over every
+    quality-kept doc, this variant runs the LM only on the 20%
+    training slice, distills it into the linear surface-feature scorer
+    (``train_quality_classifier``'s pipeline over the
+    benchmark-excluded corpus), and gates the chain on the PREDICTED
+    avg log-prob at the same CCNet stage position and the same 3.43
+    nats/token ceiling (pico-nat scaled) — the full
+    train-then-deploy curation economics in one plan. The oracle
+    injects the prefixed classifier-prediction chain into the curation
+    replay's quality stage.
+
+    Honesty note on the SYNTHETIC corpus: the per-token LM label here
+    is bigram-draw noise with almost no linearly-learnable structure
+    (measured round 12: a FULL unigram-share regression caps at corr
+    0.36 / 62% gate agreement, surface features lower), so this entry
+    attests the train→solve→score→gate MECHANICS hash-exactly, not
+    distillation quality — that is a data property; see
+    ``test_curate_trained_gate_mechanics_and_size``."""
+    from traits_data_spark.catalog.corpus import _curate_call
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = widen_if_narrow(
+        docs.filter(F.col("source") != DECON_BENCH_SOURCE).select(
+            "doc_id", "text"
+        )
+    )
+    pred = _tqc_scores(spark, corpus).select("doc_id", "pred_lp_pico")
+    return _curate_call(
+        spark,
+        sf_dir,
+        quality_scores=pred,
+        quality_min=CURATE_TQC_MIN_PRED_PICO,
+    )
+
+
+def _curate_corpus_trained_sql() -> str:
+    gq = (
+        _tqc_pred_ctes(
+            where_extra=f" WHERE source <> '{DECON_BENCH_SOURCE}'"
+        )
+        + f""",
+gq AS (
+  SELECT g.* FROM g JOIN tqcpred USING (doc_id)
+  WHERE tqcpred.pred_lp_pico >= {CURATE_TQC_MIN_PRED_PICO}
+)"""
+    )
+    return _curate_corpus_sql(gq_ctes=gq)
 
 
 def q_train_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,6 +71,9 @@ def curate_corpus(
     bpe_cap: int = 24,
     lm: tuple[DataFrame, DataFrame] | None = None,
     lm_max_nll_micro: int | None = None,
+    quality_scores: DataFrame | None = None,
+    quality_min: int | None = None,
+    quality_score_col: str = "pred_lp_pico",
 ) -> DataFrame:
     """Run the full curation chain; returns one row per document in
     the curated corpus: ``(id, source, ws_tokens, shard, shard_pos)``.
@@ -110,6 +113,16 @@ def curate_corpus(
     word-bigram LM exceeds ``lm_max_nll_micro`` micro-nats are
     dropped before dedup. ``lm`` is the ``load_word_lm(spark)`` pair;
     thresholds are integers, so the kept set stays engine-exact.
+
+    ``quality_scores`` + ``quality_min`` (round 12): the TRAINED
+    quality stage — a per-doc score frame (``(id_col,
+    quality_score_col)``, e.g. ``train_linear_scorer``'s distilled
+    LM predictions) filters the quality-kept set at the same
+    CCNet position as the ``lm`` hook, keeping docs with score >=
+    ``quality_min``. This is the deployment shape where the exact LM
+    ran only on the training slice and the cheap learned scorer
+    gates the corpus; scores are exact BIGINT so the kept set stays
+    engine-exact.
     """
     weights_ppm = dict(weights_ppm or {})
     base = widen_if_narrow(
@@ -144,6 +157,15 @@ def curate_corpus(
         # broadcast — AQE picks the strategy; the LM TABLES broadcast,
         # the per-doc score frame must not)
         kept_quality = kept_quality.join(lp, id_col, "semi")
+
+    # optional TRAINED quality filter (round 12): same stage position
+    # as the LM hook, but the per-doc score comes from a learned
+    # scorer instead of the full LM pass (see docstring)
+    if quality_scores is not None and quality_min is not None:
+        qs = quality_scores.filter(
+            F.col(quality_score_col) >= F.lit(int(quality_min))
+        ).select(id_col)
+        kept_quality = kept_quality.join(qs, id_col, "semi")
 
     # exact dedup: ONE map-side-combined min_by per content hash.
     # Persisted — the exact-kept set feeds near-dup shingling, both
