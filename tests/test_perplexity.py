@@ -280,7 +280,7 @@ def test_doc_lp_sums_matches_pure_python_reference(spark, documents):
     assert got == want
 
 
-def test_curate_trained_gate_mechanics_and_size(spark):
+def test_curate_trained_gate_mechanics_and_size(spark, sf_dir):
     """The trained quality stage's MECHANICS: the chain's keep-set is
     exactly the docs whose prediction clears the pico-nat threshold
     (stage semantics), the chain is a real filter, and its output size
@@ -297,16 +297,27 @@ def test_curate_trained_gate_mechanics_and_size(spark):
 
     from traits_data_spark.catalog import (
         CURATE_TQC_MIN_PRED_PICO,
+        DECON_BENCH_SOURCE,
+        _tqc_scores,
         q_curate_corpus,
         q_curate_corpus_ppl,
         q_curate_corpus_trained,
-        q_train_quality_classifier,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
+    # the gate's OWN model: trained on the bench-EXCLUDED corpus — the
+    # standalone q_train_quality_classifier trains on ALL documents
+    # and only coincidentally agrees on this generator (src0 never
+    # intersects the % 5 == 1 slice), so comparing against it would
+    # validate weights the stage never uses
+    corpus = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("source") != DECON_BENCH_SOURCE)
+        .select("doc_id", "text")
+    )
     pred_keep = {
         r["doc_id"]
-        for r in q_train_quality_classifier(spark, sf)
+        for r in _tqc_scores(spark, corpus)
         .filter(F.col("pred_lp_pico") >= CURATE_TQC_MIN_PRED_PICO)
         .collect()
     }

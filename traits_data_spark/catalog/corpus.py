@@ -24,6 +24,7 @@ from traits_data_spark.catalog._shared import (
     portable_hash64,
     scd2_merge,
     snapshot_diff,
+    widen_if_narrow,
 )
 from traits_data_spark.catalog.dedup import (
     BANDS,
@@ -308,14 +309,27 @@ cnear AS (
 )"""
 
 
-def _curate_call(spark: SparkSession, sf_dir: str, **extra) -> DataFrame:
+def _curate_call(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_pred_builder=None,
+    **extra,
+) -> DataFrame:
     """The ONE copy of the flagship curation invocation (src0 bench
-    split + the shared stop/decon/weights/budget config); the bpe and
-    ppl variants differ only in the ``extra`` kwargs, so a change to
-    the shared defaults lands in all three catalog entrypoints."""
+    split + the shared stop/decon/weights/budget config); the bpe,
+    ppl and trained variants differ only in the ``extra`` kwargs, so a
+    change to the shared defaults lands in every catalog entrypoint.
+    ``quality_pred_builder`` (trained variant): a callable receiving
+    the bench-EXCLUDED ``(doc_id, text)`` corpus frame and returning
+    the per-doc ``quality_scores`` frame — built HERE so the scorer's
+    corpus can never diverge from the chain's corpus split."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == DECON_BENCH_SOURCE)
     corpus = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+    if quality_pred_builder is not None:
+        extra["quality_scores"] = quality_pred_builder(
+            widen_if_narrow(corpus.select("doc_id", "text"))
+        )
     return curate_corpus(
         corpus,
         bench,
@@ -442,6 +456,11 @@ def _curate_corpus_sql(
     Gopher-kept set) and end WITHOUT a trailing comma. Used by the
     trained-classifier curate variant (``catalog.text``) to inject
     its prefixed prediction chain; mutually exclusive with ``lm``."""
+    if lm and gq_ctes:
+        raise ValueError(
+            "_curate_corpus_sql: lm and gq_ctes are mutually exclusive "
+            "(lm would silently win and drop the injected stage)"
+        )
     cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in CURATE_WEIGHTS.items())
     # The bpe variant budgets the mixture in subword tokens: tokenize
     # the DISTINCT lowercase words of the post-dedup/decon survivors

@@ -819,17 +819,15 @@ def q_curate_corpus_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_curate_trained_gate_mechanics_and_size``."""
     from traits_data_spark.catalog.corpus import _curate_call
 
-    docs = _t(spark, sf_dir, "documents")
-    corpus = widen_if_narrow(
-        docs.filter(F.col("source") != DECON_BENCH_SOURCE).select(
-            "doc_id", "text"
-        )
-    )
-    pred = _tqc_scores(spark, corpus).select("doc_id", "pred_lp_pico")
     return _curate_call(
         spark,
         sf_dir,
-        quality_scores=pred,
+        # the scorer trains/scores on the SAME bench-excluded corpus
+        # frame the chain consumes — _curate_call builds the split
+        # once and hands it to the builder
+        quality_pred_builder=lambda corpus: _tqc_scores(
+            spark, corpus
+        ).select("doc_id", "pred_lp_pico"),
         quality_min=CURATE_TQC_MIN_PRED_PICO,
     )
 
