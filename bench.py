@@ -168,7 +168,54 @@ BENCH_QUERIES = FLAGSHIPS + [
     "balanced_shards",
     "shard_local_near_dups",
     "curate_corpus_trained",
+    # round 13: multi-assignment recall, sharded-dedup flagship, DSIR
+    # trainer chain, serving name search
+    "shard_local_near_dups_m2",
+    "semantic_dedup_sharded",
+    "dsir_train",
+    "dsir_train_select",
+    "name_search",
 ]
+
+# Catalog entries EXPLICITLY excluded from the bench board. Every
+# catalog query must appear in exactly one of BENCH_QUERIES /
+# BENCH_EXCLUDED (tests/test_catalog_window.py asserts the union) so
+# a new query can never silently skip the bench_compare regression
+# gate — an unbenched regression would otherwise be invisible.
+# Exclusion reasons:
+# - tiny relational/scalar utilities whose whole runtime is session
+#   overhead (sub-100 ms plans: cumcount, scalar_funcs, hash_split,
+#   json_props, ...) — the flagship plans exercise the same operators
+#   under real data weight;
+# - rows-only binary/packing entries (multimodal_features,
+#   audio_features) whose cost is the synthetic payload decode, and
+#   per-group sub-steps of benched composites (minhash_sigs is inside
+#   lsh_candidates; source_mixture is inside mixture_plan).
+BENCH_EXCLUDED = {
+    "any_union_agg",
+    "audio_features",
+    "chunk_dedup",
+    "cluster_split",
+    "cumcount",
+    "distinct_dims",
+    "feature_filter",
+    "filter_small_groups",
+    "frame_samples",
+    "hash_split",
+    "incremental_new_keys",
+    "json_props",
+    "minhash_sigs",
+    "mismatch_join",
+    "multimodal_features",
+    "null_zero_profile",
+    "outer_join_fill",
+    "percentile_profile",
+    "salted_stats",
+    "scalar_funcs",
+    "source_mixture",
+    "topk_per_group",
+    "with_group_rank",
+}
 
 # Fixed tail-capture budget on the driver side: the driver records the
 # LAST 2000 chars of stdout, and this line prints last — so the line

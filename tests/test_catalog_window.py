@@ -30,11 +30,10 @@ LOAD_BEARING = [
     # in-window)
     # split_contamination + quality_classifier rotated out round 11
     # (driver-green rounds 6-10)
-    "line_dedup",
-    "semantic_dedup",
+    # line_dedup / semantic_dedup / kmeans_clusters / ivf_topk_kmeans
+    # (+ copy_pagerank) rotated out round 13 (driver-green rounds
+    # 10-12) to reserve slots for the round-13 additions
     "incremental_near_dups",
-    "kmeans_clusters",
-    "ivf_topk_kmeans",
     # cms_top_terms + sampled_quantiles rotated out round 11
     # (driver-green rounds 5-10)
     # substring_dups rotated out round 11 (driver-green rounds 5-10)
@@ -96,6 +95,12 @@ LOAD_BEARING = [
     "balanced_shards",
     "shard_local_near_dups",
     "curate_corpus_trained",
+    # round-13 additions: must be driver-attested before rotating out
+    "shard_local_near_dups_m2",
+    "semantic_dedup_sharded",
+    "dsir_train",
+    "dsir_train_select",
+    "name_search",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)
@@ -149,3 +154,24 @@ def test_every_query_has_oracle_or_declared_rows_only():
 def test_no_orphan_oracles():
     orphans = set(catalog.oracle_sqls()) - set(catalog.QUERIES)
     assert not orphans
+
+
+def test_bench_board_covers_every_catalog_query():
+    """Every catalog query appears in exactly one of bench.py's
+    BENCH_QUERIES / BENCH_EXCLUDED — so a new catalog entry that
+    skips the bench board is an explicit, reviewed decision, never a
+    silent gap in the bench_compare regression gate."""
+    import bench
+
+    benched = set(bench.BENCH_QUERIES)
+    excluded = set(bench.BENCH_EXCLUDED)
+    allq = set(catalog.QUERIES)
+    overlap = benched & excluded
+    assert not overlap, f"queries both benched and excluded: {sorted(overlap)}"
+    ghosts = (benched | excluded) - allq
+    assert not ghosts, f"bench names not in the catalog: {sorted(ghosts)}"
+    uncovered = allq - benched - excluded
+    assert not uncovered, (
+        f"catalog queries on neither bench list: {sorted(uncovered)}; "
+        "add to BENCH_QUERIES or document in BENCH_EXCLUDED"
+    )

@@ -147,3 +147,81 @@ def test_dsir_select_sampled_full_sample_matches_exact_up_to_ties(
     assert all(sampled[d]["weight_micro"] == cut for d in sa - ex)
     # and the threshold is monotone: nothing below the cut selected
     assert all(sampled[d]["weight_micro"] >= cut for d in sa)
+
+
+# ---------------------------------------------------------------------------
+# On-cluster DSIR trainer
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_train_matches_pure_python_reference(spark, documents):
+    """Every one of the 10k dense model rows — counts AND Q20 log2
+    delta — equals a pure-Python recompute of the builder's method
+    (tools/build_dsir_model.py) with ilog2_q20 standing in for ln."""
+    import re
+
+    from traits_data_spark.functions.intmath import ilog2_q20
+    from traits_data_spark.operators.selection import N_BUCKETS, dsir_train
+
+    rows = documents.select("doc_id", "text", "lang").collect()
+    c_t, c_r = {}, {}
+    for r in rows:
+        if r.text is None or r.doc_id % 10 != 0:
+            continue
+        nt = re.sub(r"\s+", " ", r.text).strip().lower()
+        ws = [w for w in nt.split(" ") if w]
+        grams = ws + [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        for g in grams:
+            b = _bucket_py(g)
+            c_r[b] = c_r.get(b, 0) + 1
+            if r.lang == "en":
+                c_t[b] = c_t.get(b, 0) + 1
+    ct_tot = sum(c_t.values()) + N_BUCKETS
+    cr_tot = sum(c_r.values()) + N_BUCKETS
+    il_ct_tot, il_cr_tot = ilog2_q20(ct_tot), ilog2_q20(cr_tot)
+    got = dsir_train(documents).collect()
+    assert len(got) == N_BUCKETS
+    for row in got:
+        et, er = c_t.get(row.bucket, 0), c_r.get(row.bucket, 0)
+        assert (row.c_target, row.c_raw) == (et, er), row.bucket
+        want = (ilog2_q20(et + 1) - il_ct_tot) - (ilog2_q20(er + 1) - il_cr_tot)
+        assert row.delta_q20 == want, row.bucket
+
+
+def test_dsir_train_select_chain(spark, documents):
+    """The train-then-select chain keeps exactly ceil(25%) docs and
+    ranks by the trained Q20 weights (weight DESC, doc_id tiebreak)."""
+    from traits_data_spark.operators.selection import dsir_select, dsir_train
+
+    model = dsir_train(documents).select("bucket", "delta_q20")
+    out = dsir_select(
+        documents.select("doc_id", "text"),
+        model,
+        delta_col="delta_q20",
+        weight_col="weight_q20",
+    ).collect()
+    n = len(out)
+    n_sel = sum(1 for r in out if r.selected)
+    assert n_sel == -(-(n * 2_500) // 10_000)  # ceil
+    ranked = sorted(out, key=lambda r: (-r.weight_q20, r.doc_id))
+    assert all(r.selected for r in ranked[:n_sel])
+    assert not any(r.selected for r in ranked[n_sel:])
+
+
+def test_with_ilog2_q20_column_matches_python(spark):
+    """The in-plan square-and-shift log2 is bit-identical to the
+    Python scalar over a boundary-heavy sweep (powers of two +-1 up
+    to 2^61, the full BIGINT domain the trainer feeds it)."""
+    from traits_data_spark.functions.intmath import ilog2_q20, with_ilog2_q20
+
+    vals = (
+        list(range(1, 600))
+        + [2**k for k in range(1, 62)]
+        + [2**k - 1 for k in range(2, 62)]
+        + [2**k + 1 for k in range(1, 61)]
+        + [10**k for k in range(1, 18)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["x"]: r["il"] for r in with_ilog2_q20(df, "x", "il").collect()}
+    for v in vals:
+        assert got[v] == ilog2_q20(v), v

@@ -986,3 +986,58 @@ def test_bpe_train_oracles_survive_vocab_collapse(spark, tmp_path):
     want_m = sorted(con.execute(_bpe_train_sql()).fetchall())
     assert got_m == [(1, "a", "b", 1), (2, "c", "d", 1)]
     assert got_m == want_m
+
+
+# ---------------------------------------------------------------------------
+# Serving-layer name search
+# ---------------------------------------------------------------------------
+
+
+def test_name_search_normalization_and_prefix(spark):
+    """ø-normalization matches the sink DDL's generated column; terms
+    score exact vs prefix hits; matched_all is the boolean-mode AND."""
+    from traits_data_spark.operators.text import name_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "Bøb Marley"),
+            (2, "bob dylan"),
+            (3, "Alice Cooper"),
+            (4, "Bobby Brown"),
+        ],
+        "id long, name string",
+    )
+    out = {r.id: r for r in name_search(df, "bøb", id_col="id").collect()}
+    # 'bøb' normalizes to 'bob': exact on 1 and 2, prefix-only on 4
+    assert set(out) == {1, 2, 4}
+    assert out[1].exact_hits == 1 and out[1].prefix_hits == 1
+    assert out[2].exact_hits == 1
+    assert out[4].exact_hits == 0 and out[4].prefix_hits == 1
+    assert all(r.matched_all for r in out.values())
+
+    two = {r.id: r for r in name_search(df, "bo dy", id_col="id").collect()}
+    # every row with a bo* token returns; only 'bob dylan' has dy* too
+    assert set(two) == {1, 2, 4}
+    assert two[2].matched_all and two[2].prefix_hits == 2
+    assert not two[1].matched_all and not two[4].matched_all
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        name_search(df, "   ", id_col="id")
+
+
+def test_name_search_catalog_shape(spark, sf_dir):
+    """Catalog entry: 'red bo' over part names — every match has a
+    bo* or red token; matched_all rows have both."""
+    from traits_data_spark.catalog.selection import q_name_search
+
+    rows = q_name_search(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        toks = r.p_name.lower().split()
+        has_red = "red" in toks
+        has_bo = any(t.startswith("bo") for t in toks)
+        assert has_red or has_bo
+        assert r.matched_all == (has_red and has_bo)
+        assert r.exact_hits == int(has_red) + int("bo" in toks)

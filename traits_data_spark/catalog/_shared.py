@@ -68,6 +68,7 @@ from traits_data_spark.operators.selection import (
     N_BUCKETS as _DSIR_N_BUCKETS,
     dsir_select,
     dsir_select_sampled,
+    dsir_train,
     load_dsir_model,
 )
 from traits_data_spark.operators.sessions import sessionize
@@ -127,6 +128,7 @@ from traits_data_spark.operators.text import (
     redact_pii,
     repetition_features,
     load_unigram_vocab,
+    name_search,
     tfidf_top_terms,
     token_counts,
     unigram_token_counts,

@@ -563,6 +563,189 @@ SELECT id_a, id_b, cosine FROM sp WHERE cosine >= {NEAR_DUP_THRESHOLD}"""
     )
 
 
+def _m2_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Shared Spark chain for the top-2 multi-assignment shard-local
+    near-dup pass: top-2 k-means assignment → balanced shards over the
+    union of both assignments (cluster is the locality key, so a pair
+    straddling a k-means boundary meets in its shared second-choice
+    cluster) → same-shard pairwise cosine → DISTINCT (a pair sharing
+    BOTH clusters surfaces once per shared cluster)."""
+    import math
+
+    from traits_data_spark.operators.layout import balanced_shards
+    from traits_data_spark.operators.similarity import (
+        keyed_near_dups,
+        kmeans_clusters_topm,
+    )
+
+    asg = (
+        kmeans_clusters_topm(emb, k=KMEANS_K, n_iter=KMEANS_ITER, m=2)
+        .select("vec_id", "cluster")
+        .persist()
+    )
+    # shard SIZE stays the scale contract (see shard_local_near_dups):
+    # the assignment table has 2N rows, so n_shards doubles with the
+    # multiplicity and per-shard pairwise work stays ~SHARD_TARGET²
+    # — total comparisons ≈ 2× the single-assignment pass, the
+    # SemDeDup multi-assignment recall/cost trade.
+    n_shards = max(1, math.ceil(asg.count() / float(SHARD_TARGET_SIZE)))
+    sh = balanced_shards(asg, "vec_id", "cluster", n_shards)
+    keyed = emb.join(sh.select("vec_id", "shard"), "vec_id")
+    return keyed_near_dups(
+        keyed, "shard", threshold=NEAR_DUP_THRESHOLD
+    ).distinct()
+
+
+def q_shard_local_near_dups_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local near-dup pairs with TOP-2 CLUSTER MULTI-ASSIGNMENT
+    (``similarity.kmeans_clusters_topm`` + ``layout.balanced_shards``
+    + ``similarity.keyed_near_dups``): the cross-shard recall fix for
+    ``shard_local_near_dups``, which can only find pairs whose members
+    land in the same shard — near-dups straddling a k-means boundary
+    are structurally missed. SemDeDup practice: assign every vector to
+    its TWO nearest centroids; a boundary pair whose primary clusters
+    differ still shares a second-choice cluster, so the cluster-keyed
+    shard layout co-locates it. Costs ≤2× the comparisons (2N
+    assignment rows → 2× shards of the same target size); the recall
+    lift over the single-assignment pass is pinned by test. Pairs are
+    hash-exact against the oracle's replay of the top-2 assignment,
+    the same balanced layout arithmetic, and the same-shard join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _m2_pairs(spark, emb)
+
+
+def _bshard_layout_ctes(src: str, n_shards_expr: str, p: str) -> str:
+    """Balanced-shard layout replay over an arbitrary assignment
+    relation ``{src}(vec_id, cluster)`` — the generic form of the
+    chain inside ``_balanced_shards_ctes`` (kept verbatim there for
+    the attested round-12 oracles). Emits ``{p}bshard(vec_id,
+    cluster, shard)``; ``n_shards_expr`` may reference ``t.t``."""
+    return f""",
+{p}bcs AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM {src} GROUP BY cluster
+),
+{p}boff AS (
+  SELECT cluster,
+         SUM(csz) OVER (ORDER BY cluster ASC NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - csz AS o
+  FROM {p}bcs
+),
+{p}btot AS (SELECT CAST(SUM(csz) AS BIGINT) AS t FROM {p}bcs),
+{p}brn AS (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id ASC) AS rn
+  FROM {src}
+),
+{p}bshard AS (
+  SELECT r.vec_id, r.cluster,
+         CAST(((o.o + r.rn - 1) * ({n_shards_expr})) // t.t AS BIGINT) AS shard
+  FROM {p}brn r JOIN {p}boff o ON r.cluster IS NOT DISTINCT FROM o.cluster
+  CROSS JOIN {p}btot t
+)"""
+
+
+def _m2_pair_ctes(
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITER,
+    target: int = SHARD_TARGET_SIZE,
+    thr: float = NEAR_DUP_THRESHOLD,
+    with_kw: bool = True,
+) -> str:
+    """CTE chain replaying ``_m2_pairs`` end-to-end: kmeans fit →
+    top-2 assignment (``row_number() <= 2`` over the same ``(d, cid)``
+    order the single-assignment oracle ranks by) → balanced layout
+    over the 2N-row union → same-shard cosine pairs → DISTINCT.
+    Ends in ``m2pairs(id_a, id_b, cosine)``. ``with_kw=False`` lets
+    the caller prepend ``WITH RECURSIVE`` (the sharded-dedup flagship
+    adds a recursive connected-components tail)."""
+    return (
+        _kmeans_cent_ctes(k, n_iter, with_kw=with_kw)
+        + ","
+        + _kmeans_assign_cte(f"cent{n_iter}", "f")
+        + f""",
+m2a AS (
+  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM af
+  ) WHERE rn <= 2
+)"""
+        + _bshard_layout_ctes(
+            "m2a",
+            f"greatest(1, CAST(ceil(t.t / {float(target)!r}) AS BIGINT))",
+            "m2",
+        )
+        + f""",
+m2se AS (
+  SELECT s.shard, e.vec_id AS id, e.embedding::DOUBLE[] AS v
+  FROM m2bshard s JOIN embeddings e USING (vec_id)
+  WHERE list_dot_product(e.embedding::DOUBLE[],
+                         e.embedding::DOUBLE[]) > 0
+),
+m2sp AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6)
+           + 0.0 AS cosine
+  FROM m2se a JOIN m2se b USING (shard) WHERE a.id < b.id
+),
+m2pairs AS (
+  SELECT DISTINCT id_a, id_b, cosine FROM m2sp WHERE cosine >= {thr}
+)"""
+    )
+
+
+def _shard_local_near_dups_m2_sql() -> str:
+    return _m2_pair_ctes() + "\nSELECT id_a, id_b, cosine FROM m2pairs"
+
+
+def q_semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-command global semantic dedup at the 100 TB deployment
+    shape (SemDeDup, Abbas et al. 2023): the full chain —
+    ``kmeans_clusters_topm`` (top-2 assignment) →
+    ``layout.balanced_shards`` (size-bounded semantic shards) →
+    ``similarity.keyed_near_dups`` (shard-local pairwise cosine) →
+    ``dedup.connected_components`` (transitive closure on the pair
+    subgraph only) → canonical-keep — as a single attested plan,
+    where the pieces were previously attested only separately
+    (``balanced_shards`` / ``shard_local_near_dups`` /
+    ``dup_clusters``). Output: one row per embedding with its
+    semantic-duplicate ``component`` (min reachable vec_id) and
+    ``is_canonical`` flag. Shuffle budget: one shuffle on the shard
+    key + bounded per-shard quadratic work for pairs; CC iterates on
+    the (tiny) pair subgraph; the corpus is joined ONCE at the end."""
+    from traits_data_spark.catalog._shared import dedup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = _m2_pairs(spark, emb)
+    return dedup_clusters(emb, pairs, "vec_id")
+
+
+def _semantic_dedup_sharded_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _m2_pair_ctes(with_kw=False)
+        + """,
+sdedges AS (
+  SELECT id_a AS src, id_b AS dst FROM m2pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM m2pairs
+),
+sdcc(id, label) AS (
+  SELECT DISTINCT src, src FROM sdedges
+  UNION
+  SELECT e.src, sdcc.label FROM sdcc JOIN sdedges e ON sdcc.id = e.dst
+),
+sdcomp AS (SELECT id, MIN(label) AS component FROM sdcc GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS component,
+       COALESCE(c.component, e.vec_id) = e.vec_id AS is_canonical
+FROM embeddings e LEFT JOIN sdcomp c ON e.vec_id = c.id"""
+    )
+
+
 IVF_KMEANS_PROBE = 2
 
 

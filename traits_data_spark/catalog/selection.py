@@ -16,7 +16,9 @@ from traits_data_spark.catalog._shared import (
     clean_corpus,
     dsir_select,
     dsir_select_sampled,
+    dsir_train,
     hash_split,
+    name_search,
     load_dsir_model,
     pack_contiguous,
     pagerank,
@@ -34,6 +36,7 @@ from traits_data_spark.catalog.text import (
     WINNOW_MIN_SHARED,
     WINNOW_W,
     _clean_corpus_sql,
+    _ilog2_ctes,
     _winnow_matches_sql,
 )
 from traits_data_spark.catalog.sketches import (
@@ -293,6 +296,217 @@ cut AS (
 SELECT w.doc_id, w.n_feats, w.weight_micro,
        (w.weight_micro >= (SELECT c FROM cut)) AS selected
 FROM w
+"""
+
+
+def q_dsir_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-CLUSTER DSIR importance-weight TRAINING
+    (``operators.selection.dsir_train``): the in-plan replacement for
+    the offline artifact builder ``tools/build_dsir_model.py``,
+    closing the trainer-parity gap for the selection family (the BPE /
+    unigram / bigram-LM / ridge trainers all have on-cluster twins;
+    the DSIR model was the last offline-only artifact). Same
+    estimator — held-out slice ``doc_id % 10 == 0``, target =
+    ``lang='en'``, word uni+bigrams under the portable 28-bit md5
+    bucket, Laplace smoothing — but the log-ratio is computed in Q20
+    fixed-point log2 by the in-plan square-and-shift recurrence
+    (``functions.intmath.with_ilog2_q20``): pure JVM integer column
+    arithmetic, no libm, no driver collect, so every one of the
+    10 000 dense model rows hash-matches the oracle's recursive-CTE
+    replay of the identical digit recurrence."""
+    docs = widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    return dsir_train(docs)
+
+
+def _dsir_train_ctes() -> str:
+    """CTE chain replaying ``dsir_train`` → ``dtm(bucket, c_target,
+    c_raw, delta_q20)``. Caller must open with ``WITH RECURSIVE``
+    (the ilog2 digit recurrence is a recursive CTE)."""
+    b = _DSIR_N_BUCKETS
+    return (
+        f"""td AS (
+  SELECT lang = 'en' AS tgt,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 10 = 0
+),
+tg AS (
+  SELECT tgt, unnest(wl) AS gram FROM td
+  UNION ALL
+  SELECT tgt, wl[i] || ' ' || wl[i + 1] AS gram
+  FROM (SELECT tgt, wl, unnest(range(1, length(wl))) AS i FROM td)
+),
+tf AS (
+  SELECT tgt,
+         CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT) % {b} AS bucket
+  FROM tg
+),
+tc AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS c_target,
+         CAST(count(*) AS BIGINT) AS c_raw
+  FROM tf GROUP BY bucket
+),
+tbk AS (SELECT unnest(range(0, {b})) AS bucket),
+tdn AS MATERIALIZED (
+  SELECT tbk.bucket,
+         CAST(coalesce(tc.c_target, 0) AS BIGINT) AS c_target,
+         CAST(coalesce(tc.c_raw, 0) AS BIGINT) AS c_raw
+  FROM tbk LEFT JOIN tc USING (bucket)
+),
+ttt AS (SELECT 1 AS j, CAST(SUM(c_target) + {b} AS BIGINT) AS x FROM tdn),
+ttr AS (SELECT 1 AS j, CAST(SUM(c_raw) + {b} AS BIGINT) AS x FROM tdn),"""
+        + _ilog2_ctes("tilt", "ttt", "j")
+        + ","
+        + _ilog2_ctes("tilr", "ttr", "j")
+        + ","
+        + _ilog2_ctes("tibt", "(SELECT bucket, c_target + 1 AS x FROM tdn)", "bucket")
+        + ","
+        + _ilog2_ctes("tibr", "(SELECT bucket, c_raw + 1 AS x FROM tdn)", "bucket")
+        + """,
+dtm AS MATERIALIZED (
+  SELECT d.bucket, d.c_target, d.c_raw,
+         (bt.il - tt.il) - (br.il - tr.il) AS delta_q20
+  FROM tdn d
+  JOIN tibt bt USING (bucket)
+  JOIN tibr br USING (bucket)
+  CROSS JOIN tilt tt CROSS JOIN tilr tr
+)"""
+    )
+
+
+def _dsir_train_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _dsir_train_ctes()
+        + "\nSELECT bucket, c_target, c_raw, delta_q20 FROM dtm"
+    )
+
+
+def q_dsir_train_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-select DSIR chain (the ``bpe_train_tokens`` /
+    ``unigram_train_tokens`` discipline applied to selection): fit
+    the hashed-n-gram importance weights on-cluster on the held-out
+    slice (``dsir_train``), then score and rank the FULL corpus with
+    the weights the plan just learned — no committed artifact
+    anywhere in the chain. Weights are Q20 log2-bits instead of the
+    artifact's micro-nats; ranking (and therefore selection) is
+    invariant to the positive log-base factor. Output mirrors
+    ``dsir_select``: weight sums, exact top-25% integer-rank flag."""
+    docs = widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    model = dsir_train(docs).select("bucket", "delta_q20")
+    out = dsir_select(
+        _docs_wide(spark, sf_dir),
+        model,
+        keep_bp=DSIR_KEEP_BP,
+        delta_col="delta_q20",
+        weight_col="weight_q20",
+    )
+    return out.select("doc_id", "n_feats", "weight_q20", "selected")
+
+
+def _dsir_train_select_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _dsir_train_ctes()
+        + f""",
+sd AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+sg AS (
+  SELECT doc_id, unnest(wl) AS gram FROM sd
+  UNION ALL
+  SELECT doc_id, wl[i] || ' ' || wl[i + 1] AS gram
+  FROM (SELECT doc_id, wl, unnest(range(1, length(wl))) AS i FROM sd)
+),
+sf AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT)
+           % {_DSIR_N_BUCKETS} AS bucket
+  FROM sg
+),
+ss AS (
+  SELECT sf.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(m.delta_q20) AS BIGINT) AS weight_q20
+  FROM sf JOIN dtm m USING (bucket)
+  GROUP BY sf.doc_id
+),
+sw AS (
+  SELECT d.doc_id,
+         CAST(coalesce(ss.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(ss.weight_q20, 0) AS BIGINT) AS weight_q20
+  FROM sd d LEFT JOIN ss USING (doc_id)
+),
+sr AS (
+  SELECT *,
+         row_number() OVER (ORDER BY weight_q20 DESC, doc_id) - 1 AS rn0,
+         count(*) OVER () AS cnt
+  FROM sw
+)
+SELECT doc_id, n_feats, weight_q20,
+       (rn0 * 10000 < cnt * {DSIR_KEEP_BP}) AS selected
+FROM sr"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serving-layer name search
+# ---------------------------------------------------------------------------
+
+NAME_SEARCH_QUERY = "red bo"  # exact adjective + `bo*` noun prefix
+
+
+def q_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-layer name search (``operators.text.name_search``):
+    the query-side twin of the normalized-generated-column + FULLTEXT
+    DDL the RDBMS sink emits (``sinks.jdbc.normalized_column_sql``,
+    reference ``LOADERS/GOLD-data-loader.py:593-632``) — the one
+    reference serving behavior that previously had no engine
+    equivalent. Boolean-mode ``term*`` prefix search over the
+    ø-normalized, lowercased, tokenized name column of the ``part``
+    dim (the engine's name-bearing serving table), returning integer
+    exact/prefix hit counts and the implicit-AND ``matched_all``
+    flag — deterministic relevance, unlike MySQL's float score."""
+    part = _t(spark, sf_dir, "part")
+    return name_search(
+        part.select("p_partkey", "p_name"),
+        NAME_SEARCH_QUERY,
+        name_col="p_name",
+        id_col="p_partkey",
+    )
+
+
+_NAME_SEARCH_SQL = f"""
+WITH n AS (
+  SELECT p_partkey, p_name,
+         list_filter(
+           string_split_regex(
+             lower(replace(replace(p_name, 'ø', 'o'), 'Ø', 'O')),
+             '[^a-z0-9]+'),
+           x -> length(x) > 0) AS toks
+  FROM part
+),
+s AS (
+  SELECT p_partkey, p_name,
+         CAST((CASE WHEN list_contains(toks, 'red') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(toks, 'bo') THEN 1 ELSE 0 END)
+              AS BIGINT) AS exact_hits,
+         CAST((CASE WHEN len(list_filter(toks, x -> starts_with(x, 'red'))) > 0
+                    THEN 1 ELSE 0 END)
+              + (CASE WHEN len(list_filter(toks, x -> starts_with(x, 'bo'))) > 0
+                      THEN 1 ELSE 0 END)
+              AS BIGINT) AS prefix_hits
+  FROM n
+)
+SELECT p_partkey, p_name, exact_hits, prefix_hits,
+       prefix_hits = 2 AS matched_all
+FROM s WHERE prefix_hits > 0
 """
 
 

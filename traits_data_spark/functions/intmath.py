@@ -64,3 +64,62 @@ def logp2_q20(count: int, total: int) -> int:
     micro-bit log-probability the unigram trainer assigns to a piece.
     Always ``<= 0`` for ``count <= total``."""
     return ilog2_q20(count) - ilog2_q20(total)
+
+
+def with_ilog2_q20(df, x_col: str, out_col: str):
+    """IN-PLAN ``ilog2_q20``: append ``out_col = ilog2_q20(x_col)`` to
+    a Spark DataFrame as pure JVM-side integer column arithmetic — the
+    distributed twin of the Python scalar above and of the oracle
+    recursive CTE (``catalog.text._ilog2_ctes``), bit-identical to
+    both because all three run the same square-and-shift recurrence on
+    BIGINTs.
+
+    The 20 fraction rounds unroll into 20 chained projections (each
+    referencing the previous round's ``m`` by COLUMN, so there is no
+    exponential expression blowup — the reason this is a DataFrame
+    transform and not one giant ``F.expr`` string). Whole-stage
+    codegen fuses the chain into one pass; no UDF, no shuffle, scales
+    to any row count — unlike the driver-side trainer collects, this
+    form can score a billion-row count table.
+
+    ``x_col`` must be BIGINT >= 1 (same contract as ``ilog2_q20``;
+    under ANSI mode a bad input surfaces as a wrong bit-length, so
+    callers guard zeros with ``+ 1`` Laplace shifts the way the DSIR
+    trainer does).
+    """
+    from pyspark.sql import functions as F
+
+    d = df.withColumn(
+        "__il_b", F.expr(f"CAST(length(bin({x_col})) - 1 AS BIGINT)")
+    ).withColumn(
+        "__il_m",
+        F.expr(
+            f"CASE WHEN __il_b <= 30"
+            f" THEN {x_col} * shiftleft(CAST(1 AS BIGINT),"
+            f"                          CAST(30 - __il_b AS INT))"
+            f" ELSE shiftright({x_col}, CAST(__il_b - 30 AS INT)) END"
+        ),
+    ).withColumn("__il_f", F.lit(0).cast("long"))
+    for _ in range(ILOG2_FRAC_BITS):
+        d = (
+            d.withColumn("__il_t", F.expr("shiftright(__il_m * __il_m, 30)"))
+            .withColumn(
+                "__il_f",
+                F.expr(
+                    "__il_f * 2 + CASE WHEN __il_t >= 2147483648"
+                    " THEN 1 ELSE 0 END"
+                ),
+            )
+            .withColumn(
+                "__il_m",
+                F.expr(
+                    "CASE WHEN __il_t >= 2147483648"
+                    " THEN shiftright(__il_t, 1) ELSE __il_t END"
+                ),
+            )
+            .drop("__il_t")
+        )
+    return d.withColumn(
+        out_col,
+        F.expr(f"shiftleft(__il_b, {ILOG2_FRAC_BITS}) + __il_f"),
+    ).drop("__il_b", "__il_m", "__il_f")

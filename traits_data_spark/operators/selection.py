@@ -99,6 +99,8 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    delta_col: str = "delta_micro",
+    weight_col: str = "weight_micro",
 ) -> DataFrame:
     """Per-document DSIR importance weight: one row per input row with
 
@@ -119,11 +121,11 @@ def dsir_weights(
     )
     feats = grams.select("__id", _bucket(F.col("__g"), n_buckets).alias("bucket"))
     sums = (
-        feats.join(F.broadcast(model.select("bucket", "delta_micro")), "bucket")
+        feats.join(F.broadcast(model.select("bucket", delta_col)), "bucket")
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("delta_micro").cast("long").alias("weight_micro"),
+            F.sum(delta_col).cast("long").alias(weight_col),
         )
     )
     return df.join(
@@ -131,8 +133,8 @@ def dsir_weights(
     ).withColumns(
         {
             "n_feats": F.coalesce(F.col("n_feats"), F.lit(0)).cast("long"),
-            "weight_micro": F.coalesce(
-                F.col("weight_micro"), F.lit(0)
+            weight_col: F.coalesce(
+                F.col(weight_col), F.lit(0)
             ).cast("long"),
         }
     )
@@ -145,6 +147,8 @@ def dsir_select(
     id_col: str = "doc_id",
     keep_bp: int = 2_500,
     n_buckets: int = N_BUCKETS,
+    delta_col: str = "delta_micro",
+    weight_col: str = "weight_micro",
 ) -> DataFrame:
     """``dsir_weights`` + a ``selected`` flag for the top ``keep_bp``
     basis points (default 25%) by weight — deterministic DSIR
@@ -154,8 +158,10 @@ def dsir_select(
     cardinality. The global window ranks the one-row-per-doc weight
     frame (k columns), not the corpus; use ``dsir_select_sampled`` at
     extreme cardinality."""
-    weighted = dsir_weights(df, model, text_col, id_col, n_buckets)
-    w = Window.orderBy(F.col("weight_micro").desc(), F.col(id_col).asc())
+    weighted = dsir_weights(
+        df, model, text_col, id_col, n_buckets, delta_col, weight_col
+    )
+    w = Window.orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
     return (
         weighted.withColumn(
             "__rn0", (F.row_number().over(w) - F.lit(1)).cast("long")
@@ -227,4 +233,98 @@ def dsir_select_sampled(
         weighted.crossJoin(F.broadcast(cut))
         .withColumn("selected", F.col("weight_micro") >= F.col("__cut"))
         .drop("__cut")
+    )
+
+
+def dsir_train(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    holdout_mod: int = 10,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Train the DSIR hashed-n-gram importance weights ON-CLUSTER —
+    the in-plan replacement for the offline artifact builder
+    ``tools/build_dsir_model.py``, completing the trainer discipline
+    (``bpe_train`` / ``unigram_train`` / ``train_bigram_lm`` /
+    ``train_quality_classifier``) for the selection family: at 100 TB
+    the target/raw models must be fit on the corpus being selected,
+    not on a laptop.
+
+    Same estimator as the builder: the held-out slice
+    ``id % holdout_mod == 0`` provides both corpora — target = docs
+    with ``lang_col == target_lang``, raw = the whole slice; features
+    are word uni+bigrams hashed with the portable 28-bit md5 bucket;
+    Laplace ``(c + 1) / (C + n_buckets)`` smoothing on both sides.
+    ONE difference, and it is the point: the builder computes
+    ``ln p_t - ln p_r`` in Python micro-nats, while this trainer
+    computes the same log-ratio in Q20 fixed-point **log2** via the
+    in-plan square-and-shift recurrence
+    (``functions.intmath.with_ilog2_q20``) — pure JVM integer column
+    arithmetic, NO libm, NO driver collect, so the whole model is a
+    distributed plan whose every row hash-matches the oracle's
+    recursive-CTE replay. Ranking is invariant to the log-base change
+    (a positive constant factor).
+
+    Execution shape: one gram explode over the slice → ONE groupBy on
+    the 28-bit bucket (the only corpus-sized shuffle, keyed on 10k
+    values) → dense bucket spine (``spark.range``; missing buckets
+    count 0 — DSIR's model is dense by contract) → two 20-round
+    integer log2 chains per row + two on the broadcast 1-row totals.
+    Output: ``(bucket, c_target, c_raw, delta_q20)`` — ``n_buckets``
+    rows, all BIGINT.
+    """
+    from traits_data_spark.functions.intmath import with_ilog2_q20
+
+    sl = df.filter(
+        F.col(text_col).isNotNull()
+        & (F.pmod(F.col(id_col), F.lit(int(holdout_mod))) == 0)
+    )
+    feats = sl.select(
+        (F.col(lang_col) == target_lang).alias("__tgt"),
+        F.explode(word_grams(text_col)).alias("__g"),
+    ).select("__tgt", _bucket(F.col("__g"), n_buckets).alias("bucket"))
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_target"),
+        F.count(F.lit(1)).cast("long").alias("c_raw"),
+    )
+    dense = (
+        df.sparkSession.range(int(n_buckets))
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_target", F.lit(0)).cast("long").alias("c_target"),
+            F.coalesce("c_raw", F.lit(0)).cast("long").alias("c_raw"),
+        )
+    )
+    totals = dense.agg(
+        (F.sum("c_target") + F.lit(int(n_buckets)))
+        .cast("long")
+        .alias("__ct_tot"),
+        (F.sum("c_raw") + F.lit(int(n_buckets)))
+        .cast("long")
+        .alias("__cr_tot"),
+    )
+    totals = with_ilog2_q20(totals, "__ct_tot", "__il_ct_tot")
+    totals = with_ilog2_q20(totals, "__cr_tot", "__il_cr_tot")
+    scored = dense.withColumn(
+        "__ct1", F.col("c_target") + F.lit(1).cast("long")
+    ).withColumn("__cr1", F.col("c_raw") + F.lit(1).cast("long"))
+    scored = with_ilog2_q20(scored, "__ct1", "__il_ct")
+    scored = with_ilog2_q20(scored, "__cr1", "__il_cr")
+    return (
+        scored.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "delta_q20",
+            (
+                (F.col("__il_ct") - F.col("__il_ct_tot"))
+                - (F.col("__il_cr") - F.col("__il_cr_tot"))
+            ).cast("long"),
+        )
+        .select("bucket", "c_target", "c_raw", "delta_q20")
     )

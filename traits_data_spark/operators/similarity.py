@@ -1133,6 +1133,74 @@ def kmeans_clusters(
     )
 
 
+def kmeans_clusters_topm(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    m: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-``m`` multi-assignment k-means: one row per (vector,
+    assignment rank) for the ``m`` nearest centroids — the SemDeDup
+    cross-boundary recall move. Single-assignment shard-local dedup
+    structurally misses near-dup pairs whose members' PRIMARY clusters
+    differ (a pair straddling a k-means boundary); assigning each
+    vector to its top-2 centroids puts both members of such a pair in
+    their shared second-choice cluster, so a cluster-keyed dedup pass
+    recovers them at ≤ m× the comparisons.
+
+    Same zero-shuffle assignment as ``kmeans_clusters`` (broadcast
+    packed centroid array, identity-form L2² rounded to 6 dp, cid
+    tiebreak); ``F.slice`` of the sorted distance array replaces
+    ``element_at(..., 1)``, and ``posexplode`` emits ``arank``
+    (1-based: 1 = nearest). Output: ``(id_col, cluster, arank,
+    dist2)`` — ``m × n`` rows (fewer only if the fit lost centroids
+    to empty clusters and fewer than ``m`` remain).
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    centroids = kmeans_fit(
+        df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter, scale=scale
+    )
+    packed = centroids.agg(
+        F.collect_list(F.struct("cid", "__centv")).alias("__cs")
+    )
+    d2 = lambda c: (  # noqa: E731
+        dot(F.col("__v"), F.col("__v"))
+        - F.lit(2.0) * dot(F.col("__v"), c)
+        + dot(c, c)
+    )
+    top = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("__cs"),
+                lambda s: F.struct(
+                    F.round(d2(s.getField("__centv")), 6).alias("d"),
+                    s.getField("cid").alias("cid"),
+                ),
+            )
+        ),
+        1,
+        m,
+    )
+    return (
+        v.crossJoin(F.broadcast(packed))
+        .select("__id", F.posexplode(top).alias("__pos", "__a"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__a.cid").cast("long").alias("cluster"),
+            (F.col("__pos") + F.lit(1)).cast("long").alias("arank"),
+            (F.col("__a.d") + F.lit(0.0)).alias("dist2"),
+        )
+    )
+
+
 def ivf_topk_kmeans(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2079,3 +2079,74 @@ def unigram_apply_token_counts(
             ),
         )
     )
+
+
+def name_search(
+    df: DataFrame,
+    query: str,
+    name_col: str = "name",
+    id_col: str = "id",
+    char_map: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Serving-layer name search — the QUERY-side twin of the
+    normalized-generated-column + FULLTEXT DDL the RDBMS sink emits
+    (``sinks.jdbc.normalized_column_sql`` / ``index_sql``; reference
+    ``LOADERS/GOLD-data-loader.py:593-632``, which materializes
+    ``fullNameNormalised`` via nested ø→o REPLACEs and a FULLTEXT
+    index the API then searches in boolean ``term*`` mode).
+
+    Semantics (MySQL boolean-mode prefix search, made deterministic):
+    the name is normalized with the SAME char_map the DDL bakes into
+    the generated column, lowercased, and tokenized on
+    non-alphanumerics; each whitespace-separated query term (likewise
+    normalized) scores
+
+    - an **exact hit** if some token equals it,
+    - a **prefix hit** if some token starts with it (``term*``);
+
+    rows with at least one prefix hit are returned with BIGINT
+    ``exact_hits`` / ``prefix_hits`` counts and a ``matched_all``
+    flag (boolean-mode implicit AND). Ranking is left to the caller —
+    the counts ARE the relevance signal and integer counts keep the
+    result engine-exact, unlike MySQL's float relevance.
+
+    Scale shape: one scan, pure codegen string ops, the query terms
+    are plan literals — Catalyst folds them; no shuffle, no UDF. At
+    serving scale the FULLTEXT index (which the sink's DDL creates)
+    answers interactively; THIS operator is the batch/offline form —
+    validating search behavior against the lake copy, backfilling
+    search QA sets — where a full scan is the right plan.
+    """
+    terms = []
+    for raw in query.split():
+        t = raw
+        for s, d in (char_map or {"ø": "o", "Ø": "O"}).items():
+            t = t.replace(s, d)
+        t = t.lower()
+        if t:
+            terms.append(t)
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    norm = F.col(name_col)
+    for s, d in (char_map or {"ø": "o", "Ø": "O"}).items():
+        norm = F.replace(norm, F.lit(s), F.lit(d))
+    toks = F.filter(
+        F.split(F.lower(norm), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    d = df.withColumn("__toks", toks)
+    exact = None
+    prefix = None
+    for t in terms:
+        e = F.when(F.array_contains("__toks", F.lit(t)), 1).otherwise(0)
+        p = F.when(
+            F.exists("__toks", lambda x: x.startswith(t)), 1
+        ).otherwise(0)
+        exact = e if exact is None else exact + e
+        prefix = p if prefix is None else prefix + p
+    return (
+        d.withColumn("exact_hits", exact.cast("long"))
+        .withColumn("prefix_hits", prefix.cast("long"))
+        .withColumn("matched_all", F.col("prefix_hits") == len(terms))
+        .filter(F.col("prefix_hits") > 0)
+        .drop("__toks")
+    )
