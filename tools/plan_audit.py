@@ -99,6 +99,11 @@ HEADLINE = [
     "balanced_shards",
     "shard_local_near_dups",
     "curate_corpus_trained",
+    "shard_local_near_dups_m2",
+    "semantic_dedup_sharded",
+    "dsir_train",
+    "dsir_train_select",
+    "name_search",
 ]
 
 
@@ -148,6 +153,18 @@ MAX_SCANS = {
     # full curation chain + the trained-classifier gate (documents x3:
     # chain, features, label tokenize; + 3 artifact-file reads)
     "curate_corpus_trained": 8,
+    # top-2 assignment (2 slices of the persisted fit) + shard windows
+    # + the embeddings join and the same-shard pair join
+    "shard_local_near_dups_m2": 6,
+    # the m2 pair chain + the final corpus left-join; the CC loop runs
+    # on checkpointed edge frames (not raw scans)
+    "semantic_dedup_sharded": 7,
+    # slice gram explode feeds the persisted dense count table ONCE;
+    # totals + scoring read the pin
+    "dsir_train": 2,
+    # + the full-corpus weight explode and the rank window
+    "dsir_train_select": 4,
+    "name_search": 1,
 }
 
 

@@ -327,6 +327,15 @@ def _curate_call(
     bench = docs.filter(F.col("source") == DECON_BENCH_SOURCE)
     corpus = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
     if quality_pred_builder is not None:
+        # deliberately NOT persisted: the round-13 A/B (two
+        # independent fresh-session pairs, 4 reps, sf0.1) measured the
+        # prediction-frame persist at 15.5-17.5 s vs 12.8-13.1 s
+        # without — the classifier subtree already pins its one
+        # corpus-sized frame (feats, inside _tqc_scores) and the
+        # chain consumes the cheap scoring projection once, so an
+        # extra cache boundary only adds materialization cost (the
+        # inverse of the balanced_shards precedent, where THREE
+        # consumers re-ran the distance fold). See BASELINE.md r13.
         extra["quality_scores"] = quality_pred_builder(
             widen_if_narrow(corpus.select("doc_id", "text"))
         )

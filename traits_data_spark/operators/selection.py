@@ -292,6 +292,10 @@ def dsir_train(
         .alias("c_target"),
         F.count(F.lit(1)).cast("long").alias("c_raw"),
     )
+    # persist the n_buckets-row dense count table: BOTH the totals
+    # aggregate and the per-bucket scoring consume it, and without the
+    # pin each consumer re-executes the corpus-sized gram explode —
+    # a double corpus scan at 100 TB for a 10k-row frame
     dense = (
         df.sparkSession.range(int(n_buckets))
         .select(F.col("id").alias("bucket"))
@@ -301,6 +305,7 @@ def dsir_train(
             F.coalesce("c_target", F.lit(0)).cast("long").alias("c_target"),
             F.coalesce("c_raw", F.lit(0)).cast("long").alias("c_raw"),
         )
+        .persist()
     )
     totals = dense.agg(
         (F.sum("c_target") + F.lit(int(n_buckets)))
