@@ -1021,6 +1021,17 @@ def test_name_search_normalization_and_prefix(spark):
     assert two[2].matched_all and two[2].prefix_hits == 2
     assert not two[1].matched_all and not two[4].matched_all
 
+    # the QUERY passes through the same tokenizer as the name column
+    # (MySQL FULLTEXT tokenizes both sides): "o'brien" = terms
+    # [o, brien], so a name's own text always matches itself
+    ob = spark.createDataFrame(
+        [(10, "O'Brien"), (11, "Mary O Brienne")], "id long, name string"
+    )
+    hits = {r.id: r for r in name_search(ob, "o'brien", id_col="id").collect()}
+    assert set(hits) == {10, 11}
+    assert hits[10].matched_all and hits[10].exact_hits == 2
+    assert hits[11].matched_all and hits[11].exact_hits == 1  # brienne prefix
+
     import pytest
 
     with pytest.raises(ValueError):

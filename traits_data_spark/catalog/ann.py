@@ -454,33 +454,9 @@ def _balanced_shards_ctes(
         _kmeans_cent_ctes(k, n_iter)
         + ","
         + _kmeans_assign_cte(f"cent{n_iter}", "f")
-        + f""",
-basg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM mf),
-bcs AS (
-  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM basg GROUP BY cluster
-),
-boff AS (
-  -- NULLS FIRST + null-safe join: the Spark operator treats a NULL
-  -- cluster as a leading group (layout.py balanced_shards); DuckDB's
-  -- window default is NULLS LAST and USING() drops NULL keys
-  SELECT cluster,
-         SUM(csz) OVER (ORDER BY cluster ASC NULLS FIRST
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - csz AS o
-  FROM bcs
-),
-btot AS (SELECT CAST(SUM(csz) AS BIGINT) AS t FROM bcs),
-brn AS (
-  SELECT vec_id, cluster,
-         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id ASC) AS rn
-  FROM basg
-),
-bshard AS (
-  SELECT r.vec_id, r.cluster,
-         CAST(((o.o + r.rn - 1) * ({n_shards})) // t.t AS BIGINT) AS shard
-  FROM brn r JOIN boff o ON r.cluster IS NOT DISTINCT FROM o.cluster
-  CROSS JOIN btot t
-)"""
+        + """,
+basg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM mf)"""
+        + _bshard_layout_ctes("basg", f"{n_shards}", "")
     )
 
 
@@ -615,16 +591,21 @@ def q_shard_local_near_dups_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bshard_layout_ctes(src: str, n_shards_expr: str, p: str) -> str:
-    """Balanced-shard layout replay over an arbitrary assignment
-    relation ``{src}(vec_id, cluster)`` — the generic form of the
-    chain inside ``_balanced_shards_ctes`` (kept verbatim there for
-    the attested round-12 oracles). Emits ``{p}bshard(vec_id,
-    cluster, shard)``; ``n_shards_expr`` may reference ``t.t``."""
+    """THE balanced-shard layout replay over an assignment relation
+    ``{src}(vec_id, cluster)`` — the single copy of the layout
+    arithmetic, consumed (prefix ``""``) by ``_balanced_shards_ctes``
+    for the round-12 oracles and (prefix ``"m2"``) by the
+    multi-assignment pair chain, so the shard formula can never
+    diverge between them. Emits ``{p}bshard(vec_id, cluster,
+    shard)``; ``n_shards_expr`` may reference ``t.t``."""
     return f""",
 {p}bcs AS (
   SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM {src} GROUP BY cluster
 ),
 {p}boff AS (
+  -- NULLS FIRST + null-safe join: the Spark operator treats a NULL
+  -- cluster as a leading group (layout.py balanced_shards); DuckDB's
+  -- window default is NULLS LAST and USING() drops NULL keys
   SELECT cluster,
          SUM(csz) OVER (ORDER BY cluster ASC NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

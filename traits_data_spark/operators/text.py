@@ -2117,14 +2117,21 @@ def name_search(
     validating search behavior against the lake copy, backfilling
     search QA sets — where a full scan is the right plan.
     """
+    import re as _re
+
+    # the query passes through the SAME normalize+tokenize pipeline as
+    # the name column (char_map → lower → split on non-alphanumerics):
+    # MySQL boolean-mode FULLTEXT tokenizes the query with the column's
+    # tokenizer, so "o'brien" must become the two terms [o, brien] or
+    # a search for a name's own text would return nothing
     terms = []
     for raw in query.split():
         t = raw
         for s, d in (char_map or {"ø": "o", "Ø": "O"}).items():
             t = t.replace(s, d)
-        t = t.lower()
-        if t:
-            terms.append(t)
+        for tok in _re.split(r"[^a-z0-9]+", t.lower()):
+            if tok:
+                terms.append(tok)
     if not terms:
         raise ValueError("query must contain at least one term")
     norm = F.col(name_col)
