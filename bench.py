@@ -175,6 +175,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "dsir_train",
     "dsir_train_select",
     "name_search",
+    "near_dup_recall_report",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -31,9 +31,9 @@ LOAD_BEARING = [
     # split_contamination + quality_classifier rotated out round 11
     # (driver-green rounds 6-10)
     # line_dedup / semantic_dedup / kmeans_clusters / ivf_topk_kmeans
-    # (+ copy_pagerank) rotated out round 13 (driver-green rounds
-    # 10-12) to reserve slots for the round-13 additions
-    "incremental_near_dups",
+    # (+ copy_pagerank, incremental_near_dups) rotated out round 13
+    # (driver-green rounds 10-12) to reserve slots for the round-13
+    # additions
     # cms_top_terms + sampled_quantiles rotated out round 11
     # (driver-green rounds 5-10)
     # substring_dups rotated out round 11 (driver-green rounds 5-10)
@@ -101,6 +101,7 @@ LOAD_BEARING = [
     "dsir_train",
     "dsir_train_select",
     "name_search",
+    "near_dup_recall_report",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -150,3 +150,27 @@ def test_semantic_dedup_sharded_components_match_union_find(spark, sf_dir):
         assert row.component == want, (row.vec_id, row.component, want)
         assert row.is_canonical == (row.component == row.vec_id)
     assert len(out) == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+
+def test_near_dup_recall_report_consistency(spark, sf_dir, truth_pairs):
+    """The report's rows are internally consistent and agree with the
+    standalone catalog entries: brute kept == ground truth, method
+    kept == the corresponding entry's pair count, m2 candidates are
+    exactly 2x the single-assignment candidates (same shard-size
+    target over 2N rows), and the ppm columns are the integer ratios."""
+    from traits_data_spark.catalog.ann import q_near_dup_recall_report
+
+    rep = {r.method: r for r in q_near_dup_recall_report(spark, sf_dir).collect()}
+    assert set(rep) == {"brute_force", "lsh_bucket", "shard_local", "shard_local_m2"}
+    b = rep["brute_force"]
+    assert b.kept_pairs == len(truth_pairs)
+    assert b.recall_ppm == 1_000_000 and b.cost_ppm == 1_000_000
+    m1 = {(r.id_a, r.id_b) for r in q_shard_local_near_dups(spark, sf_dir).collect()}
+    m2 = {(r.id_a, r.id_b) for r in q_shard_local_near_dups_m2(spark, sf_dir).collect()}
+    assert rep["shard_local"].kept_pairs == len(m1)
+    assert rep["shard_local_m2"].kept_pairs == len(m2)
+    assert rep["shard_local_m2"].candidate_pairs == 2 * rep["shard_local"].candidate_pairs
+    for r in rep.values():
+        assert r.recall_ppm == r.kept_pairs * 1_000_000 // b.kept_pairs
+        assert r.cost_ppm == r.candidate_pairs * 1_000_000 // b.candidate_pairs
+        assert r.kept_pairs <= b.kept_pairs

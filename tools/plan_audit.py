@@ -104,6 +104,7 @@ HEADLINE = [
     "dsir_train",
     "dsir_train_select",
     "name_search",
+    "near_dup_recall_report",
 ]
 
 
@@ -165,6 +166,10 @@ MAX_SCANS = {
     # + the full-corpus weight explode and the rank window
     "dsir_train_select": 4,
     "name_search": 1,
+    # four strategy chains incl. two kmeans fits + the brute truth;
+    # the persisted brute row and the two persisted assignments keep
+    # the N² join and the distance folds single-execution
+    "near_dup_recall_report": 10,
 }
 
 

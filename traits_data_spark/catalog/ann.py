@@ -727,6 +727,237 @@ FROM embeddings e LEFT JOIN sdcomp c ON e.vec_id = c.id"""
     )
 
 
+def q_near_dup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost report for the three scale-path near-dup
+    strategies against brute-force truth — the decision artifact a
+    data team produces ON A SAMPLE before committing a dedup config
+    to a 100 TB run (the brute-force truth row is quadratic BY
+    CONTRACT; the strategies it grades are the linear paths). One row
+    per method:
+
+    - ``candidate_pairs`` — same-key comparisons the method performs
+      (Σ C(group,2) over its locality key; for the multi-assignment
+      layout a pair co-located twice is two comparisons — the real
+      cost),
+    - ``kept_pairs`` — distinct pairs found at the threshold (every
+      method scores true cosine, so kept ⊆ truth by construction),
+    - ``recall_ppm`` — kept / truth in integer parts-per-million,
+    - ``cost_ppm`` — candidates / brute-force-candidates in ppm.
+
+    Methods: ``brute_force`` (truth; recall/cost ≡ 1e6),
+    ``lsh_bucket`` (``embedding_near_dups``' 4-plane config),
+    ``shard_local`` (single-assignment balanced shards),
+    ``shard_local_m2`` (top-2 multi-assignment). All-integer output,
+    hash-exact against the oracle's replay of all four chains."""
+    import math
+
+    from traits_data_spark.operators.layout import balanced_shards
+    from traits_data_spark.operators.similarity import (
+        _norm2,
+        keyed_near_dups,
+        kmeans_clusters,
+        kmeans_clusters_topm,
+        with_lsh_bucket,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nz = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    ).filter(_norm2(F.col("__v")) > 0)
+
+    def method_row(method: str, keyed: DataFrame, distinct_pairs: bool):
+        """(method, candidate_pairs, kept_pairs) from a keyed nonzero
+        frame (id, __v, __k)."""
+        cand = (
+            keyed.groupBy("__k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .agg(
+                F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0))
+                .cast("long")
+                .alias("candidate_pairs")
+            )
+        )
+        p = keyed_near_dups(
+            keyed, "__k", id_col="id", vec_col="__v",
+            threshold=NEAR_DUP_THRESHOLD,
+        ).select("id_a", "id_b")
+        if distinct_pairs:
+            p = p.distinct()
+        kept = p.agg(F.count(F.lit(1)).cast("long").alias("kept_pairs"))
+        return cand.crossJoin(kept).select(
+            F.lit(method).alias("method"), "candidate_pairs", "kept_pairs"
+        )
+
+    rows = [
+        # persisted: the brute row is both a report row AND the truth
+        # denominators — without the pin the N² truth join runs twice
+        method_row(
+            "brute_force",
+            nz.withColumn("__k", F.lit(0).cast("long")),
+            False,
+        ).persist(),
+        method_row(
+            "lsh_bucket",
+            with_lsh_bucket(
+                nz, "__v", EMB_DIM, NEAR_DUP_PLANES, 42
+            ).withColumnRenamed("bucket", "__k"),
+            False,
+        ),
+    ]
+    asg1 = (
+        kmeans_clusters(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
+        .select("vec_id", "cluster")
+        .persist()
+    )
+    n1 = max(1, math.ceil(asg1.count() / float(SHARD_TARGET_SIZE)))
+    sh1 = balanced_shards(asg1, "vec_id", "cluster", n1).select(
+        "vec_id", F.col("shard").alias("__k")
+    )
+    rows.append(
+        method_row(
+            "shard_local", nz.join(sh1, nz["id"] == sh1["vec_id"]), False
+        )
+    )
+    asg2 = (
+        kmeans_clusters_topm(emb, k=KMEANS_K, n_iter=KMEANS_ITER, m=2)
+        .select("vec_id", "cluster")
+        .persist()
+    )
+    n2 = max(1, math.ceil(asg2.count() / float(SHARD_TARGET_SIZE)))
+    sh2 = balanced_shards(asg2, "vec_id", "cluster", n2).select(
+        "vec_id", F.col("shard").alias("__k")
+    )
+    rows.append(
+        method_row(
+            "shard_local_m2", nz.join(sh2, nz["id"] == sh2["vec_id"]), True
+        )
+    )
+
+    rep = rows[0]
+    for r in rows[1:]:
+        rep = rep.unionByName(r)
+    truth = rows[0].select(
+        F.col("kept_pairs").alias("__truth_kept"),
+        F.col("candidate_pairs").alias("__brute_cand"),
+    )
+    return rep.crossJoin(F.broadcast(truth)).select(
+        "method",
+        "candidate_pairs",
+        "kept_pairs",
+        F.expr(
+            "CASE WHEN __truth_kept > 0"
+            " THEN kept_pairs * 1000000 DIV __truth_kept END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN __brute_cand > 0"
+            " THEN candidate_pairs * 1000000 DIV __brute_cand END"
+        ).alias("cost_ppm"),
+    )
+
+
+def _near_dup_recall_report_sql(
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITER,
+    target: int = SHARD_TARGET_SIZE,
+    thr: float = NEAR_DUP_THRESHOLD,
+) -> str:
+    nsh = f"greatest(1, CAST(ceil(t.t / {float(target)!r}) AS BIGINT))"
+    return (
+        _balanced_shards_ctes(k, n_iter, nsh)
+        + f""",
+m2a AS (
+  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM af
+  ) WHERE rn <= 2
+)"""
+        + _bshard_layout_ctes("m2a", nsh, "m2")
+        + f""",
+rnz AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+rbc AS (
+  SELECT CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS candidate_pairs
+  FROM rnz
+),
+rbk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kept_pairs
+  FROM rnz a JOIN rnz b ON a.id < b.id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 >= {thr}
+),
+rle AS (SELECT id, v, {_bucket_sql('v', NEAR_DUP_PLANES)} AS bucket FROM rnz),
+rlc AS (
+  SELECT CAST(coalesce(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS candidate_pairs
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rle GROUP BY bucket)
+),
+rlk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kept_pairs
+  FROM rle a JOIN rle b USING (bucket)
+  WHERE a.id < b.id
+    AND round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 >= {thr}
+),
+rs1 AS (
+  SELECT s.shard, e.id, e.v FROM bshard s JOIN rnz e ON s.vec_id = e.id
+),
+rs1c AS (
+  SELECT CAST(coalesce(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS candidate_pairs
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rs1 GROUP BY shard)
+),
+rs1k AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kept_pairs
+  FROM rs1 a JOIN rs1 b USING (shard)
+  WHERE a.id < b.id
+    AND round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 >= {thr}
+),
+rs2 AS (
+  SELECT s.shard, e.id, e.v FROM m2bshard s JOIN rnz e ON s.vec_id = e.id
+),
+rs2c AS (
+  SELECT CAST(coalesce(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS candidate_pairs
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rs2 GROUP BY shard)
+),
+rs2k AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kept_pairs FROM (
+    SELECT DISTINCT a.id, b.id AS idb
+    FROM rs2 a JOIN rs2 b USING (shard)
+    WHERE a.id < b.id
+      AND round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 >= {thr}
+  )
+),
+rrep AS (
+  SELECT 'brute_force' AS method, rbc.candidate_pairs, rbk.kept_pairs
+  FROM rbc CROSS JOIN rbk
+  UNION ALL
+  SELECT 'lsh_bucket', rlc.candidate_pairs, rlk.kept_pairs
+  FROM rlc CROSS JOIN rlk
+  UNION ALL
+  SELECT 'shard_local', rs1c.candidate_pairs, rs1k.kept_pairs
+  FROM rs1c CROSS JOIN rs1k
+  UNION ALL
+  SELECT 'shard_local_m2', rs2c.candidate_pairs, rs2k.kept_pairs
+  FROM rs2c CROSS JOIN rs2k
+)
+SELECT rrep.method, rrep.candidate_pairs, rrep.kept_pairs,
+       CASE WHEN t.kept_pairs > 0
+            THEN rrep.kept_pairs * 1000000 // t.kept_pairs END AS recall_ppm,
+       CASE WHEN c.candidate_pairs > 0
+            THEN rrep.candidate_pairs * 1000000 // c.candidate_pairs
+       END AS cost_ppm
+FROM rrep CROSS JOIN rbk t CROSS JOIN rbc c"""
+    )
+
+
 IVF_KMEANS_PROBE = 2
 
 
