@@ -174,3 +174,33 @@ def test_near_dup_recall_report_consistency(spark, sf_dir, truth_pairs):
         assert r.recall_ppm == r.kept_pairs * 1_000_000 // b.kept_pairs
         assert r.cost_ppm == r.candidate_pairs * 1_000_000 // b.candidate_pairs
         assert r.kept_pairs <= b.kept_pairs
+
+
+def test_all_pairs_cosine_matches_constant_key_join(spark, embeddings):
+    """Block-pair parallel brute force returns EXACTLY the constant-key
+    self-join's rows (every unordered pair meets in exactly one block
+    group: cross pairs at (min,max), intra at (i,i)) — at several
+    block counts including 1 and > N."""
+    from traits_data_spark.operators.similarity import all_pairs_cosine
+
+    ref = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in keyed_near_dups(
+            embeddings.withColumn("__k", F.lit(0)),
+            "__k",
+            threshold=NEAR_DUP_THRESHOLD,
+        ).collect()
+    }
+    for nb in (1, 3, 8, 601):
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in all_pairs_cosine(
+                embeddings, threshold=NEAR_DUP_THRESHOLD, n_blocks=nb
+            ).collect()
+        }
+        assert got == ref, f"n_blocks={nb}"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        all_pairs_cosine(embeddings, n_blocks=0)

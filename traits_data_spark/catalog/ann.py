@@ -789,14 +789,30 @@ def q_near_dup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(method).alias("method"), "candidate_pairs", "kept_pairs"
         )
 
+    # brute truth via the block-pair all-pairs join (NOT a constant
+    # key, which would run the whole N² scoring in one task — 25 s vs
+    # ~3 s measured at sf0.1); candidates are C(n, 2) by definition.
+    # Persisted: the brute row is both a report row AND the truth
+    # denominators — without the pin the N² join runs twice.
+    from traits_data_spark.operators.similarity import all_pairs_cosine
+
+    bcand = (
+        nz.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.expr("n * (n - 1) DIV 2").cast("long").alias("candidate_pairs")
+        )
+    )
+    bkept = all_pairs_cosine(
+        nz, id_col="id", vec_col="__v", threshold=NEAR_DUP_THRESHOLD
+    ).agg(F.count(F.lit(1)).cast("long").alias("kept_pairs"))
     rows = [
-        # persisted: the brute row is both a report row AND the truth
-        # denominators — without the pin the N² truth join runs twice
-        method_row(
-            "brute_force",
-            nz.withColumn("__k", F.lit(0).cast("long")),
-            False,
-        ).persist(),
+        bcand.crossJoin(bkept)
+        .select(
+            F.lit("brute_force").alias("method"),
+            "candidate_pairs",
+            "kept_pairs",
+        )
+        .persist(),
         method_row(
             "lsh_bucket",
             with_lsh_bucket(
