@@ -13,7 +13,7 @@ red there would be noise, not signal (the round-7/8 finding).
 
 Usage:
     python tools/bench_compare.py [results] [anchor]
-Defaults: bench_results.json vs BENCH_ANCHOR_r12.json.
+Defaults: bench_results.json vs BENCH_ANCHOR_r13.json.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ def main() -> int:
     res_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         here, "bench_results.json")
     anc_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        here, "BENCH_ANCHOR_r12.json")
+        here, "BENCH_ANCHOR_r13.json")
     with open(res_path) as f:
         res = json.load(f)
     with open(anc_path) as f:
