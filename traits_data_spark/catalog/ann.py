@@ -590,6 +590,21 @@ def q_shard_local_near_dups_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _m2_pairs(spark, emb)
 
 
+def _m2a_cte(m: int = 2) -> str:
+    """The top-``m`` multi-assignment replay CTE ``m2a(vec_id,
+    cluster)`` over the shared final-assignment distance CTE ``af`` —
+    ONE copy (the ``_bshard_layout_ctes`` discipline) consumed by both
+    the m2 pair chain and the recall report, so the assignment
+    tiebreak can never diverge between their oracles."""
+    return f"""m2a AS (
+  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM af
+  ) WHERE rn <= {m}
+)"""
+
+
 def _bshard_layout_ctes(src: str, n_shards_expr: str, p: str) -> str:
     """THE balanced-shard layout replay over an assignment relation
     ``{src}(vec_id, cluster)`` — the single copy of the layout
@@ -644,14 +659,8 @@ def _m2_pair_ctes(
         _kmeans_cent_ctes(k, n_iter, with_kw=with_kw)
         + ","
         + _kmeans_assign_cte(f"cent{n_iter}", "f")
-        + f""",
-m2a AS (
-  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-    FROM af
-  ) WHERE rn <= 2
-)"""
+        + ",\n"
+        + _m2a_cte()
         + _bshard_layout_ctes(
             "m2a",
             f"greatest(1, CAST(ceil(t.t / {float(target)!r}) AS BIGINT))",
@@ -755,7 +764,6 @@ def q_near_dup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from traits_data_spark.operators.similarity import (
         _norm2,
         keyed_near_dups,
-        kmeans_clusters,
         kmeans_clusters_topm,
         with_lsh_bucket,
     )
@@ -821,11 +829,17 @@ def q_near_dup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             False,
         ),
     ]
-    asg1 = (
-        kmeans_clusters(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
-        .select("vec_id", "cluster")
+    # ONE k-means fit serves both shard rows: the single-assignment
+    # table IS rank 1 of the top-2 assignment (pinned by
+    # test_topm_rank1_equals_single_assignment), so the report never
+    # pays a second Lloyd fit — the same sharing the oracle gets from
+    # its common `af` CTE
+    asg_both = (
+        kmeans_clusters_topm(emb, k=KMEANS_K, n_iter=KMEANS_ITER, m=2)
+        .select("vec_id", "cluster", "arank")
         .persist()
     )
+    asg1 = asg_both.filter(F.col("arank") == 1).select("vec_id", "cluster")
     n1 = max(1, math.ceil(asg1.count() / float(SHARD_TARGET_SIZE)))
     sh1 = balanced_shards(asg1, "vec_id", "cluster", n1).select(
         "vec_id", F.col("shard").alias("__k")
@@ -835,11 +849,7 @@ def q_near_dup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_local", nz.join(sh1, nz["id"] == sh1["vec_id"]), False
         )
     )
-    asg2 = (
-        kmeans_clusters_topm(emb, k=KMEANS_K, n_iter=KMEANS_ITER, m=2)
-        .select("vec_id", "cluster")
-        .persist()
-    )
+    asg2 = asg_both.select("vec_id", "cluster")
     n2 = max(1, math.ceil(asg2.count() / float(SHARD_TARGET_SIZE)))
     sh2 = balanced_shards(asg2, "vec_id", "cluster", n2).select(
         "vec_id", F.col("shard").alias("__k")
@@ -861,13 +871,22 @@ def q_near_dup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method",
         "candidate_pairs",
         "kept_pairs",
+        # double multiply-then-divide + floor instead of BIGINT
+        # multiply-then-DIV: candidate_pairs * 1e6 overflows BIGINT
+        # (ANSI crash) once the sample exceeds ~4.3M vectors, exactly
+        # the pre-run sample scale this report targets. The double
+        # path never overflows, is exact below 2^53 product, and both
+        # engines run the identical cast/mul/div/floor sequence so
+        # boundary rounding agrees bit-for-bit.
         F.expr(
-            "CASE WHEN __truth_kept > 0"
-            " THEN kept_pairs * 1000000 DIV __truth_kept END"
+            "CASE WHEN __truth_kept > 0 THEN CAST(floor("
+            "CAST(kept_pairs AS DOUBLE) * 1000000.0D"
+            " / CAST(__truth_kept AS DOUBLE)) AS BIGINT) END"
         ).alias("recall_ppm"),
         F.expr(
-            "CASE WHEN __brute_cand > 0"
-            " THEN candidate_pairs * 1000000 DIV __brute_cand END"
+            "CASE WHEN __brute_cand > 0 THEN CAST(floor("
+            "CAST(candidate_pairs AS DOUBLE) * 1000000.0D"
+            " / CAST(__brute_cand AS DOUBLE)) AS BIGINT) END"
         ).alias("cost_ppm"),
     )
 
@@ -881,14 +900,8 @@ def _near_dup_recall_report_sql(
     nsh = f"greatest(1, CAST(ceil(t.t / {float(target)!r}) AS BIGINT))"
     return (
         _balanced_shards_ctes(k, n_iter, nsh)
-        + f""",
-m2a AS (
-  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-    FROM af
-  ) WHERE rn <= 2
-)"""
+        + ",\n"
+        + _m2a_cte()
         + _bshard_layout_ctes("m2a", nsh, "m2")
         + f""",
 rnz AS (
@@ -966,9 +979,13 @@ rrep AS (
 )
 SELECT rrep.method, rrep.candidate_pairs, rrep.kept_pairs,
        CASE WHEN t.kept_pairs > 0
-            THEN rrep.kept_pairs * 1000000 // t.kept_pairs END AS recall_ppm,
+            THEN CAST(floor(CAST(rrep.kept_pairs AS DOUBLE) * 1000000.0::DOUBLE
+                            / CAST(t.kept_pairs AS DOUBLE)) AS BIGINT)
+       END AS recall_ppm,
        CASE WHEN c.candidate_pairs > 0
-            THEN rrep.candidate_pairs * 1000000 // c.candidate_pairs
+            THEN CAST(floor(CAST(rrep.candidate_pairs AS DOUBLE)
+                            * 1000000.0::DOUBLE
+                            / CAST(c.candidate_pairs AS DOUBLE)) AS BIGINT)
        END AS cost_ppm
 FROM rrep CROSS JOIN rbk t CROSS JOIN rbc c"""
     )

@@ -1075,11 +1075,14 @@ def lsh_bucketed_topk(
     )
 
 
-def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment against a broadcast single-row
-    centroid array: zero-shuffle — the corpus never moves. L2² in the
-    v·v − 2 v·c + c·c identity form (same fold order on any engine),
-    rounded to 6 dp with the centroid id as tiebreak."""
+def _kmeans_dist_ranked(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """The ONE copy of the centroid-distance ranking both assignment
+    forms share: broadcast the packed single-row centroid array, score
+    every vector against every centroid with the identity-form L2²
+    (v·v − 2 v·c + c·c — same fold order on any engine) rounded to
+    6 dp with the centroid id as tiebreak, and sort. Zero-shuffle —
+    the corpus never moves. Returns ``(__id, __v, __ranked)`` where
+    ``__ranked`` is the distance-sorted ``struct(d, cid)`` array."""
     packed = centroids.agg(
         F.collect_list(F.struct("cid", "__centv")).alias("__cs")
     )
@@ -1088,21 +1091,27 @@ def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
         - F.lit(2.0) * dot(F.col("__v"), c)
         + dot(c, c)
     )
-    best = F.element_at(
-        F.array_sort(
-            F.transform(
-                F.col("__cs"),
-                lambda s: F.struct(
-                    F.round(d2(s.getField("__centv")), 6).alias("d"),
-                    s.getField("cid").alias("cid"),
-                ),
-            )
-        ),
-        1,
+    ranked = F.array_sort(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                F.round(d2(s.getField("__centv")), 6).alias("d"),
+                s.getField("cid").alias("cid"),
+            ),
+        )
     )
     return (
         v.crossJoin(F.broadcast(packed))
-        .withColumn("__best", best)
+        .withColumn("__ranked", ranked)
+        .select("__id", "__v", "__ranked")
+    )
+
+
+def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (rank 1 of ``_kmeans_dist_ranked``)."""
+    return (
+        _kmeans_dist_ranked(v, centroids)
+        .withColumn("__best", F.element_at(F.col("__ranked"), 1))
         .select(
             "__id",
             "__v",
@@ -1266,30 +1275,14 @@ def kmeans_clusters_topm(
     centroids = kmeans_fit(
         df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter, scale=scale
     )
-    packed = centroids.agg(
-        F.collect_list(F.struct("cid", "__centv")).alias("__cs")
-    )
-    d2 = lambda c: (  # noqa: E731
-        dot(F.col("__v"), F.col("__v"))
-        - F.lit(2.0) * dot(F.col("__v"), c)
-        + dot(c, c)
-    )
-    top = F.slice(
-        F.array_sort(
-            F.transform(
-                F.col("__cs"),
-                lambda s: F.struct(
-                    F.round(d2(s.getField("__centv")), 6).alias("d"),
-                    s.getField("cid").alias("cid"),
-                ),
-            )
-        ),
-        1,
-        m,
-    )
     return (
-        v.crossJoin(F.broadcast(packed))
-        .select("__id", F.posexplode(top).alias("__pos", "__a"))
+        _kmeans_dist_ranked(v, centroids)
+        .select(
+            "__id",
+            F.posexplode(F.slice(F.col("__ranked"), 1, m)).alias(
+                "__pos", "__a"
+            ),
+        )
         .select(
             F.col("__id").alias(id_col),
             F.col("__a.cid").cast("long").alias("cluster"),
