@@ -863,3 +863,72 @@ def test_streaming_unigram_tokenize_ingest(spark, tmp_path, documents):
         ).collect()
     }
     assert got == want and len(got) == new_docs.count()
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, tmp_path, documents):
+    """E2E deploy path for the on-cluster DSIR trainer: train the
+    hashed-ngram importance weights ONCE (``dsir_train``), freeze the
+    dense model to parquet (the index-artifact contract the PQ/LSH
+    streaming tests pin), then score streaming document micro-batches
+    against the frozen model inside foreachBatch. Per-doc weights
+    equal the batch replay exactly — training never re-runs on the
+    stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.selection import dsir_train, dsir_weights
+
+    docs = documents.select("doc_id", "text", "lang")
+    model_path = str(tmp_path / "dsir_model")
+    dsir_train(docs).select("bucket", "delta_q20").write.parquet(model_path)
+
+    b1 = docs.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    b2 = docs.filter(
+        (F.col("doc_id") >= 80) & (F.col("doc_id") < 160)
+    ).select("doc_id", "text")
+    landing = tmp_path / "dsir_landing"
+    landing.mkdir()
+    for i, b in enumerate([b1, b2]):
+        p = landing / f"batch{i}.json"
+        p.write_text(b.toPandas().to_json(orient="records", lines=True))
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    out_path = str(tmp_path / "dsir_scored")
+
+    def _score(batch_df, batch_id):
+        model = batch_df.sparkSession.read.parquet(model_path)
+        dsir_weights(
+            batch_df, model, delta_col="delta_q20", weight_col="weight_q20"
+        ).select("doc_id", "n_feats", "weight_q20").write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .writeStream.foreachBatch(_score)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dsir"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        r.doc_id: (r.n_feats, r.weight_q20)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.weight_q20)
+        for r in dsir_weights(
+            b1.unionByName(b2),
+            spark.read.parquet(model_path),
+            delta_col="delta_q20",
+            weight_col="weight_q20",
+        ).collect()
+    }
+    assert got == want and got
+    # the model was frozen before the stream: weights of docs inside
+    # the training slice score under the SAME frozen deltas (no
+    # re-train drift between micro-batches)
+    assert any(r != (0, 0) for r in got.values())
