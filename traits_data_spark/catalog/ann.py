@@ -736,6 +736,22 @@ FROM embeddings e LEFT JOIN sdcomp c ON e.vec_id = c.id"""
     )
 
 
+def _ppm_expr(num: str, den: str, spark: bool) -> str:
+    """ONE copy of the cross-engine-sensitive ppm arithmetic (cast →
+    double multiply → divide → floor → BIGINT; the BIGINT
+    multiply-then-DIV form overflows past ~4.3M sample vectors).
+    Hash-exactness requires every consumer to run the identical IEEE
+    op sequence, so both the Spark select (``F.expr``) and the DuckDB
+    oracle splice this string — only the double-literal spelling
+    differs per dialect (bare ``1000000.0`` parses as DECIMAL on
+    both engines)."""
+    lit = "1000000.0D" if spark else "1000000.0::DOUBLE"
+    return (
+        f"CASE WHEN {den} > 0 THEN CAST(floor(CAST({num} AS DOUBLE)"
+        f" * {lit} / CAST({den} AS DOUBLE)) AS BIGINT) END"
+    )
+
+
 def q_near_dup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/cost report for the three scale-path near-dup
     strategies against brute-force truth — the decision artifact a
@@ -871,22 +887,11 @@ def q_near_dup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method",
         "candidate_pairs",
         "kept_pairs",
-        # double multiply-then-divide + floor instead of BIGINT
-        # multiply-then-DIV: candidate_pairs * 1e6 overflows BIGINT
-        # (ANSI crash) once the sample exceeds ~4.3M vectors, exactly
-        # the pre-run sample scale this report targets. The double
-        # path never overflows, is exact below 2^53 product, and both
-        # engines run the identical cast/mul/div/floor sequence so
-        # boundary rounding agrees bit-for-bit.
+        F.expr(_ppm_expr("kept_pairs", "__truth_kept", spark=True)).alias(
+            "recall_ppm"
+        ),
         F.expr(
-            "CASE WHEN __truth_kept > 0 THEN CAST(floor("
-            "CAST(kept_pairs AS DOUBLE) * 1000000.0D"
-            " / CAST(__truth_kept AS DOUBLE)) AS BIGINT) END"
-        ).alias("recall_ppm"),
-        F.expr(
-            "CASE WHEN __brute_cand > 0 THEN CAST(floor("
-            "CAST(candidate_pairs AS DOUBLE) * 1000000.0D"
-            " / CAST(__brute_cand AS DOUBLE)) AS BIGINT) END"
+            _ppm_expr("candidate_pairs", "__brute_cand", spark=True)
         ).alias("cost_ppm"),
     )
 
@@ -978,15 +983,10 @@ rrep AS (
   FROM rs2c CROSS JOIN rs2k
 )
 SELECT rrep.method, rrep.candidate_pairs, rrep.kept_pairs,
-       CASE WHEN t.kept_pairs > 0
-            THEN CAST(floor(CAST(rrep.kept_pairs AS DOUBLE) * 1000000.0::DOUBLE
-                            / CAST(t.kept_pairs AS DOUBLE)) AS BIGINT)
-       END AS recall_ppm,
-       CASE WHEN c.candidate_pairs > 0
-            THEN CAST(floor(CAST(rrep.candidate_pairs AS DOUBLE)
-                            * 1000000.0::DOUBLE
-                            / CAST(c.candidate_pairs AS DOUBLE)) AS BIGINT)
-       END AS cost_ppm
+       {_ppm_expr("rrep.kept_pairs", "t.kept_pairs", spark=False)}
+         AS recall_ppm,
+       {_ppm_expr("rrep.candidate_pairs", "c.candidate_pairs", spark=False)}
+         AS cost_ppm
 FROM rrep CROSS JOIN rbk t CROSS JOIN rbc c"""
     )
 
