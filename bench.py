@@ -176,6 +176,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "dsir_train_select",
     "name_search",
     "near_dup_recall_report",
+    "curate_corpus_dsir",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -42,7 +42,8 @@ LOAD_BEARING = [
     # (driver-green rounds 6-9)
     # funnel_within rotated out round 10 (driver-green rounds 6-9)
     # price_histogram rotated out round 10 (driver-green rounds 6-9)
-    "dup_clusters",
+    # dup_clusters rotated out round 13 (driver-green rounds 6-12; CC
+    # stays in-window via semantic_dedup_sharded)
     "lsh_candidates",
     # round-7 additions still in-window (epoch_expand / kmv_overlap /
     # snapshot_diff / shuffle_shards / containment_pairs rotated out
@@ -102,6 +103,7 @@ LOAD_BEARING = [
     "dsir_train_select",
     "name_search",
     "near_dup_recall_report",
+    "curate_corpus_dsir",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -225,3 +225,44 @@ def test_with_ilog2_q20_column_matches_python(spark):
     got = {r["x"]: r["il"] for r in with_ilog2_q20(df, "x", "il").collect()}
     for v in vals:
         assert got[v] == ilog2_q20(v), v
+
+
+def test_curate_dsir_gate_mechanics(spark, sf_dir):
+    """The in-chain DSIR stage's mechanics: every chain survivor is in
+    the top-50% DSIR selection computed from the SAME bench-excluded
+    corpus with the SAME in-plan-trained weights, the gate is a real
+    filter (survivors ⊆ the ungated chain's kept set is NOT asserted —
+    dedup keepers and mixture rates shift with the kept set, the
+    trained-variant lesson), and the selection fraction is the exact
+    ceil(n/2) integer-rank arithmetic."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.catalog import DECON_BENCH_SOURCE
+    from traits_data_spark.catalog.selection import (
+        CURATE_DSIR_KEEP_BP,
+        q_curate_corpus_dsir,
+    )
+    from traits_data_spark.operators.selection import dsir_select, dsir_train
+
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("source") != DECON_BENCH_SOURCE)
+        .select("doc_id", "text", "lang")
+    )
+    model = dsir_train(corpus).select("bucket", "delta_q20")
+    sel = dsir_select(
+        corpus.select("doc_id", "text"),
+        model,
+        keep_bp=CURATE_DSIR_KEEP_BP,
+        delta_col="delta_q20",
+        weight_col="weight_q20",
+    ).collect()
+    selected = {r.doc_id for r in sel if r.selected}
+    n = len(sel)
+    assert len(selected) == -(-(n * CURATE_DSIR_KEEP_BP) // 10_000)
+
+    out = q_curate_corpus_dsir(spark, sf_dir).collect()
+    assert out  # the gated chain still yields a corpus
+    doc_col = out[0].__fields__[0]
+    survivors = {getattr(r, doc_col) for r in out}
+    assert survivors <= selected, sorted(survivors - selected)[:5]

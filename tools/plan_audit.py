@@ -105,6 +105,7 @@ HEADLINE = [
     "dsir_train_select",
     "name_search",
     "near_dup_recall_report",
+    "curate_corpus_dsir",
 ]
 
 
@@ -170,6 +171,9 @@ MAX_SCANS = {
     # the persisted brute row and the two persisted assignments keep
     # the N² join and the distance folds single-execution
     "near_dup_recall_report": 10,
+    # full curation chain + the in-plan DSIR trainer/rank gate
+    # (documents x3: chain, train-slice grams, rank grams)
+    "curate_corpus_dsir": 8,
 }
 
 

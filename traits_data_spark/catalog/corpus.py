@@ -336,8 +336,10 @@ def _curate_call(
         # extra cache boundary only adds materialization cost (the
         # inverse of the balanced_shards precedent, where THREE
         # consumers re-ran the distance fold). See BASELINE.md r13.
+        # (doc_id, text, lang): the trained-classifier builder ignores
+        # lang; the DSIR builder's target model needs it
         extra["quality_scores"] = quality_pred_builder(
-            widen_if_narrow(corpus.select("doc_id", "text"))
+            widen_if_narrow(corpus.select("doc_id", "text", "lang"))
         )
     return curate_corpus(
         corpus,
@@ -458,13 +460,19 @@ lmw AS (
 
 
 def _curate_corpus_sql(
-    bpe: bool = False, lm: bool = False, gq_ctes: str | None = None
+    bpe: bool = False,
+    lm: bool = False,
+    gq_ctes: str | None = None,
+    force_recursive: bool = False,
 ) -> str:
     """``gq_ctes`` (round 12): caller-supplied override for the
     quality-stage CTE block — must define ``gq`` over ``g`` (the
     Gopher-kept set) and end WITHOUT a trailing comma. Used by the
     trained-classifier curate variant (``catalog.text``) to inject
-    its prefixed prediction chain; mutually exclusive with ``lm``."""
+    its prefixed prediction chain; mutually exclusive with ``lm``.
+    ``force_recursive`` (round 13): emit ``WITH RECURSIVE`` even in
+    the non-bpe chain — required when the injected ``gq_ctes`` carry
+    recursive CTEs (the DSIR variant's fixed-point log2)."""
     if lm and gq_ctes:
         raise ValueError(
             "_curate_corpus_sql: lm and gq_ctes are mutually exclusive "
@@ -496,7 +504,7 @@ survt AS (
         surv_cols = "doc_id, source, ws_tokens"
         bpe_ctes = "\nsurvt AS (SELECT * FROM surv),"
         token_cols = "ws_tokens"
-        recursive = ""
+        recursive = "RECURSIVE " if force_recursive else ""
     return rf"""
 WITH {recursive}w AS (
   SELECT doc_id, source, text, {_NORM} AS nt,

@@ -320,17 +320,19 @@ def q_dsir_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_train(docs)
 
 
-def _dsir_train_ctes() -> str:
+def _dsir_train_ctes(where_extra: str = "") -> str:
     """CTE chain replaying ``dsir_train`` → ``dtm(bucket, c_target,
     c_raw, delta_q20)``. Caller must open with ``WITH RECURSIVE``
-    (the ilog2 digit recurrence is a recursive CTE)."""
+    (the ilog2 digit recurrence is a recursive CTE). ``where_extra``
+    restricts the training corpus (the in-chain curate variant trains
+    on the bench-excluded split only)."""
     b = _DSIR_N_BUCKETS
     return (
         f"""td AS (
   SELECT lang = 'en' AS tgt,
     list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
   FROM documents
-  WHERE text IS NOT NULL AND doc_id % 10 = 0
+  WHERE text IS NOT NULL AND doc_id % 10 = 0{where_extra}
 ),
 tg AS (
   SELECT tgt, unnest(wl) AS gram FROM td
@@ -453,6 +455,108 @@ SELECT doc_id, n_feats, weight_q20,
        (rn0 * 10000 < cnt * {DSIR_KEEP_BP}) AS selected
 FROM sr"""
     )
+
+
+# the in-chain DSIR gate keeps HALF the corpus, not dsir_select's demo
+# 25%: the gate composes with Gopher + dedup + decon + mixture
+# sampling, and stacking a 25% cut under all of them leaves a
+# 2-6-row kept set at test scale — too thin to attest the chain's
+# stage interactions (a near-empty frame passes almost any replay)
+CURATE_DSIR_KEEP_BP = 5_000
+
+
+def q_curate_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curate_corpus`` with a DSIR SELECTION stage trained IN-PLAN
+    (round 13): the chain trains the hashed-n-gram importance weights
+    on its own bench-excluded corpus split (``dsir_train`` — Q20
+    fixed-point log2, zero offline artifacts anywhere), ranks every
+    corpus doc by trained weight, and gates the Gopher-kept set on
+    the deterministic top-25% flag at the same stage position the
+    LM/trained-classifier variants use — "keep what looks like the
+    target distribution" as a curation stage, completing the selector
+    family inside the chain (gopher = per-doc rules, ppl = LM filter,
+    trained = distilled classifier, dsir = distributional match).
+    The oracle injects the trainer + weight + integer-rank CTEs into
+    the curation replay via ``_curate_corpus_sql(gq_ctes=,
+    force_recursive=True)`` (the ilog2 recurrence needs ``WITH
+    RECURSIVE``)."""
+    from traits_data_spark.catalog.corpus import _curate_call
+
+    def _builder(corpus: DataFrame) -> DataFrame:
+        # corpus: the bench-excluded (doc_id, text, lang) split built
+        # by _curate_call — train and rank on the SAME frame
+        model = dsir_train(corpus).select("bucket", "delta_q20")
+        sel = dsir_select(
+            corpus.select("doc_id", "text"),
+            model,
+            keep_bp=CURATE_DSIR_KEEP_BP,
+            delta_col="delta_q20",
+            weight_col="weight_q20",
+        )
+        return sel.select(
+            "doc_id",
+            F.when(F.col("selected"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("dsir_sel"),
+        )
+
+    return _curate_call(
+        spark,
+        sf_dir,
+        quality_pred_builder=_builder,
+        quality_min=1,
+        quality_score_col="dsir_sel",
+    )
+
+
+def _curate_corpus_dsir_sql() -> str:
+    from traits_data_spark.catalog.corpus import _curate_corpus_sql
+    from traits_data_spark.catalog.dedup import DECON_BENCH_SOURCE
+
+    src = f" AND source <> '{DECON_BENCH_SOURCE}'"
+    gq = (
+        _dsir_train_ctes(where_extra=src)
+        + f""",
+qsd AS (
+  SELECT doc_id,
+    list_filter(string_split({_NORM}, ' '), x -> length(x) > 0) AS wl
+  FROM documents WHERE source <> '{DECON_BENCH_SOURCE}'
+),
+qsg AS (
+  SELECT doc_id, unnest(wl) AS gram FROM qsd
+  UNION ALL
+  SELECT doc_id, wl[i] || ' ' || wl[i + 1] AS gram
+  FROM (SELECT doc_id, wl, unnest(range(1, length(wl))) AS i FROM qsd)
+),
+qsf AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT)
+           % {_DSIR_N_BUCKETS} AS bucket
+  FROM qsg
+),
+qss AS (
+  SELECT qsf.doc_id, CAST(sum(m.delta_q20) AS BIGINT) AS weight_q20
+  FROM qsf JOIN dtm m USING (bucket)
+  GROUP BY qsf.doc_id
+),
+qsw AS (
+  SELECT d.doc_id,
+         CAST(coalesce(qss.weight_q20, 0) AS BIGINT) AS weight_q20
+  FROM qsd d LEFT JOIN qss USING (doc_id)
+),
+qsr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY weight_q20 DESC, doc_id) - 1 AS rn0,
+         count(*) OVER () AS cnt
+  FROM qsw
+),
+gq AS (
+  SELECT g.* FROM g JOIN qsr USING (doc_id)
+  WHERE qsr.rn0 * 10000 < qsr.cnt * {CURATE_DSIR_KEEP_BP}
+)"""
+    )
+    return _curate_corpus_sql(gq_ctes=gq, force_recursive=True)
 
 
 # ---------------------------------------------------------------------------
