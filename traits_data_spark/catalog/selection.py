@@ -493,13 +493,23 @@ def q_curate_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta_col="delta_q20",
             weight_col="weight_q20",
         )
+        # localCheckpoint, NOT persist — measured A/B at sf0.1: no
+        # pin 33-38 s, persist() 35-39 s (no help: the cost is not
+        # re-EXECUTION), localCheckpoint 13.4 s. The gate subtree
+        # carries the trainer's 4 × 20-round unrolled ilog2
+        # projections; embedding that analyzed plan into the curation
+        # chain makes every downstream action pay its driver-side
+        # analysis again (a cached frame still carries the child
+        # plan), while the checkpoint truncates lineage to a leaf.
+        # Same move as kmeans_fit's trailing checkpoint; same caveat
+        # (eager, executor-local blocks).
         return sel.select(
             "doc_id",
             F.when(F.col("selected"), 1)
             .otherwise(0)
             .cast("long")
             .alias("dsir_sel"),
-        )
+        ).localCheckpoint()
 
     return _curate_call(
         spark,
