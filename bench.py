@@ -177,6 +177,9 @@ BENCH_QUERIES = FLAGSHIPS + [
     "name_search",
     "near_dup_recall_report",
     "curate_corpus_dsir",
+    # round 13 second batch: hybrid retrieval fusion, semantic decon
+    "hybrid_topk_rrf",
+    "semantic_decontaminate",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -37,14 +37,17 @@ LOAD_BEARING = [
     # cms_top_terms + sampled_quantiles rotated out round 11
     # (driver-green rounds 5-10)
     # substring_dups rotated out round 11 (driver-green rounds 5-10)
-    "remove_dup_substrings",
+    # remove_dup_substrings rotated out round 13 second batch
+    # (driver-green rounds 10-12) to make room for hybrid_topk_rrf
     # event_transitions / hourly_anomalies rotated out round 10
     # (driver-green rounds 6-9)
     # funnel_within rotated out round 10 (driver-green rounds 6-9)
     # price_histogram rotated out round 10 (driver-green rounds 6-9)
     # dup_clusters rotated out round 13 (driver-green rounds 6-12; CC
     # stays in-window via semantic_dedup_sharded)
-    "lsh_candidates",
+    # lsh_candidates rotated out round 13 second batch (driver-green
+    # rounds 11-12) to make room for semantic_decontaminate; the LSH
+    # family stays in-window via near_dup_recall_report
     # round-7 additions still in-window (epoch_expand / kmv_overlap /
     # snapshot_diff / shuffle_shards / containment_pairs rotated out
     # round 10 — driver-green rounds 7 through 9)
@@ -104,6 +107,10 @@ LOAD_BEARING = [
     "name_search",
     "near_dup_recall_report",
     "curate_corpus_dsir",
+    # round-13 second batch: hybrid lexical+dense retrieval fusion and
+    # embedding-space decontamination
+    "hybrid_topk_rrf",
+    "semantic_decontaminate",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

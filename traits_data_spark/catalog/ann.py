@@ -6,10 +6,12 @@ from traits_data_spark.catalog._shared import (
     DataFrame,
     F,
     SparkSession,
+    Window,
     _H60,
     _hyperplanes,
     _t,
     ann_recall,
+    bm25_topk,
     cosine_topk_bruteforce,
     cosine_topk_quantized,
     dedup_clusters,
@@ -1932,4 +1934,200 @@ s AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, cosine + 0.0 AS cosine, rk FROM r WHERE rk <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+HYBRID_POOL = 20
+HYBRID_K = 5
+HYBRID_RRF_K0 = 60
+# query docs carry BOTH a text row (documents.doc_id) and an embedding
+# row (embeddings.vec_id) — the synthetic tables share the id space
+_HYBRID_QUERY_PRED = "doc_id % 50 = 0"
+
+
+def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (``operators.fusion.rrf_fuse``): per query doc,
+    a lexical top-20 pool (``bm25_topk``, self-hit removed and the pool
+    re-ranked on the same (score_micro, id) order) and a dense top-20
+    pool (``cosine_topk_bruteforce`` over the doc's embedding) are
+    fused by reciprocal rank fusion (Cormack et al. SIGIR'09, k0=60 —
+    the Elasticsearch/OpenSearch hybrid-search default) into one
+    top-5. Each reciprocal term is a single rounded IEEE division in
+    integer micro-units, so the fused score is a BIGINT sum —
+    shuffle-order-free. Scale shape: the arms carry the corpus-sized
+    work (inverted postings pruned on the broadcast query vocabulary;
+    brute-force dense scoring swappable for the attested IVF/PQ paths);
+    fusion itself touches only ``2 * 20`` rows per query."""
+    from traits_data_spark.catalog.text import BM25_B, BM25_K1
+    from traits_data_spark.operators.fusion import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q_docs = docs.filter(F.expr(_HYBRID_QUERY_PRED))
+    # pool+1 then drop the self-hit: the top-POOL non-self rows are a
+    # subset of the top-(POOL+1) overall (at most one self row exists)
+    lex = bm25_topk(
+        docs, q_docs, k=HYBRID_POOL + 1, k1=BM25_K1, b=BM25_B
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("neighbor_id").asc()
+    )
+    lex = (
+        lex.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HYBRID_POOL)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = cosine_topk_bruteforce(
+        emb,
+        emb.filter(F.expr("vec_id % 50 = 0")),
+        id_col="vec_id",
+        k=HYBRID_POOL,
+    ).select("query_id", "neighbor_id", "rk")
+    return rrf_fuse(
+        {"lex": lex, "dense": dense}, k=HYBRID_K, rrf_k=HYBRID_RRF_K0
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from traits_data_spark.catalog.text import _bm25_sql
+
+    return f"""
+WITH lexpool AS (
+  SELECT query_id, neighbor_id, score_micro
+  FROM ({_bm25_sql(k=HYBRID_POOL + 1)})
+  WHERE neighbor_id != query_id
+),
+lex AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_micro DESC,
+                                       neighbor_id ASC) AS rk
+    FROM lexpool)
+  WHERE rk <= {HYBRID_POOL}
+),
+dq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id % 50 = 0),
+dc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       FROM embeddings),
+ds AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM dc, dq WHERE neighbor_id != query_id
+),
+dense AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM ds)
+  WHERE rk <= {HYBRID_POOL}
+),
+u AS (
+  SELECT query_id, neighbor_id, rk, 'lex' AS run FROM lex
+  UNION ALL
+  SELECT query_id, neighbor_id, rk, 'dense' AS run FROM dense
+),
+f AS (
+  SELECT query_id, neighbor_id,
+         CAST(MAX(CASE WHEN run = 'lex' THEN rk END) AS BIGINT) AS lex_rk,
+         CAST(MAX(CASE WHEN run = 'dense' THEN rk END) AS BIGINT)
+           AS dense_rk,
+         CAST(SUM(CAST(ROUND(1000000.0 / ({HYBRID_RRF_K0} + rk), 0)
+                       AS BIGINT)) AS BIGINT) AS rrf_micro
+  FROM u GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC,
+                                        neighbor_id ASC) AS rk
+  FROM f
+)
+SELECT query_id, neighbor_id, lex_rk, dense_rk, rrf_micro,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {HYBRID_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+# the synthetic embeddings are unclustered, so the demo threshold is
+# low (13 flagged rows at sf0.01); production decontamination runs
+# >= 0.9 against real benchmark embeddings
+SEM_DECON_THRESHOLD = NEAR_DUP_THRESHOLD
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (``similarity.semantic_decontaminate``): docs from the benchmark
+    source (``source = 'src0'``, the same split the n-gram
+    ``decontaminate`` / ``bloom_decontaminate`` entries use) play the
+    eval set; their embeddings become a persisted
+    ``hyperplane_bucket_index``, and every remaining corpus vector is
+    checked against it through a broadcast bucket join — the corpus
+    never shuffles. The eval membership test itself is a broadcast
+    semi/anti join on the (small) benchmark id list, so the corpus
+    side stays map-side end to end. Flags paraphrase-level leakage the
+    exact n-gram paths structurally miss."""
+    from traits_data_spark.catalog.dedup import DECON_BENCH_SOURCE
+    from traits_data_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    eval_ids = docs.filter(
+        F.col("source") == DECON_BENCH_SOURCE
+    ).select(F.col("doc_id").alias("vec_id"))
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.join(F.broadcast(eval_ids), "vec_id")
+    corpus = emb.join(F.broadcast(eval_ids), "vec_id", "left_anti")
+    index = hyperplane_bucket_index(
+        ev, dim=EMB_DIM, n_planes=NEAR_DUP_PLANES
+    )
+    return semantic_decontaminate(
+        corpus,
+        index,
+        dim=EMB_DIM,
+        threshold=SEM_DECON_THRESHOLD,
+        n_planes=NEAR_DUP_PLANES,
+    )
+
+
+def _semantic_decontaminate_sql() -> str:
+    from traits_data_spark.catalog.dedup import DECON_BENCH_SOURCE
+
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                  {_bucket_sql('embedding::DOUBLE[]', NEAR_DUP_PLANES)} AS bucket
+           FROM embeddings),
+bench AS (SELECT doc_id FROM documents
+          WHERE source = '{DECON_BENCH_SOURCE}'),
+ev AS (SELECT e.id AS eval_id, e.v AS evv, e.bucket
+       FROM e JOIN bench ON e.id = bench.doc_id),
+tr AS (SELECT e.* FROM e
+       WHERE e.id NOT IN (SELECT doc_id FROM bench)),
+p AS (
+  SELECT tr.id AS vec_id, ev.eval_id,
+         round(list_dot_product(tr.v, ev.evv)
+               / (sqrt(list_dot_product(tr.v, tr.v))
+                  * sqrt(list_dot_product(ev.evv, ev.evv))), 6)
+           + 0.0 AS cosine
+  FROM tr JOIN ev USING (bucket)
+),
+flagged AS (
+  SELECT vec_id, eval_id, cosine,
+         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_matches,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, eval_id ASC) AS rk
+  FROM p WHERE cosine >= {SEM_DECON_THRESHOLD}
+)
+SELECT vec_id, eval_id, cosine, n_matches FROM flagged WHERE rk = 1
 """

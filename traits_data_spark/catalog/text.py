@@ -1402,7 +1402,7 @@ def q_bm25_topk_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql(champion_n: int | None = None) -> str:
+def _bm25_sql(champion_n: int | None = None, k: int = BM25_K) -> str:
     # float-literal parity: the SQL inlines repr() of the exact Python
     # doubles the Spark plan uses (k1+1 is NOT the literal 2.2)
     k1p1, one_b = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
@@ -1474,7 +1474,7 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, matched_terms, score_micro,
        ROUND(score_micro / 1000000.0::DOUBLE, 6) + 0.0 AS score,
        rk::BIGINT AS rk
-FROM r WHERE rk <= {BM25_K}
+FROM r WHERE rk <= {int(k)}
 """
 
 

@@ -1023,6 +1023,77 @@ def incremental_embedding_near_dups(
     ).distinct()
 
 
+def semantic_decontaminate(
+    corpus_vecs: DataFrame,
+    eval_index: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose
+    cosine to ANY benchmark/eval vector reaches ``threshold`` — the
+    semantic complement of the n-gram paths (``dedup.decontaminate`` /
+    ``dedup.bloom_decontaminate``), catching paraphrased or lightly
+    reworded benchmark leakage that exact n-grams miss.
+
+    The eval side arrives as a persisted ``hyperplane_bucket_index``
+    (built once per benchmark release); the corpus computes its bucket
+    as a pure projection and joins the BROADCAST eval index on the
+    bucket key — the corpus never shuffles, exactly the
+    ``bloom_decontaminate`` scale contract. Candidate pairs are scored
+    exactly; per flagged corpus row the BEST match is kept
+    (max cosine, ties to the smallest eval id) plus ``n_matches``, the
+    exact count of eval vectors at/above the threshold.
+
+    Recall caveat (same as every single-table LSH path here): a true
+    near-match in a different bucket is missed; raise recall with
+    fewer planes or a multi-probe/multi-table index, traded against
+    candidate volume. Output: ``(<id_col>, eval_id, cosine,
+    n_matches)``.
+    """
+    c = with_lsh_bucket(
+        corpus_vecs.select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ),
+        "__cv",
+        dim,
+        n_planes,
+        seed,
+    )
+    e = eval_index.select(
+        F.col("id").alias("eval_id"),
+        "bucket",
+        F.col("embedding").alias("__ev"),
+    )
+    hits = (
+        c.join(F.broadcast(e), "bucket")
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("__cv"), F.col("__ev")), round_to)
+            + F.lit(0.0),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # flagged rows only (a small fraction of the corpus by contract),
+    # so the best-match window shuffles a frame bounded by the
+    # contamination rate, not the corpus
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    nw = Window.partitionBy(id_col)
+    return (
+        hits.withColumn("n_matches", F.count(F.lit(1)).over(nw))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "eval_id", "cosine", "n_matches")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
