@@ -177,9 +177,11 @@ BENCH_QUERIES = FLAGSHIPS + [
     "name_search",
     "near_dup_recall_report",
     "curate_corpus_dsir",
-    # round 13 second batch: hybrid retrieval fusion, semantic decon
+    # round 13 second batch: hybrid retrieval fusion, semantic decon,
+    # Kneser-Ney LM trainer
     "hybrid_topk_rrf",
     "semantic_decontaminate",
+    "train_kn_lm",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

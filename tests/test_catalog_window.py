@@ -78,7 +78,9 @@ LOAD_BEARING = [
     "tokenizer_fertility",
     "pq_topk",
     "bm25_topk",
-    "unigram_token_counts",
+    # unigram_token_counts rotated out round 13 second batch
+    # (driver-green rounds 10-12) to make room for train_kn_lm; the
+    # unigram family stays in-window via unigram_train_tokens
     "ivfpq_topk",
     # round-11 additions: must be driver-attested before rotating out
     "pq_incremental_encode",
@@ -107,10 +109,11 @@ LOAD_BEARING = [
     "name_search",
     "near_dup_recall_report",
     "curate_corpus_dsir",
-    # round-13 second batch: hybrid lexical+dense retrieval fusion and
-    # embedding-space decontamination
+    # round-13 second batch: hybrid lexical+dense retrieval fusion,
+    # embedding-space decontamination, Kneser-Ney LM trainer
     "hybrid_topk_rrf",
     "semantic_decontaminate",
+    "train_kn_lm",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -809,6 +809,66 @@ def test_train_bigram_lm_hand_computed(spark):
     assert len(rows) == 3
 
 
+def test_train_kn_lm_hand_computed(spark):
+    """Corpus 'a b' / 'a b' / 'a c': bigrams (<s>,a) x3, (a,b) x2,
+    (a,c) x1. Types: n1=1 ((a,c)), n2=1 ((a,b)) -> D = 1/3 (dn=1,
+    dd=3). Nbb=3; N1+(<s>,.)=1, N1+(a,.)=2; Ncw(a)=1 (only <s>),
+    Ncw(b)=1, Ncw(c)=1. Exact fractions:
+      p(a|<s>) = (3*3-1)/(3*3) + (1*1)/(3*3) * 1/3 = 8/9 + 1/27
+      p(b|a)   = (2*3-1)/(3*3) + (1*2)/(3*3) * 1/3
+      p(c|a)   = (1*3-1)/(3*3) + (1*2)/(3*3) * 1/3
+    and every context's mass over the FULL vocab sums to exactly 1."""
+    from fractions import Fraction
+
+    from traits_data_spark.operators.text import train_kn_lm
+
+    docs = spark.createDataFrame([("a b",), ("a b",), ("a c",)], ["text"])
+    rows = {(r["u"], r["w"]): r for r in train_kn_lm(docs).collect()}
+    assert len(rows) == 3
+    r = rows[("<s>", "a")]
+    assert (r["n_uw"], r["n_u"], r["n1u"], r["ncw"]) == (3, 3, 1, 1)
+    dn, dd, nbb = 1, 3, 3
+
+    def kn(n_uw, n_u, n1u, ncw):
+        return Fraction(
+            max(n_uw * dd - dn, 0) * nbb + dn * n1u * ncw,
+            n_u * dd * nbb,
+        )
+
+    assert r["p"] == round(float(kn(3, 3, 1, 1)), 9)
+    assert rows[("a", "b")]["p"] == round(float(kn(2, 3, 2, 1)), 9)
+    assert rows[("a", "c")]["p"] == round(float(kn(1, 3, 2, 1)), 9)
+    # full-vocab mass per context == 1 exactly: seen targets take the
+    # discounted part; EVERY vocab target (a,b,c) takes its
+    # continuation share of the reserved mass
+    for u, pairs in (("<s>", [("a", 3)]), ("a", [("b", 2), ("c", 1)])):
+        n_u = sum(c for _, c in pairs)
+        n1u = len(pairs)
+        seen = sum(
+            Fraction(max(c * dd - dn, 0), n_u * dd) for _, c in pairs
+        )
+        # sum over the WHOLE vocab of the continuation term
+        cont = Fraction(dn * n1u, n_u * dd) * Fraction(3, nbb)
+        assert seen + cont == 1
+
+
+def test_train_kn_lm_discount_fallback_and_scale_shape(spark):
+    """A corpus with no singleton/doubleton bigram types falls back to
+    the textbook D=3/4; the trainer shuffles bigrams once (exactly one
+    corpus-side exchange below the bigram aggregate)."""
+    from fractions import Fraction
+
+    from traits_data_spark.operators.text import train_kn_lm
+
+    docs = spark.createDataFrame([("a b",)] * 3, ["text"])
+    rows = {(r["u"], r["w"]): r for r in train_kn_lm(docs).collect()}
+    # bigrams (<s>,a) x3, (a,b) x3 -> n1=n2=0 -> dn/dd = 3/4
+    dn, dd, nbb = 3, 4, 2
+    got = rows[("a", "b")]["p"]
+    expect = Fraction(max(3 * dd - dn, 0) * nbb + dn * 1 * 1, 3 * dd * nbb)
+    assert got == round(float(expect), 9)
+
+
 def test_bpe_train_tokens_hand_computed(spark):
     """'abab abab' / 'ab' corpus: merges learned are (a,b) then
     (ab,ab); 'abab' -> 1 token, 'ab' -> 1 token. Doc 1 has two words

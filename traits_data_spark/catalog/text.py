@@ -47,6 +47,7 @@ from traits_data_spark.catalog._shared import (
     score_perplexity_sampled,
     token_counts,
     train_bigram_lm,
+    train_kn_lm,
     unigram_token_counts,
     unigram_train,
     unigram_train_token_counts,
@@ -887,6 +888,67 @@ v AS (SELECT CAST(COUNT(DISTINCT w) + 1 AS BIGINT) AS vsz FROM counts)
 SELECT c.u, c.w, c.n_uw, x.n_u,
        round((c.n_uw + 1)::DOUBLE / (x.n_u + v.vsz)::DOUBLE, 9) AS p
 FROM counts c JOIN ctx x USING (u) CROSS JOIN v
+"""
+
+
+def q_train_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed interpolated Kneser-Ney word-bigram LM TRAINING
+    (``operators.text.train_kn_lm``) — the smoothing family the
+    production CCNet filter actually ships (KenLM is modified-KN),
+    trained on-cluster next to the Laplace variant
+    (``train_bigram_lm``). The Ney discount ``D = n1/(n1+2 n2)`` stays
+    an integer fraction, so each bigram's probability is ONE integer
+    ratio ending in a single rounded IEEE division — BIGINT-exact
+    across engines, no libm. Same scale shape as the Laplace trainer:
+    one corpus bigram shuffle; discounts, continuation counts and type
+    totals all derive from the vocab²-bounded bigram-type table."""
+    docs = _t(spark, sf_dir, "documents")
+    return train_kn_lm(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+
+
+_TRAIN_KN_LM_SQL = f"""
+WITH d AS (
+  SELECT {_NORM} AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT list_prepend('<s>', list_filter(string_split(nt, ' '),
+             x -> length(x) > 0 AND length(x) <= {BPE_TRAIN_MAX_WORD_LEN}))
+         AS ws
+  FROM d
+),
+b AS (
+  SELECT unnest([{{'u': ws[k], 'w': ws[k+1]}} for k in range(1, len(ws))])
+         AS bg
+  FROM t
+),
+counts AS (
+  SELECT bg['u'] AS u, bg['w'] AS w, CAST(COUNT(*) AS BIGINT) AS n_uw
+  FROM b GROUP BY 1, 2
+),
+ctx AS (SELECT u, CAST(SUM(n_uw) AS BIGINT) AS n_u,
+               CAST(COUNT(*) AS BIGINT) AS n1u
+        FROM counts GROUP BY u),
+pred AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ncw FROM counts GROUP BY w),
+g0 AS (
+  SELECT CAST(SUM(CASE WHEN n_uw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN n_uw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(COUNT(*) AS BIGINT) AS nbb
+  FROM counts
+),
+g AS (
+  SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1
+              ELSE CAST(3 AS BIGINT) END AS dn,
+         CASE WHEN n1 + 2 * n2 > 0 THEN n1 + 2 * n2
+              ELSE CAST(4 AS BIGINT) END AS dd,
+         nbb
+  FROM g0
+)
+SELECT c.u, c.w, c.n_uw, x.n_u, x.n1u, p2.ncw,
+       round((GREATEST(c.n_uw * g.dd - g.dn, CAST(0 AS BIGINT)) * g.nbb
+              + g.dn * x.n1u * p2.ncw)::DOUBLE
+             / (x.n_u * g.dd * g.nbb)::DOUBLE, 9) AS p
+FROM counts c JOIN ctx x USING (u) JOIN pred p2 USING (w) CROSS JOIN g
 """
 
 

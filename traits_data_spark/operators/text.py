@@ -1759,6 +1759,123 @@ def train_bigram_lm(
     )
 
 
+def train_kn_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    prob_dp: int = 9,
+) -> DataFrame:
+    """Train an interpolated Kneser-Ney word-bigram LM ON-CLUSTER —
+    the smoothing the production CCNet filter actually uses (KenLM is
+    modified-KN; Kneser & Ney 1995, Chen & Goodman 1998), next to the
+    Laplace variant (``train_bigram_lm``):
+
+        P(w|u) = max(n_uw - D, 0)/n_u + D·N1+(u,·)/n_u · N1+(·,w)/N1+(·,·)
+
+    with the Ney discount estimate ``D = n1/(n1 + 2·n2)`` (n1/n2 =
+    bigram types seen exactly once/twice; textbook 3/4 fallback when
+    the corpus has neither). Exactness: D is kept as the integer
+    fraction ``dn/dd``, so the whole probability is ONE integer
+    ratio::
+
+        p = (max(n_uw·dd - dn, 0)·Nbb + dn·N1u·Ncw) / (n_u·dd·Nbb)
+
+    — every term a BIGINT (shuffle-order-free), one final IEEE
+    division rounded to ``prob_dp``. Summed over the full vocabulary
+    (seen targets + continuation mass) each context distributes
+    exactly 1 (tested with ``fractions.Fraction``). Overflow note:
+    the numerator carries ``n_uw·dd·Nbb``; at extreme corpus scale
+    (all three ~1e10) this exceeds BIGINT — shard the model by
+    context hash and train per shard, or drop to the double form.
+
+    Scale shape: identical to ``train_bigram_lm`` — ONE corpus-scale
+    shuffle (the bigram groupBy, map-side combine); every other input
+    (context totals, follower/predecessor type counts, the discount
+    and type-total one-row frames) derives from the vocab²-bounded
+    bigram-type table, never from a second corpus pass.
+
+    Output: ``(u, w, n_uw, n_u, n1u, ncw, p)``.
+    """
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(
+        F.split(nt, " "),
+        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.concat(F.array(F.lit("<s>")), wlist).alias("ws")
+    )
+    arr = F.col("ws")
+    n = F.size(arr)
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("w")),
+            )
+        ).alias("bg")
+    )
+    counts = big.groupBy(
+        F.col("bg.u").alias("u"), F.col("bg.w").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_uw"))
+    ctx = counts.groupBy("u").agg(
+        F.sum("n_uw").cast("long").alias("n_u"),
+        F.count(F.lit(1)).cast("long").alias("n1u"),
+    )
+    pred = counts.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw")
+    )
+    glob = counts.agg(
+        F.sum(F.when(F.col("n_uw") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__n1"),
+        F.sum(F.when(F.col("n_uw") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("__n2"),
+        F.count(F.lit(1)).cast("long").alias("__nbb"),
+    ).select(
+        F.when(F.col("__n1") + 2 * F.col("__n2") > 0, F.col("__n1"))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("__dn"),
+        F.when(
+            F.col("__n1") + 2 * F.col("__n2") > 0,
+            F.col("__n1") + 2 * F.col("__n2"),
+        )
+        .otherwise(F.lit(4))
+        .cast("long")
+        .alias("__dd"),
+        "__nbb",
+    )
+    return (
+        counts.join(ctx, "u")
+        .join(pred, "w")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "u",
+            "w",
+            "n_uw",
+            "n_u",
+            "n1u",
+            "ncw",
+            F.round(
+                (
+                    F.greatest(
+                        F.col("n_uw") * F.col("__dd") - F.col("__dn"),
+                        F.lit(0).cast("long"),
+                    )
+                    * F.col("__nbb")
+                    + F.col("__dn") * F.col("n1u") * F.col("ncw")
+                ).cast("double")
+                / (F.col("n_u") * F.col("__dd") * F.col("__nbb")).cast(
+                    "double"
+                ),
+                prob_dp,
+            ).alias("p"),
+        )
+    )
+
+
 # --- on-cluster unigram-LM (SentencePiece) training --------------------
 
 UNIGRAM_TRAIN_MAX_PIECE_LEN = 4
