@@ -182,6 +182,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "hybrid_topk_rrf",
     "semantic_decontaminate",
     "train_kn_lm",
+    "kn_doc_scores",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -69,7 +69,10 @@ LOAD_BEARING = [
     "video_metadata",
     # round-10 additions: must be driver-attested before rotating out
     "bpe_merge_token_counts",
-    "lm_perplexity",
+    # lm_perplexity rotated out round 13 second batch (driver-green
+    # rounds 10-12) to make room for kn_doc_scores; the perplexity
+    # family stays in-window via lm_perplexity_sampled +
+    # curate_corpus_ppl
     "webm_metadata",
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
@@ -114,6 +117,7 @@ LOAD_BEARING = [
     "hybrid_topk_rrf",
     "semantic_decontaminate",
     "train_kn_lm",
+    "kn_doc_scores",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -852,6 +852,35 @@ def test_train_kn_lm_hand_computed(spark):
         assert seen + cont == 1
 
 
+def test_kn_doc_scores_hand_computed(spark):
+    """Same 3-doc corpus as the trainer test: every bigram's Q20 cost
+    must equal ilog2_q20(p_den) - ilog2_q20(p_num) from the pure-Python
+    fixed-point reference, and the per-doc sums/means follow."""
+    from traits_data_spark.functions.intmath import ilog2_q20
+    from traits_data_spark.operators.text import kn_doc_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in kn_doc_scores(docs).collect()}
+    dn, dd, nbb = 1, 3, 3
+
+    def bits(n_uw, n_u, n1u, ncw):
+        num = max(n_uw * dd - dn, 0) * nbb + dn * n1u * ncw
+        den = n_u * dd * nbb
+        return ilog2_q20(den) - ilog2_q20(num)
+
+    b_sa = bits(3, 3, 1, 1)   # (<s>, a)
+    b_ab = bits(2, 3, 2, 1)   # (a, b)
+    b_ac = bits(1, 3, 2, 1)   # (a, c)
+    for doc, expect in ((1, b_sa + b_ab), (2, b_sa + b_ab), (3, b_sa + b_ac)):
+        assert out[doc]["n_bigrams"] == 2
+        assert out[doc]["nll_q20"] == expect
+        assert out[doc]["bits_per_bigram_q20"] == expect // 2
+    # the rarer continuation (a,c) must cost more bits than (a,b)
+    assert out[3]["nll_q20"] > out[1]["nll_q20"]
+
+
 def test_train_kn_lm_discount_fallback_and_scale_shape(spark):
     """A corpus with no singleton/doubleton bigram types falls back to
     the textbook D=3/4; the trainer shuffles bigrams once (exactly one

@@ -115,6 +115,7 @@ from traits_data_spark.operators.text import (
     bpe_train,
     bpe_train_token_counts,
     train_bigram_lm,
+    kn_doc_scores,
     train_kn_lm,
     bpe_token_counts_table,
     load_bpe_merges,

@@ -47,6 +47,7 @@ from traits_data_spark.catalog._shared import (
     score_perplexity_sampled,
     token_counts,
     train_bigram_lm,
+    kn_doc_scores,
     train_kn_lm,
     unigram_token_counts,
     unigram_train,
@@ -906,13 +907,16 @@ def q_train_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_kn_lm(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
 
 
-_TRAIN_KN_LM_SQL = f"""
-WITH d AS (
-  SELECT {_NORM} AS nt
+# shared KN CTE body: tokenization (doc_id carried for the apply
+# path), bigram type counts, the Ney discount as an integer fraction,
+# and the model with its exact BIGINT p_num / p_den ratio
+_KN_CTES = f"""d AS (
+  SELECT doc_id, {_NORM} AS nt
   FROM documents WHERE text IS NOT NULL
 ),
 t AS (
-  SELECT list_prepend('<s>', list_filter(string_split(nt, ' '),
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(string_split(nt, ' '),
              x -> length(x) > 0 AND length(x) <= {BPE_TRAIN_MAX_WORD_LEN}))
          AS ws
   FROM d
@@ -943,13 +947,72 @@ g AS (
               ELSE CAST(4 AS BIGINT) END AS dd,
          nbb
   FROM g0
-)
-SELECT c.u, c.w, c.n_uw, x.n_u, x.n1u, p2.ncw,
-       round((GREATEST(c.n_uw * g.dd - g.dn, CAST(0 AS BIGINT)) * g.nbb
-              + g.dn * x.n1u * p2.ncw)::DOUBLE
-             / (x.n_u * g.dd * g.nbb)::DOUBLE, 9) AS p
-FROM counts c JOIN ctx x USING (u) JOIN pred p2 USING (w) CROSS JOIN g
+),
+kmodel AS (
+  SELECT c.u, c.w, c.n_uw, x.n_u, x.n1u, p2.ncw,
+         CAST(GREATEST(c.n_uw * g.dd - g.dn, CAST(0 AS BIGINT)) * g.nbb
+              + g.dn * x.n1u * p2.ncw AS BIGINT) AS p_num,
+         CAST(x.n_u * g.dd * g.nbb AS BIGINT) AS p_den
+  FROM counts c JOIN ctx x USING (u) JOIN pred p2 USING (w) CROSS JOIN g
+)"""
+
+_TRAIN_KN_LM_SQL = (
+    "WITH "
+    + _KN_CTES
+    + """
+SELECT u, w, n_uw, n_u, n1u, ncw,
+       round(p_num::DOUBLE / p_den::DOUBLE, 9) AS p
+FROM kmodel
 """
+)
+
+
+def q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score KN chain (``operators.text.kn_doc_scores``):
+    fit the interpolated Kneser-Ney bigram LM on the corpus, then
+    score every document under the model the plan just learned —
+    per-bigram cost ``ilog2_q20(p_den) - ilog2_q20(p_num)`` (the
+    transcendental-free Q20 log2 of the exact integer probability
+    ratio), summed per doc as a BIGINT. The CCNet perplexity gate with
+    zero offline artifacts and zero libm on either engine; the oracle
+    replays the trainer AND the square-and-shift log2 digit recurrence
+    in recursive CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    return kn_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+
+
+def _kn_doc_scores_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _KN_CTES
+        + """,
+mo AS MATERIALIZED (
+  SELECT u || ' ' || w AS bk, u, w, p_num, p_den FROM kmodel
+),"""
+        + _ilog2_ctes("kin", "(SELECT bk, p_num AS x FROM mo)", "bk")
+        + ","
+        + _ilog2_ctes("kid", "(SELECT bk, p_den AS x FROM mo)", "bk")
+        + """,
+mbits AS (
+  SELECT mo.u, mo.w, kid.il - kin.il AS bits_q20
+  FROM mo JOIN kin USING (bk) JOIN kid USING (bk)
+),
+db AS (
+  SELECT doc_id, bg['u'] AS u, bg['w'] AS w FROM (
+    SELECT doc_id,
+           unnest([{'u': ws[k], 'w': ws[k+1]} for k in range(1, len(ws))])
+             AS bg
+    FROM t)
+)
+SELECT db.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(m.bits_q20) AS BIGINT) AS nll_q20,
+       CAST(CAST(sum(m.bits_q20) AS BIGINT)
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS bits_per_bigram_q20
+FROM db JOIN mbits m USING (u, w)
+GROUP BY db.doc_id
+"""
+    )
 
 
 def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:

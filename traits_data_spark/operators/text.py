@@ -1764,6 +1764,7 @@ def train_kn_lm(
     text_col: str = "text",
     max_word_len: int = 32,
     prob_dp: int = 9,
+    keep_ratio: bool = False,
 ) -> DataFrame:
     """Train an interpolated Kneser-Ney word-bigram LM ON-CLUSTER —
     the smoothing the production CCNet filter actually uses (KenLM is
@@ -1794,7 +1795,12 @@ def train_kn_lm(
     and type-total one-row frames) derives from the vocab²-bounded
     bigram-type table, never from a second corpus pass.
 
-    Output: ``(u, w, n_uw, n_u, n1u, ncw, p)``.
+    Output: ``(u, w, n_uw, n_u, n1u, ncw, p)``; with
+    ``keep_ratio=True`` the exact BIGINT ``p_num`` / ``p_den`` ride
+    along (``p = p_num / p_den``) so downstream consumers can take
+    transcendental-free Q20 log2 bits via ``intmath.with_ilog2_q20``
+    (``p_num >= 1`` always: when the discount zeroes the count term,
+    the continuation term is a product of positive counts).
     """
     nt = normalized_text(F.col(text_col), lowercase=True)
     wlist = F.filter(
@@ -1847,31 +1853,105 @@ def train_kn_lm(
         .alias("__dd"),
         "__nbb",
     )
+    num = (
+        F.greatest(
+            F.col("n_uw") * F.col("__dd") - F.col("__dn"),
+            F.lit(0).cast("long"),
+        )
+        * F.col("__nbb")
+        + F.col("__dn") * F.col("n1u") * F.col("ncw")
+    ).cast("long")
+    den = (F.col("n_u") * F.col("__dd") * F.col("__nbb")).cast("long")
+    cols = ["u", "w", "n_uw", "n_u", "n1u", "ncw"]
+    ratio = (
+        [num.alias("p_num"), den.alias("p_den")] if keep_ratio else []
+    )
     return (
         counts.join(ctx, "u")
         .join(pred, "w")
         .crossJoin(F.broadcast(glob))
         .select(
-            "u",
-            "w",
-            "n_uw",
-            "n_u",
-            "n1u",
-            "ncw",
+            *cols,
+            *ratio,
             F.round(
-                (
-                    F.greatest(
-                        F.col("n_uw") * F.col("__dd") - F.col("__dn"),
-                        F.lit(0).cast("long"),
-                    )
-                    * F.col("__nbb")
-                    + F.col("__dn") * F.col("n1u") * F.col("ncw")
-                ).cast("double")
-                / (F.col("n_u") * F.col("__dd") * F.col("__nbb")).cast(
-                    "double"
-                ),
-                prob_dp,
+                num.cast("double") / den.cast("double"), prob_dp
             ).alias("p"),
+        )
+    )
+
+
+def kn_doc_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Train-then-score under the interpolated Kneser-Ney bigram LM —
+    the ``bpe_train_tokens`` / ``dsir_train_select`` discipline applied
+    to the CCNet-style perplexity gate: fit ``train_kn_lm`` on the
+    corpus, then score every document under the model the plan just
+    learned, with NO committed artifact and NO transcendentals. Each
+    bigram's cost is ``ilog2_q20(p_den) - ilog2_q20(p_num)`` (exact
+    Q20 negative log2-probability of the integer ratio ``p_num/p_den``
+    — ``intmath.with_ilog2_q20`` JVM-side), so the per-document sum is
+    a BIGINT: shuffle-order-free and hash-exact cross-engine.
+
+    Scoring the training corpus itself means every bigram is in-model
+    (no OOV branch); a deployment scoring NEW text backs off unseen
+    bigrams to the continuation term, which is the same integer-ratio
+    shape. Scale: the trainer's one bigram shuffle, the ilog2 chain as
+    pure codegen over the vocab²-bounded model, one more corpus-scale
+    shuffle joining the per-doc bigram stream to the model on (u, w)
+    (broadcastable when the model is small), one doc-keyed agg.
+
+    Output: ``(id_col, n_bigrams, nll_q20, bits_per_bigram_q20)`` —
+    total and truncated-mean negative log2-likelihood in Q20 micro-bits
+    (the decile-bucketing / gating step is ``lm_perplexity_sampled``'s
+    job downstream).
+    """
+    from traits_data_spark.functions.intmath import with_ilog2_q20
+
+    model = train_kn_lm(
+        df, text_col=text_col, max_word_len=max_word_len,
+        keep_ratio=True,
+    )
+    model = with_ilog2_q20(model, "p_num", "__iln")
+    model = with_ilog2_q20(model, "p_den", "__ild")
+    bits = model.select(
+        "u", "w", (F.col("__ild") - F.col("__iln")).alias("__bits_q20")
+    )
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(
+        F.split(nt, " "),
+        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.concat(F.array(F.lit("<s>")), wlist).alias("ws")
+    )
+    arr = F.col("ws")
+    n = F.size(arr)
+    big = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.u").alias("u"), F.col("bg.w").alias("w"))
+    return (
+        big.join(bits, ["u", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("__bits_q20").cast("long").alias("nll_q20"),
+        )
+        .withColumn(
+            "bits_per_bigram_q20",
+            # integer division (values are non-negative, so trunc ==
+            # floor on both engines; no double round-trip)
+            F.expr("nll_q20 DIV n_bigrams").cast("long"),
         )
     )
 
