@@ -932,3 +932,75 @@ def test_streaming_dsir_scoring_matches_batch(spark, tmp_path, documents):
     # the training slice score under the SAME frozen deltas (no
     # re-train drift between micro-batches)
     assert any(r != (0, 0) for r in got.values())
+
+
+def test_streaming_semantic_decontaminate(spark, tmp_path, embeddings):
+    """E2E: a file stream of corpus embeddings is decontamination-
+    checked against a persisted benchmark hyperplane-bucket index
+    inside foreachBatch — the benchmark is bucketed once per release,
+    never per batch, and the flagged set over all micro-batches
+    matches the batch run over the full corpus (per-doc flags are
+    independent, so streaming == batch exactly)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.similarity import (
+        hyperplane_bucket_index,
+        semantic_decontaminate,
+    )
+
+    emb = embeddings.select("vec_id", "embedding").limit(200).cache()
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    params = dict(dim=64, threshold=0.2, n_planes=3)
+
+    index_path = str(tmp_path / "bench_index")
+    hyperplane_bucket_index(bench, dim=64, n_planes=3).write.parquet(
+        index_path
+    )
+
+    landing = tmp_path / "corpus_landing"
+    landing.mkdir()
+    halves = (
+        corpus.filter(F.col("vec_id") % 2 == 0),
+        corpus.filter(F.col("vec_id") % 2 == 1),
+    )
+    for i, half in enumerate(halves):
+        f = landing / f"batch{i}.json"
+        f.write_text(half.toPandas().to_json(
+            orient="records", lines=True, double_precision=15
+        ))
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out_path = str(tmp_path / "flags")
+
+    def _check(batch_df, batch_id):
+        idx = batch_df.sparkSession.read.parquet(index_path)
+        flagged = semantic_decontaminate(batch_df, idx, **params)
+        flagged.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_check)
+        .option("checkpointLocation", str(tmp_path / "ckpt_decon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        (r["vec_id"], r["eval_id"], r["cosine"], r["n_matches"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    idx = spark.read.parquet(index_path)
+    want = {
+        (r["vec_id"], r["eval_id"], r["cosine"], r["n_matches"])
+        for r in semantic_decontaminate(corpus, idx, **params).collect()
+    }
+    assert got == want and got

@@ -881,6 +881,37 @@ def test_kn_doc_scores_hand_computed(spark):
     assert out[3]["nll_q20"] > out[1]["nll_q20"]
 
 
+def test_bigram_counts_incremental_merge_parity(spark, documents):
+    """The LM-count index-maintenance contract: counting a new slice
+    alone and merging into the persisted history counts equals
+    recounting the full corpus — and BOTH trainers re-derive the exact
+    full-corpus model from the merged counts without touching text."""
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.text import (
+        merge_bigram_counts,
+        train_bigram_lm,
+        train_kn_lm,
+        word_bigram_counts,
+    )
+
+    docs = documents.select("doc_id", "text").limit(120).cache()
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    merged = merge_bigram_counts(
+        word_bigram_counts(hist), word_bigram_counts(batch)
+    )
+    full = word_bigram_counts(docs)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(merged.collect()) == key(full.collect())
+    assert key(
+        train_kn_lm(docs, counts=merged).collect()
+    ) == key(train_kn_lm(docs).collect())
+    assert key(
+        train_bigram_lm(docs, counts=merged).collect()
+    ) == key(train_bigram_lm(docs).collect())
+
+
 def test_train_kn_lm_discount_fallback_and_scale_shape(spark):
     """A corpus with no singleton/doubleton bigram types falls back to
     the textbook D=3/4; the trainer shuffles bigrams once (exactly one

@@ -1690,29 +1690,20 @@ def bpe_train_token_counts(
     )
 
 
-def train_bigram_lm(
+def word_bigram_counts(
     df: DataFrame,
     text_col: str = "text",
     max_word_len: int = 32,
-    prob_dp: int = 9,
 ) -> DataFrame:
-    """Train the Laplace-smoothed word-bigram LM ON-CLUSTER — the
-    distributed counterpart of the offline artifact builder
-    (``tools/build_word_lm.py``) whose output the CCNet-style
-    perplexity filter (``operators/perplexity.py``) consumes. One row
-    per SEEN bigram: ``(u, w, n_uw, n_u, p)`` with
-    ``p = round((n_uw + 1) / (n_u + V), prob_dp)`` where ``V`` =
-    |vocab| + 1 ('<unk>') — exactly the builder's model, minus the
-    ``ln``: log-probs are transcendental and belong in the artifact
-    step (JVM/glibc ``ln`` is not correctly rounded), while the single
-    IEEE division here IS correctly rounded on both engines, so the
-    smoothed probability itself is hash-matchable.
-
-    Scale shape: sentence-start bigrams via one array prepend (no
-    self-join); ONE corpus-scale shuffle (the bigram groupBy, partial
-    map-side combine); context totals derive from the bigram table
-    (vocab²-bounded), never from a second corpus pass; V is a one-row
-    broadcast cross join."""
+    """``(u, w, n_uw)`` word-bigram type counts with the sentence-start
+    ``<s>`` prepend — the shared count stage of the bigram-LM trainers
+    and the persistable LM-count index: counts are ADD-MERGEABLE
+    (``merge_bigram_counts`` of per-slice counts == counts over the
+    union), so a nightly ingest extends the persisted table from the
+    new batch alone and the model re-derives from the vocab²-bounded
+    counts — history text is never re-tokenized (the
+    ``content_hash_index`` / ``hyperplane_bucket_index`` maintenance
+    contract applied to LM training)."""
     nt = normalized_text(F.col(text_col), lowercase=True)
     wlist = F.filter(
         F.split(nt, " "),
@@ -1732,10 +1723,53 @@ def train_bigram_lm(
             )
         ).alias("bg")
     )
-    counts = (
-        big.groupBy(F.col("bg.u").alias("u"), F.col("bg.w").alias("w"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_uw"))
+    return big.groupBy(
+        F.col("bg.u").alias("u"), F.col("bg.w").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_uw"))
+
+
+def merge_bigram_counts(*parts: DataFrame) -> DataFrame:
+    """Merge per-slice ``word_bigram_counts`` tables (union + keyed
+    sum) — one shuffle over count rows, never over text."""
+    if not parts:
+        raise ValueError("merge_bigram_counts needs at least one part")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("u", "w").agg(
+        F.sum("n_uw").cast("long").alias("n_uw")
     )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    prob_dp: int = 9,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Train the Laplace-smoothed word-bigram LM ON-CLUSTER — the
+    distributed counterpart of the offline artifact builder
+    (``tools/build_word_lm.py``) whose output the CCNet-style
+    perplexity filter (``operators/perplexity.py``) consumes. One row
+    per SEEN bigram: ``(u, w, n_uw, n_u, p)`` with
+    ``p = round((n_uw + 1) / (n_u + V), prob_dp)`` where ``V`` =
+    |vocab| + 1 ('<unk>') — exactly the builder's model, minus the
+    ``ln``: log-probs are transcendental and belong in the artifact
+    step (JVM/glibc ``ln`` is not correctly rounded), while the single
+    IEEE division here IS correctly rounded on both engines, so the
+    smoothed probability itself is hash-matchable.
+
+    Scale shape: sentence-start bigrams via one array prepend (no
+    self-join); ONE corpus-scale shuffle (the bigram groupBy, partial
+    map-side combine); context totals derive from the bigram table
+    (vocab²-bounded), never from a second corpus pass; V is a one-row
+    broadcast cross join. Pass ``counts=`` (a ``word_bigram_counts``-
+    shaped table — e.g. a persisted index extended via
+    ``merge_bigram_counts``) to re-derive the model without touching
+    corpus text."""
+    if counts is None:
+        counts = word_bigram_counts(df, text_col, max_word_len)
     ctx = counts.groupBy("u").agg(F.sum("n_uw").cast("long").alias("n_u"))
     # V = distinct target words + '<unk>' (targets only: '<s>' is a
     # context, never a prediction — mirrors build_word_lm.py's vocab)
@@ -1765,6 +1799,7 @@ def train_kn_lm(
     max_word_len: int = 32,
     prob_dp: int = 9,
     keep_ratio: bool = False,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Train an interpolated Kneser-Ney word-bigram LM ON-CLUSTER —
     the smoothing the production CCNet filter actually uses (KenLM is
@@ -1800,30 +1835,13 @@ def train_kn_lm(
     along (``p = p_num / p_den``) so downstream consumers can take
     transcendental-free Q20 log2 bits via ``intmath.with_ilog2_q20``
     (``p_num >= 1`` always: when the discount zeroes the count term,
-    the continuation term is a product of positive counts).
+    the continuation term is a product of positive counts). Pass
+    ``counts=`` (a persisted ``word_bigram_counts`` index extended via
+    ``merge_bigram_counts``) to re-derive the model without touching
+    corpus text.
     """
-    nt = normalized_text(F.col(text_col), lowercase=True)
-    wlist = F.filter(
-        F.split(nt, " "),
-        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
-    )
-    toks = df.filter(F.col(text_col).isNotNull()).select(
-        F.concat(F.array(F.lit("<s>")), wlist).alias("ws")
-    )
-    arr = F.col("ws")
-    n = F.size(arr)
-    big = toks.select(
-        F.explode(
-            F.zip_with(
-                F.slice(arr, 1, n - 1),
-                F.slice(arr, 2, n - 1),
-                lambda a, b: F.struct(a.alias("u"), b.alias("w")),
-            )
-        ).alias("bg")
-    )
-    counts = big.groupBy(
-        F.col("bg.u").alias("u"), F.col("bg.w").alias("w")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_uw"))
+    if counts is None:
+        counts = word_bigram_counts(df, text_col, max_word_len)
     ctx = counts.groupBy("u").agg(
         F.sum("n_uw").cast("long").alias("n_u"),
         F.count(F.lit(1)).cast("long").alias("n1u"),
