@@ -183,6 +183,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "semantic_decontaminate",
     "train_kn_lm",
     "kn_doc_scores",
+    "decontamination_report",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -69,11 +69,13 @@ LOAD_BEARING = [
     "video_metadata",
     # round-10 additions: must be driver-attested before rotating out
     "bpe_merge_token_counts",
+    # webm_metadata rotated out round 13 second batch (driver-green
+    # rounds 10-12) to make room for decontamination_report; the
+    # binary-metadata family stays in-window via video_metadata
     # lm_perplexity rotated out round 13 second batch (driver-green
     # rounds 10-12) to make room for kn_doc_scores; the perplexity
     # family stays in-window via lm_perplexity_sampled +
     # curate_corpus_ppl
-    "webm_metadata",
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
     "winnow_fingerprints",
@@ -118,6 +120,7 @@ LOAD_BEARING = [
     "semantic_decontaminate",
     "train_kn_lm",
     "kn_doc_scores",
+    "decontamination_report",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -83,12 +83,13 @@ def test_hybrid_catalog_entry_invariants(spark):
     per_q = {}
     for r in rows:
         per_q.setdefault(r["query_id"], []).append(r)
-        # every fused row was retrieved by at least one arm, never a
-        # self-hit, and carries the sum of its arms' contributions
-        assert r["lex_rk"] is not None or r["dense_rk"] is not None
+        # every fused row was retrieved by at least one arm (catalog
+        # convention: rank 0 = not retrieved, no NULL columns), never
+        # a self-hit, and carries the sum of its arms' contributions
+        assert r["lex_rk"] > 0 or r["dense_rk"] > 0
         assert r["neighbor_id"] != r["query_id"]
         expect = sum(
-            _rrf(r[c]) for c in ("lex_rk", "dense_rk") if r[c] is not None
+            _rrf(r[c]) for c in ("lex_rk", "dense_rk") if r[c] > 0
         )
         assert r["rrf_micro"] == expect
     for q, rs in per_q.items():

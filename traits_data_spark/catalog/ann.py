@@ -8,6 +8,7 @@ from traits_data_spark.catalog._shared import (
     SparkSession,
     Window,
     _H60,
+    _NORM,
     _hyperplanes,
     _t,
     ann_recall,
@@ -2000,8 +2001,19 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         k=HYBRID_POOL,
     ).select("query_id", "neighbor_id", "rk")
-    return rrf_fuse(
+    fused = rrf_fuse(
         {"lex": lex, "dense": dense}, k=HYBRID_K, rrf_k=HYBRID_RRF_K0
+    )
+    # catalog outputs avoid NULL columns (cross-engine NULL ordering /
+    # hashing differs); rank 0 = "not retrieved by this arm"
+    zero = F.lit(0).cast("long")
+    return fused.select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce("lex_rk", zero).alias("lex_rk"),
+        F.coalesce("dense_rk", zero).alias("dense_rk"),
+        "rrf_micro",
+        "rk",
     )
 
 
@@ -2049,9 +2061,10 @@ u AS (
 ),
 f AS (
   SELECT query_id, neighbor_id,
-         CAST(MAX(CASE WHEN run = 'lex' THEN rk END) AS BIGINT) AS lex_rk,
-         CAST(MAX(CASE WHEN run = 'dense' THEN rk END) AS BIGINT)
-           AS dense_rk,
+         COALESCE(CAST(MAX(CASE WHEN run = 'lex' THEN rk END) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS lex_rk,
+         COALESCE(CAST(MAX(CASE WHEN run = 'dense' THEN rk END) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS dense_rk,
          CAST(SUM(CAST(ROUND(1000000.0 / ({HYBRID_RRF_K0} + rk), 0)
                        AS BIGINT)) AS BIGINT) AS rrf_micro
   FROM u GROUP BY 1, 2
@@ -2143,4 +2156,155 @@ flagged AS (
   FROM p WHERE cosine >= {SEM_DECON_THRESHOLD}
 )
 SELECT vec_id, eval_id, cosine, n_matches FROM flagged WHERE rk = 1
+"""
+
+
+def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row decontamination datasheet against the src0 benchmark:
+    the three detection channels a production decon pass layers —
+    exact content-hash (verbatim benchmark copies), word-5-gram
+    overlap (the GPT-3/PaLM n-gram rule, ``decontaminate``'s config),
+    and embedding cosine (``semantic_decontaminate``'s config,
+    paraphrase leakage n-grams miss) — run against the SAME benchmark
+    slice, with per-channel flagged counts, how much of each channel
+    is corroborated by another, the union, and the multi-channel
+    core. The decision artifact for picking a decon config: exact ⊆
+    ngram by construction (identical text shares every n-gram), while
+    semantic-only rows are the recall the n-gram rule forfeits. Scale
+    shape: all three channels keep the corpus map-side (broadcast
+    benchmark hashes / n-grams / bucket index), the report aggregates
+    a contamination-rate-sized union of flagged ids — one tiny
+    groupBy + one-row agg on top of the three attested channels."""
+    from traits_data_spark.catalog.dedup import (
+        DECON_BENCH_SOURCE,
+        DECON_N,
+    )
+    from traits_data_spark.operators.dedup import (
+        ngram_decontaminate,
+        normalized_text,
+    )
+    from traits_data_spark.functions.scalars import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == DECON_BENCH_SOURCE)
+    corpus = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+
+    ng = ngram_decontaminate(
+        corpus, bench, "text", "doc_id", "doc_id", n=DECON_N
+    ).select(F.col("id"))
+    bh = bench.select(
+        portable_hash64(normalized_text("text")).alias("__h")
+    ).distinct()
+    eh = (
+        corpus.select(
+            "doc_id", portable_hash64(normalized_text("text")).alias("__h")
+        )
+        .join(F.broadcast(bh), "__h")
+        .select(F.col("doc_id").alias("id"))
+        .distinct()
+    )
+    sem = q_semantic_decontaminate(spark, sf_dir).select(
+        F.col("vec_id").alias("id")
+    )
+    flags = (
+        ng.select("id", F.lit("ngram").alias("m"))
+        .unionByName(eh.select("id", F.lit("exact_hash").alias("m")))
+        .unionByName(sem.select("id", F.lit("semantic").alias("m")))
+    )
+    per = flags.groupBy("id").agg(
+        F.max(F.when(F.col("m") == "ngram", 1).otherwise(0)).alias("f_ng"),
+        F.max(F.when(F.col("m") == "exact_hash", 1).otherwise(0)).alias(
+            "f_eh"
+        ),
+        F.max(F.when(F.col("m") == "semantic", 1).otherwise(0)).alias(
+            "f_se"
+        ),
+    ).withColumn(
+        "nm", F.col("f_ng") + F.col("f_eh") + F.col("f_se")
+    )
+    multi = (F.col("nm") >= 2).cast("int")
+    return per.agg(
+        F.sum("f_ng").cast("long").alias("ngram_flagged"),
+        F.sum(F.col("f_ng") * multi).cast("long").alias("ngram_multi"),
+        F.sum("f_eh").cast("long").alias("exact_flagged"),
+        F.sum(F.col("f_eh") * multi).cast("long").alias("exact_multi"),
+        F.sum("f_se").cast("long").alias("semantic_flagged"),
+        F.sum(F.col("f_se") * multi).cast("long").alias("semantic_multi"),
+        F.count(F.lit(1)).cast("long").alias("any_flagged"),
+        F.sum(multi).cast("long").alias("multi_flagged"),
+    )
+
+
+def _decontamination_report_sql() -> str:
+    from traits_data_spark.catalog.dedup import (
+        DECON_BENCH_SOURCE,
+        DECON_N,
+        _ngrams_sql,
+    )
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split({_NORM}, ' '), t -> length(t) > 0) AS wl
+  FROM documents
+),
+cg AS (
+  SELECT doc_id AS id, unnest({_ngrams_sql(DECON_N)}) AS gram
+  FROM w WHERE source <> '{DECON_BENCH_SOURCE}'
+),
+bg AS (
+  SELECT DISTINCT unnest({_ngrams_sql(DECON_N)}) AS gram
+  FROM w WHERE source = '{DECON_BENCH_SOURCE}'
+),
+ng AS (SELECT DISTINCT id FROM cg JOIN bg USING (gram)),
+bh AS (
+  SELECT DISTINCT {_H60.format(x=_NORM)} AS h
+  FROM documents WHERE source = '{DECON_BENCH_SOURCE}'
+),
+eh AS (
+  SELECT DISTINCT doc_id AS id
+  FROM (SELECT doc_id, {_H60.format(x=_NORM)} AS h
+        FROM documents WHERE source <> '{DECON_BENCH_SOURCE}')
+  JOIN bh USING (h)
+),
+e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+             {_bucket_sql('embedding::DOUBLE[]', NEAR_DUP_PLANES)} AS bucket
+      FROM embeddings),
+sbench AS (SELECT doc_id FROM documents
+           WHERE source = '{DECON_BENCH_SOURCE}'),
+sev AS (SELECT e.vid, e.v, e.bucket
+        FROM e JOIN sbench ON e.vid = sbench.doc_id),
+str_ AS (SELECT e.* FROM e
+         WHERE e.vid NOT IN (SELECT doc_id FROM sbench)),
+sem AS (
+  SELECT DISTINCT str_.vid AS id
+  FROM str_ JOIN sev USING (bucket)
+  WHERE round(list_dot_product(str_.v, sev.v)
+              / (sqrt(list_dot_product(str_.v, str_.v))
+                 * sqrt(list_dot_product(sev.v, sev.v))), 6)
+        >= {SEM_DECON_THRESHOLD}
+),
+flags AS (
+  SELECT id, 'ngram' AS m FROM ng
+  UNION ALL SELECT id, 'exact_hash' AS m FROM eh
+  UNION ALL SELECT id, 'semantic' AS m FROM sem
+),
+per AS (
+  SELECT id,
+         MAX(CASE WHEN m = 'ngram' THEN 1 ELSE 0 END) AS f_ng,
+         MAX(CASE WHEN m = 'exact_hash' THEN 1 ELSE 0 END) AS f_eh,
+         MAX(CASE WHEN m = 'semantic' THEN 1 ELSE 0 END) AS f_se
+  FROM flags GROUP BY id
+),
+pm AS (SELECT *, CASE WHEN f_ng + f_eh + f_se >= 2 THEN 1 ELSE 0 END AS mu
+       FROM per)
+SELECT CAST(SUM(f_ng) AS BIGINT) AS ngram_flagged,
+       CAST(SUM(f_ng * mu) AS BIGINT) AS ngram_multi,
+       CAST(SUM(f_eh) AS BIGINT) AS exact_flagged,
+       CAST(SUM(f_eh * mu) AS BIGINT) AS exact_multi,
+       CAST(SUM(f_se) AS BIGINT) AS semantic_flagged,
+       CAST(SUM(f_se * mu) AS BIGINT) AS semantic_multi,
+       CAST(COUNT(*) AS BIGINT) AS any_flagged,
+       CAST(SUM(mu) AS BIGINT) AS multi_flagged
+FROM pm
 """
