@@ -559,3 +559,140 @@ def test_bloom_decontaminate_always_matches_exact(
         ).collect()
     }
     assert got == want
+
+
+def _ref_kn(docs, max_word_len=32):
+    """Pure-Python interpolated-KN reference with exact Fractions.
+    Returns {(u, w): Fraction} plus the (dn, dd, nbb) globals."""
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    counts = Counter()
+    for text in docs:
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if 0 < len(w) <= max_word_len
+        ]
+        seq = ["<s>"] + words
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    if not counts:
+        return {}, (3, 4, 0)
+    n1 = sum(1 for c in counts.values() if c == 1)
+    n2 = sum(1 for c in counts.values() if c == 2)
+    dn, dd = (n1, n1 + 2 * n2) if n1 + 2 * n2 > 0 else (3, 4)
+    nbb = len(counts)
+    n_u = Counter()
+    n1u = Counter()
+    ncw = Counter()
+    for (u, w), c in counts.items():
+        n_u[u] += c
+        n1u[u] += 1
+        ncw[w] += 1
+    model = {
+        (u, w): Fraction(
+            max(c * dd - dn, 0) * nbb + dn * n1u[u] * ncw[w],
+            n_u[u] * dd * nbb,
+        )
+        for (u, w), c in counts.items()
+    }
+    return model, (dn, dd, nbb)
+
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@_settings
+def test_train_kn_lm_matches_fraction_reference(spark, docs):
+    """Randomized corpora: every trained probability equals the exact
+    Fraction reference rounded to 9 dp, and each seen context's full
+    vocabulary mass (discounted seen terms + continuation share of
+    EVERY vocab word) is exactly 1."""
+    from fractions import Fraction
+
+    from traits_data_spark.operators.text import train_kn_lm
+
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    rows = train_kn_lm(df).collect()
+    ref, (dn, dd, nbb) = _ref_kn(docs)
+    got = {(r["u"], r["w"]): r for r in rows}
+    assert set(got) == set(ref)
+    for k, frac in ref.items():
+        assert got[k]["p"] == round(float(frac), 9), (k, docs)
+    if not ref:
+        return
+    # exact unit mass per context over the full vocab
+    vocab_ncw = {}
+    for (u, w), r in got.items():
+        vocab_ncw[w] = r["ncw"]
+    total_cont = Fraction(sum(vocab_ncw.values()), nbb)
+    assert total_cont == 1
+    by_u = {}
+    for (u, w), r in got.items():
+        by_u.setdefault(u, []).append(r)
+    for u, rs in by_u.items():
+        n_u, n1u = rs[0]["n_u"], rs[0]["n1u"]
+        seen = sum(
+            Fraction(max(r["n_uw"] * dd - dn, 0), n_u * dd) for r in rs
+        )
+        cont_all = Fraction(dn * n1u, n_u * dd) * total_cont
+        assert seen + cont_all == 1, (u, docs)
+
+
+@given(
+    pools=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),   # query
+                st.integers(min_value=10, max_value=19),  # neighbor
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@_settings
+def test_rrf_fuse_matches_python_reference(spark, pools):
+    """Randomized ranked pools: fused micro scores and the final
+    per-query ranking match a pure-Python RRF reference; run-name
+    order never changes the result."""
+    from traits_data_spark.operators.fusion import rrf_fuse
+
+    runs = {}
+    ref_contrib = {}
+    for i, pool in enumerate(pools):
+        # derive 1-based ranks per query from list order
+        seen = {}
+        rows = []
+        for q, nb in pool:
+            rk = seen.get(q, 0) + 1
+            seen[q] = rk
+            rows.append((q, nb, rk))
+            ref_contrib.setdefault((q, nb), 0)
+            ref_contrib[(q, nb)] += round(1_000_000.0 / (60 + rk))
+        runs[f"run{i}"] = spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rk long"
+        )
+    out = rrf_fuse(runs, k=100).collect()
+    got = {(r["query_id"], r["neighbor_id"]): r["rrf_micro"] for r in out}
+    assert got == ref_contrib
+    # rank order: rrf desc, neighbor asc per query
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        expect = sorted(rs, key=lambda r: (-r["rrf_micro"], r["neighbor_id"]))
+        assert [r["neighbor_id"] for r in sorted(rs, key=lambda r: r["rk"])] \
+            == [r["neighbor_id"] for r in expect]
+    # permutation invariance of run order (names differ, scores equal)
+    rev = {f"x{i}": df for i, (n, df) in enumerate(reversed(runs.items()))}
+    out2 = rrf_fuse(rev, k=100).collect()
+    got2 = {(r["query_id"], r["neighbor_id"]): r["rrf_micro"] for r in out2}
+    assert got2 == ref_contrib
