@@ -64,6 +64,29 @@ def test_rrf_fuse_tie_breaks_on_neighbor_id(spark):
     assert out[0]["rrf_micro"] == out[1]["rrf_micro"]
 
 
+def test_rrf_fuse_weights(spark):
+    """Weighted RRF: an integer per-run boost multiplies the rounded
+    micro contribution exactly, and can flip the fused order."""
+    import pytest as _pytest
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)],
+        "query_id long, neighbor_id long, rk long",
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 10, 2)],
+        "query_id long, neighbor_id long, rk long",
+    )
+    out = rrf_fuse({"a": a, "b": b}, k=2, weights={"b": 3}).collect()
+    rows = {r["neighbor_id"]: r for r in out}
+    assert rows[20]["rrf_micro"] == _rrf(2) + 3 * _rrf(1)
+    assert rows[10]["rrf_micro"] == _rrf(1) + 3 * _rrf(2)
+    # run b dominates: its rank-1 doc (20) wins the fused ranking
+    assert rows[20]["rk"] == 1 and rows[10]["rk"] == 2
+    with _pytest.raises(ValueError):
+        rrf_fuse({"a": a}, weights={"a": -1})
+
+
 def test_rrf_fuse_k_cut_and_empty_runs(spark):
     lex = spark.createDataFrame(
         [(1, i, i) for i in range(1, 8)],

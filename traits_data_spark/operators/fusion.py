@@ -48,6 +48,7 @@ def rrf_fuse(
     query_col: str = "query_id",
     id_col: str = "neighbor_id",
     rank_col: str = "rk",
+    weights: Mapping[str, int] | None = None,
 ) -> DataFrame:
     """Fuse named per-query ranked pools into one RRF-ranked top-k.
 
@@ -57,16 +58,26 @@ def rrf_fuse(
     did not retrieve the document), ``rrf_micro`` (the fused score in
     integer micro-units), and the fused 1-based ``rk`` (ties broken by
     ``neighbor_id`` for determinism), cut at ``k``.
+
+    ``weights`` (optional, INTEGER per run name — the serving-layer
+    "boost the dense arm 2x" knob, ES/Vespa hybrid-search style)
+    multiplies each run's micro contribution AFTER rounding, so the
+    fused score stays an exact BIGINT sum; missing names weigh 1.
     """
     if not runs:
         raise ValueError("rrf_fuse needs at least one run")
     names = list(runs)
+    w = dict(weights or {})
+    bad = [n for n, x in w.items() if not isinstance(x, int) or x < 0]
+    if bad:
+        raise ValueError(f"weights must be non-negative ints: {bad}")
     tagged = [
         df.select(
             F.col(query_col).alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
             F.col(rank_col).cast("long").alias("__rk"),
             F.lit(name).alias("__run"),
+            F.lit(int(w.get(name, 1))).cast("long").alias("__w"),
         )
         for name, df in runs.items()
     ]
@@ -75,7 +86,8 @@ def rrf_fuse(
         "__c",
         F.round(F.lit(RRF_MICRO) / (F.lit(rrf_k) + F.col("__rk")), 0).cast(
             "long"
-        ),
+        )
+        * F.col("__w"),
     )
     fused = contrib.groupBy("query_id", "neighbor_id").agg(
         *[
