@@ -184,6 +184,8 @@ BENCH_QUERIES = FLAGSHIPS + [
     "train_kn_lm",
     "kn_doc_scores",
     "decontamination_report",
+    "hybrid_topk_weighted",
+    "curriculum_shards",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -220,3 +220,48 @@ def test_semantic_decontaminate_catalog_matches_bruteforce(spark):
             expect[t["vec_id"]] = (best[1], len(ms))
     got = {r["vec_id"]: (r["eval_id"], r["n_matches"]) for r in out}
     assert got == expect
+
+
+def test_hybrid_weighted_catalog_invariants(spark):
+    """The dense-boosted entry: every fused score equals the lexical
+    reciprocal term plus HYBRID_W_DENSE x the dense term."""
+    from traits_data_spark.catalog.ann import (
+        HYBRID_W_DENSE,
+        q_hybrid_topk_weighted,
+    )
+
+    rows = q_hybrid_topk_weighted(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = 0
+        if r["lex_rk"] > 0:
+            expect += _rrf(r["lex_rk"])
+        if r["dense_rk"] > 0:
+            expect += HYBRID_W_DENSE * _rrf(r["dense_rk"])
+        assert r["rrf_micro"] == expect
+
+
+def test_curriculum_shards_invariants(spark):
+    """Curriculum layout: shard sizes exactly even (max diff 1) and
+    difficulty is monotone ACROSS shard boundaries — no document in a
+    later shard is easier than any document in an earlier one beyond
+    the single band a chunk boundary may split."""
+    from traits_data_spark.catalog.text import (
+        CURRICULUM_SHARDS,
+        q_curriculum_shards,
+    )
+
+    rows = q_curriculum_shards(spark, SF_DIR).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(
+            r["bits_per_bigram_q20"]
+        )
+    sizes = [len(v) for _, v in sorted(by_shard.items())]
+    assert max(sizes) - min(sizes) <= 1
+    assert len(by_shard) <= CURRICULUM_SHARDS
+    shards = sorted(by_shard)
+    for a, b in zip(shards, shards[1:]):
+        # a band can straddle the boundary, but order never inverts
+        assert max(by_shard[a]) <= min(by_shard[b])

@@ -2017,9 +2017,19 @@ def q_hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_rrf_sql() -> str:
+def _hybrid_rrf_sql(wl: int = 1, wd: int = 1) -> str:
     from traits_data_spark.catalog.text import BM25_CHAMPION_N, _bm25_sql
 
+    # weighted form multiplies each run's rounded micro term AFTER
+    # rounding (exact BIGINT), mirroring rrf_fuse(weights=); the
+    # unweighted default emits the original text unchanged
+    contrib = "CAST(ROUND(1000000.0 / ({k0} + rk), 0) AS BIGINT)".format(
+        k0=HYBRID_RRF_K0
+    )
+    if (wl, wd) != (1, 1):
+        contrib += (
+            f" * CASE WHEN run = 'lex' THEN {int(wl)} ELSE {int(wd)} END"
+        )
     return f"""
 WITH lexpool AS (
   SELECT query_id, neighbor_id, score_micro
@@ -2065,8 +2075,7 @@ f AS (
                   CAST(0 AS BIGINT)) AS lex_rk,
          COALESCE(CAST(MAX(CASE WHEN run = 'dense' THEN rk END) AS BIGINT),
                   CAST(0 AS BIGINT)) AS dense_rk,
-         CAST(SUM(CAST(ROUND(1000000.0 / ({HYBRID_RRF_K0} + rk), 0)
-                       AS BIGINT)) AS BIGINT) AS rrf_micro
+         CAST(SUM({contrib}) AS BIGINT) AS rrf_micro
   FROM u GROUP BY 1, 2
 ),
 r AS (
@@ -2308,3 +2317,67 @@ SELECT CAST(SUM(f_ng) AS BIGINT) AS ngram_flagged,
        CAST(SUM(mu) AS BIGINT) AS multi_flagged
 FROM pm
 """
+
+
+HYBRID_W_DENSE = 2
+
+
+def q_hybrid_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted hybrid retrieval (``rrf_fuse(weights=)``): same arms
+    as ``hybrid_topk_rrf`` with the dense arm boosted 2× — the
+    serving-layer knob for a corpus whose embeddings are trusted over
+    its lexical surface (ES/Vespa hybrid-search weighting). The boost
+    is an integer multiplier applied AFTER the micro rounding, so the
+    fused score stays an exact BIGINT and the oracle replays it with
+    one CASE multiplier."""
+    from traits_data_spark.catalog.text import (
+        BM25_B,
+        BM25_CHAMPION_N,
+        BM25_K1,
+    )
+    from traits_data_spark.operators.fusion import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q_docs = docs.filter(F.expr(_HYBRID_QUERY_PRED))
+    lex = bm25_topk(
+        docs,
+        q_docs,
+        k=HYBRID_POOL + 1,
+        k1=BM25_K1,
+        b=BM25_B,
+        champion_n=BM25_CHAMPION_N,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("neighbor_id").asc()
+    )
+    lex = (
+        lex.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HYBRID_POOL)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = cosine_topk_bruteforce(
+        emb,
+        emb.filter(F.expr("vec_id % 50 = 0")),
+        id_col="vec_id",
+        k=HYBRID_POOL,
+    ).select("query_id", "neighbor_id", "rk")
+    fused = rrf_fuse(
+        {"lex": lex, "dense": dense},
+        k=HYBRID_K,
+        rrf_k=HYBRID_RRF_K0,
+        weights={"dense": HYBRID_W_DENSE},
+    )
+    zero = F.lit(0).cast("long")
+    return fused.select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce("lex_rk", zero).alias("lex_rk"),
+        F.coalesce("dense_rk", zero).alias("dense_rk"),
+        "rrf_micro",
+        "rk",
+    )
+
+
+def _hybrid_weighted_sql() -> str:
+    return _hybrid_rrf_sql(wl=1, wd=HYBRID_W_DENSE)

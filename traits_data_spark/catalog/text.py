@@ -981,10 +981,15 @@ def q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
 
 
-def _kn_doc_scores_sql() -> str:
+def _kn_score_ctes() -> str:
+    """The KN train-then-score chain as CTEs ending in
+    ``kscore(doc_id, n_bigrams, nll_q20, bits_per_bigram_q20)`` —
+    shared by the ``kn_doc_scores`` oracle and every downstream
+    consumer (``curriculum_shards``), so the scoring replay can never
+    diverge between them. Needs ``WITH RECURSIVE`` (the ilog2 digit
+    recurrence)."""
     return (
-        "WITH RECURSIVE "
-        + _KN_CTES
+        _KN_CTES
         + """,
 mo AS MATERIALIZED (
   SELECT u || ' ' || w AS bk, u, w, p_num, p_den FROM kmodel
@@ -1003,14 +1008,71 @@ db AS (
            unnest([{'u': ws[k], 'w': ws[k+1]} for k in range(1, len(ws))])
              AS bg
     FROM t)
-)
-SELECT db.doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(m.bits_q20) AS BIGINT) AS nll_q20,
-       CAST(CAST(sum(m.bits_q20) AS BIGINT)
-            // CAST(count(*) AS BIGINT) AS BIGINT) AS bits_per_bigram_q20
-FROM db JOIN mbits m USING (u, w)
-GROUP BY db.doc_id
+),
+kscore AS (
+  SELECT db.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(m.bits_q20) AS BIGINT) AS nll_q20,
+         CAST(CAST(sum(m.bits_q20) AS BIGINT)
+              // CAST(count(*) AS BIGINT) AS BIGINT)
+           AS bits_per_bigram_q20
+  FROM db JOIN mbits m USING (u, w)
+  GROUP BY db.doc_id
+)"""
+    )
+
+
+def _kn_doc_scores_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _kn_score_ctes()
+        + """
+SELECT doc_id, n_bigrams, nll_q20, bits_per_bigram_q20 FROM kscore
+"""
+    )
+
+
+CURRICULUM_SHARDS = 8
+
+
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data layout (``kn_doc_scores`` ∘
+    ``layout.balanced_shards``): order the corpus easy→hard by the
+    in-plan-trained KN perplexity (Q20 bits/bigram — low = fluent =
+    early curriculum) and chunk that order into exactly-even
+    contiguous shards, so a curriculum sampler consumes shard 0
+    first and shard sizes stay write-friendly. NO corpus-wide total
+    order in the plan: the difficulty band (the integer Q20 score)
+    plays ``balanced_shards``' cluster role — per-band counts
+    cumulative-sum into offsets, rows rank within their band, and the
+    shard is integer chunk arithmetic (Bengio et al. 2009 curriculum
+    practice, laid out with the ``sampled_quantiles`` no-total-order
+    discipline)."""
+    from traits_data_spark.operators.layout import balanced_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = kn_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+    return balanced_shards(
+        scores.select("doc_id", "bits_per_bigram_q20"),
+        "doc_id",
+        "bits_per_bigram_q20",
+        CURRICULUM_SHARDS,
+    ).select("doc_id", "bits_per_bigram_q20", "shard")
+
+
+def _curriculum_shards_sql() -> str:
+    from traits_data_spark.catalog.ann import _bshard_layout_ctes
+
+    return (
+        "WITH RECURSIVE "
+        + _kn_score_ctes()
+        + """,
+casg AS (SELECT doc_id AS vec_id, bits_per_bigram_q20 AS cluster
+         FROM kscore)"""
+        + _bshard_layout_ctes("casg", str(CURRICULUM_SHARDS), "cu")
+        + """
+SELECT vec_id AS doc_id, cluster AS bits_per_bigram_q20, shard
+FROM cubshard
 """
     )
 
