@@ -186,6 +186,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "decontamination_report",
     "hybrid_topk_weighted",
     "curriculum_shards",
+    "source_diversity",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

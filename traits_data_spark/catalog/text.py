@@ -1974,3 +1974,179 @@ SELECT doc_id,
   {_H60.format(x="lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))")} AS fingerprint
 FROM documents
 """
+
+
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity datasheet — the corpus-quality
+    report a data buyer reads next to ``corpus_report``: type-token
+    ratio at unigram and bigram order (low TTR = templated/repetitive
+    source; the distinct-n diversity metric applied at corpus scale)
+    plus the summed per-doc character entropy (each doc's entropy is
+    the attested ``char_entropy`` BIGINT-exact chain, re-quantized to
+    1e-4 so the per-source sum crosses engines exactly). Ratios are
+    integer ppm with a zero-total guard. Scale shape: every aggregate
+    is keyed by ``source`` (map-side combine into a tiny frame); the
+    distinct counts shuffle (source, gram) pairs, never documents;
+    the entropy chain is the attested per-doc shape."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    nt = normalized_text(F.col("text"), lowercase=True)
+    wl = F.filter(F.split(nt, " "), lambda x: F.length(x) > 0)
+    words = docs.select(
+        "source", F.explode(wl).alias("w")
+    )
+    uni = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_unigrams"),
+        F.countDistinct("w").cast("long").alias("distinct_unigrams"),
+    )
+    arr = F.col("__wl")
+    n = F.size(arr)
+    bi = (
+        docs.select("source", wl.alias("__wl"))
+        .select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, n - 1),
+                    F.slice(arr, 2, n - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_bigrams"),
+            F.countDistinct("bg").cast("long").alias("distinct_bigrams"),
+        )
+    )
+    ent = (
+        char_entropy(docs, id_col="doc_id", text_col="text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            F.round(F.col("char_entropy") * 1e4).cast("long").alias("__e4"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__e4").cast("long").alias("entropy_e4_sum"),
+        )
+    )
+
+    def ppm(d, t):
+        return (
+            F.when(F.col(t) > 0, (F.col(d) * F.lit(1_000_000)) / F.col(t))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return (
+        ent.join(uni, "source", "left")
+        .join(bi, "source", "left")
+        .na.fill(
+            0,
+            [
+                "total_unigrams",
+                "distinct_unigrams",
+                "total_bigrams",
+                "distinct_bigrams",
+            ],
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_unigrams",
+            "distinct_unigrams",
+            F.expr(
+                "CASE WHEN total_unigrams > 0 THEN "
+                "CAST(distinct_unigrams * 1000000 DIV total_unigrams "
+                "AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("unigram_ttr_ppm"),
+            "total_bigrams",
+            "distinct_bigrams",
+            F.expr(
+                "CASE WHEN total_bigrams > 0 THEN "
+                "CAST(distinct_bigrams * 1000000 DIV total_bigrams "
+                "AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("bigram_ttr_ppm"),
+            "entropy_e4_sum",
+            F.expr("CAST(entropy_e4_sum DIV n_docs AS BIGINT)").alias(
+                "mean_entropy_e4"
+            ),
+        )
+    )
+
+
+_SOURCE_DIVERSITY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, {_NORM} AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+wl AS (
+  SELECT doc_id, source,
+         list_filter(string_split(nt, ' '), x -> length(x) > 0) AS ws
+  FROM d
+),
+words AS (SELECT source, unnest(ws) AS w FROM wl),
+uni AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_unigrams,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS distinct_unigrams
+  FROM words GROUP BY source
+),
+bg AS (
+  SELECT source, unnest([ws[k] || ' ' || ws[k+1]
+                         for k in range(1, len(ws))]) AS b
+  FROM wl
+),
+bi AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_bigrams,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS distinct_bigrams
+  FROM bg GROUP BY source
+),
+chars AS (
+  SELECT doc_id, source,
+         unnest(string_split(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), '')) AS ch
+  FROM documents WHERE text IS NOT NULL
+),
+ccount AS (
+  SELECT doc_id, source, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM chars WHERE length(ch) > 0 GROUP BY 1, 2, 3
+),
+cterm AS (
+  SELECT doc_id, source,
+         CAST(ROUND(-(cnt::DOUBLE / tot::DOUBLE)
+                    * ln(cnt::DOUBLE / tot::DOUBLE) / ln(2.0::DOUBLE)
+                    * 1e9) AS BIGINT) AS term
+  FROM (SELECT *, SUM(cnt) OVER (PARTITION BY doc_id) AS tot FROM ccount)
+),
+edoc AS (
+  SELECT d.doc_id, d.source,
+         CAST(ROUND(ROUND(COALESCE(t.s, 0)::DOUBLE / 1e9, 4) * 1e4)
+              AS BIGINT) AS e4
+  FROM d LEFT JOIN (SELECT doc_id, CAST(SUM(term) AS BIGINT) AS s
+                    FROM cterm GROUP BY doc_id) t USING (doc_id)
+),
+ent AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(e4) AS BIGINT) AS entropy_e4_sum
+  FROM edoc GROUP BY source
+)
+SELECT e.source, e.n_docs,
+       COALESCE(u.total_unigrams, 0) AS total_unigrams,
+       COALESCE(u.distinct_unigrams, 0) AS distinct_unigrams,
+       CASE WHEN COALESCE(u.total_unigrams, 0) > 0
+            THEN CAST(u.distinct_unigrams * 1000000 // u.total_unigrams
+                      AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS unigram_ttr_ppm,
+       COALESCE(b.total_bigrams, 0) AS total_bigrams,
+       COALESCE(b.distinct_bigrams, 0) AS distinct_bigrams,
+       CASE WHEN COALESCE(b.total_bigrams, 0) > 0
+            THEN CAST(b.distinct_bigrams * 1000000 // b.total_bigrams
+                      AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS bigram_ttr_ppm,
+       e.entropy_e4_sum,
+       CAST(e.entropy_e4_sum // e.n_docs AS BIGINT) AS mean_entropy_e4
+FROM ent e LEFT JOIN uni u USING (source) LEFT JOIN bi b USING (source)
+"""
