@@ -1051,9 +1051,18 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from traits_data_spark.operators.layout import balanced_shards
 
     docs = _t(spark, sf_dir, "documents")
-    scores = kn_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+    # the layout consumes the score frame three times (band counts,
+    # within-band ranks, total) — persist it so the KN train+score
+    # chain runs once (the balanced_shards kmeans-persist precedent;
+    # without it the plan re-executes the chain per consumer: 15
+    # deduped scans vs 5, caught by the plan_audit MAX_SCANS gate)
+    scores = (
+        kn_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+        .select("doc_id", "bits_per_bigram_q20")
+        .persist()
+    )
     return balanced_shards(
-        scores.select("doc_id", "bits_per_bigram_q20"),
+        scores,
         "doc_id",
         "bits_per_bigram_q20",
         CURRICULUM_SHARDS,
