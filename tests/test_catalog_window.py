@@ -87,13 +87,11 @@ LOAD_BEARING = [
     # (driver-green rounds 10-12) to make room for train_kn_lm; the
     # unigram family stays in-window via unigram_train_tokens
     "ivfpq_topk",
-    # round-11 additions: must be driver-attested before rotating out
-    "pq_incremental_encode",
-    "bpe_train",
-    "bpe_train_tokens",
-    "train_bigram_lm",
-    "bm25_topk_champion",
-    "ridge_stats",
+    # round-11 cohort (pq_incremental_encode / bpe_train /
+    # bpe_train_tokens / train_bigram_lm / bm25_topk_champion /
+    # ridge_stats) rotated out round 14 — driver-green rounds 11-13 —
+    # to attest the round-13 below-window entries and reserve slots for
+    # the round-14 additions
     # scd2_merge / dsir_select / dsir_select_sampled / matryoshka_recall
     # rotated out round 12 (driver-green rounds 10 AND 11) to reserve
     # slots for the round-12 additions BEFORE adding them
@@ -121,6 +119,11 @@ LOAD_BEARING = [
     "train_kn_lm",
     "kn_doc_scores",
     "decontamination_report",
+    # round-14 rotations IN: the three round-13 below-window entries the
+    # driver never attested (judge spot-checked hash-match in r13)
+    "hybrid_topk_weighted",
+    "curriculum_shards",
+    "source_diversity",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -904,12 +904,20 @@ def test_bigram_counts_incremental_merge_parity(spark, documents):
     full = word_bigram_counts(docs)
     key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
     assert key(merged.collect()) == key(full.collect())
+    # counts= alone (no df): the no-text-touched contract — passing
+    # both is now a ValueError (round-13 advice)
     assert key(
-        train_kn_lm(docs, counts=merged).collect()
+        train_kn_lm(counts=merged).collect()
     ) == key(train_kn_lm(docs).collect())
     assert key(
-        train_bigram_lm(docs, counts=merged).collect()
+        train_bigram_lm(counts=merged).collect()
     ) == key(train_bigram_lm(docs).collect())
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        train_kn_lm(docs, counts=merged)
+    with pytest.raises(ValueError, match="needs df or counts"):
+        train_bigram_lm()
 
 
 def test_train_kn_lm_discount_fallback_and_scale_shape(spark):

@@ -13,14 +13,31 @@ red there would be noise, not signal (the round-7/8 finding).
 
 Usage:
     python tools/bench_compare.py [results] [anchor]
-Defaults: bench_results.json vs BENCH_ANCHOR_r13.json.
+Defaults: bench_results.json vs the newest non-retired
+BENCH_ANCHOR_r{N}.json.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
+
+
+def _latest_anchor(here: str) -> str:
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_ANCHOR_r*.json")):
+        name = os.path.basename(path)
+        if "retired" in name:
+            continue
+        m = re.match(r"BENCH_ANCHOR_r(\d+)\.json$", name)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = path, int(m.group(1))
+    if best is None:
+        raise SystemExit("bench_compare: no BENCH_ANCHOR_r*.json found")
+    return best
 
 LOAD_BAND = 2.0       # comparable-load window on load_start_1m
 RATIO_MAX = 2.0       # BASELINE.md "within 2x of the recorded anchor"
@@ -32,8 +49,8 @@ def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         here, "bench_results.json")
-    anc_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        here, "BENCH_ANCHOR_r13.json")
+    anc_path = sys.argv[2] if len(sys.argv) > 2 else _latest_anchor(here)
+    print(f"bench_compare: anchor {os.path.basename(anc_path)}")
     with open(res_path) as f:
         res = json.load(f)
     with open(anc_path) as f:

@@ -6,6 +6,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 
+echo "== doc counts =="
+python tools/check_counts.py
+
 echo "== pytest =="
 python -m pytest tests/ -q
 
@@ -15,8 +18,8 @@ python tools/oracle_check.py "$SF"
 echo "== plan audit (MAX_SCANS gate, $SF) =="
 python tools/plan_audit.py --exec "$SF"
 
-echo "== bench (sf0.1) =="
-python bench.py
+echo "== bench (sf0.1, load-gated) =="
+python tools/bench_gated.py
 
 echo "== bench vs anchor =="
 python tools/bench_compare.py

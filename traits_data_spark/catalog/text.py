@@ -2043,13 +2043,6 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def ppm(d, t):
-        return (
-            F.when(F.col(t) > 0, (F.col(d) * F.lit(1_000_000)) / F.col(t))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-
     return (
         ent.join(uni, "source", "left")
         .join(bi, "source", "left")

@@ -1742,7 +1742,7 @@ def merge_bigram_counts(*parts: DataFrame) -> DataFrame:
 
 
 def train_bigram_lm(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     max_word_len: int = 32,
     prob_dp: int = 9,
@@ -1767,9 +1767,18 @@ def train_bigram_lm(
     broadcast cross join. Pass ``counts=`` (a ``word_bigram_counts``-
     shaped table — e.g. a persisted index extended via
     ``merge_bigram_counts``) to re-derive the model without touching
-    corpus text."""
+    corpus text — ``df`` is then unused and may be omitted (passing
+    BOTH makes the no-text-touched contract ambiguous at call sites,
+    so exactly one of ``df``/``counts`` is required)."""
     if counts is None:
+        if df is None:
+            raise ValueError("train_bigram_lm needs df or counts")
         counts = word_bigram_counts(df, text_col, max_word_len)
+    elif df is not None:
+        raise ValueError(
+            "train_bigram_lm: pass df OR counts, not both — with "
+            "counts= the corpus text is never touched"
+        )
     ctx = counts.groupBy("u").agg(F.sum("n_uw").cast("long").alias("n_u"))
     # V = distinct target words + '<unk>' (targets only: '<s>' is a
     # context, never a prediction — mirrors build_word_lm.py's vocab)
@@ -1794,7 +1803,7 @@ def train_bigram_lm(
 
 
 def train_kn_lm(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     max_word_len: int = 32,
     prob_dp: int = 9,
@@ -1838,10 +1847,18 @@ def train_kn_lm(
     the continuation term is a product of positive counts). Pass
     ``counts=`` (a persisted ``word_bigram_counts`` index extended via
     ``merge_bigram_counts``) to re-derive the model without touching
-    corpus text.
+    corpus text — ``df`` is then unused and may be omitted (exactly
+    one of ``df``/``counts`` is required).
     """
     if counts is None:
+        if df is None:
+            raise ValueError("train_kn_lm needs df or counts")
         counts = word_bigram_counts(df, text_col, max_word_len)
+    elif df is not None:
+        raise ValueError(
+            "train_kn_lm: pass df OR counts, not both — with "
+            "counts= the corpus text is never touched"
+        )
     ctx = counts.groupBy("u").agg(
         F.sum("n_uw").cast("long").alias("n_u"),
         F.count(F.lit(1)).cast("long").alias("n1u"),
