@@ -187,6 +187,8 @@ BENCH_QUERIES = FLAGSHIPS + [
     "hybrid_topk_weighted",
     "curriculum_shards",
     "source_diversity",
+    # round 14: modified-KN trainer (KenLM's smoothing class)
+    "train_mkn_lm",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -643,6 +643,108 @@ def test_train_kn_lm_matches_fraction_reference(spark, docs):
         assert seen + cont_all == 1, (u, docs)
 
 
+def _ref_mkn(docs, max_word_len=32):
+    """Pure-Python MODIFIED-KN reference with exact Fractions:
+    three clamped integer-fraction discounts over the common
+    denominator n1*n2*n3*(n1+2*n2), interpolated-KN fallback when the
+    count-of-count chain breaks. Returns {(u, w): Fraction} plus the
+    ((d1, d2, d3, DD), nbb) globals."""
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    counts = Counter()
+    for text in docs:
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if 0 < len(w) <= max_word_len
+        ]
+        seq = ["<s>"] + words
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    if not counts:
+        return {}, ((3, 3, 3, 4), 0)
+    n = [0] * 5
+    for c in counts.values():
+        if c <= 4:
+            n[c] += 1
+    n1, n2, n3, n4 = n[1], n[2], n[3], n[4]
+    yd = n1 + 2 * n2
+    if n1 > 0 and n2 > 0 and n3 > 0:
+        DD = n1 * n2 * n3 * yd
+        clamp = lambda v, lvl: max(0, min(v, lvl * DD))  # noqa: E731
+        d1 = clamp((n1 * yd - 2 * n2 * n1) * n2 * n3, 1)
+        d2 = clamp((2 * n2 * yd - 3 * n3 * n1) * n1 * n3, 2)
+        d3 = clamp((3 * n3 * yd - 4 * n4 * n1) * n1 * n2, 3)
+    else:
+        d1 = d2 = d3 = n1 if yd > 0 else 3
+        DD = yd if yd > 0 else 4
+    nbb = len(counts)
+    n_u, nu, ncw = Counter(), {}, Counter()
+    for (u, w), c in counts.items():
+        n_u[u] += c
+        b = nu.setdefault(u, [0, 0, 0])
+        b[0 if c == 1 else 1 if c == 2 else 2] += 1
+        ncw[w] += 1
+    model = {}
+    for (u, w), c in counts.items():
+        d = d1 if c == 1 else d2 if c == 2 else d3
+        nu1, nu2, nu3p = nu[u]
+        model[(u, w)] = Fraction(
+            max(c * DD - d, 0) * nbb
+            + (d1 * nu1 + d2 * nu2 + d3 * nu3p) * ncw[w],
+            n_u[u] * DD * nbb,
+        )
+    return model, ((d1, d2, d3, DD), nbb)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@_settings
+def test_train_mkn_lm_matches_fraction_reference(spark, docs):
+    """Randomized corpora (mostly exercising the degenerate-fallback
+    path): every trained modified-KN probability equals the exact
+    Fraction reference rounded to 9 dp, and each seen context's full
+    vocabulary mass is exactly 1 — the clamped discounts make the
+    count term non-negative without breaking the unit-mass identity."""
+    from fractions import Fraction
+
+    from traits_data_spark.operators.text import train_mkn_lm
+
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    rows = train_mkn_lm(df).collect()
+    ref, ((d1, d2, d3, DD), nbb) = _ref_mkn(docs)
+    got = {(r["u"], r["w"]): r for r in rows}
+    assert set(got) == set(ref)
+    for k, frac in ref.items():
+        assert got[k]["p"] == round(float(frac), 9), (k, docs)
+    if not ref:
+        return
+    vocab_ncw = {}
+    for (u, w), r in got.items():
+        vocab_ncw[w] = r["ncw"]
+    total_cont = Fraction(sum(vocab_ncw.values()), nbb)
+    assert total_cont == 1
+    by_u = {}
+    for (u, w), r in got.items():
+        by_u.setdefault(u, []).append(r)
+    for u, rs in by_u.items():
+        n_u = rs[0]["n_u"]
+        nu1, nu2, nu3p = rs[0]["nu1"], rs[0]["nu2"], rs[0]["nu3p"]
+        dmap = {1: d1, 2: d2}
+        seen = sum(
+            Fraction(
+                r["n_uw"] * DD - dmap.get(r["n_uw"], d3), n_u * DD
+            )
+            for r in rs
+        )
+        cont_all = (
+            Fraction(d1 * nu1 + d2 * nu2 + d3 * nu3p, n_u * DD)
+            * total_cont
+        )
+        assert seen + cont_all == 1, (u, docs)
+
+
 @given(
     pools=st.lists(
         st.lists(

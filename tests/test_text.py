@@ -937,6 +937,65 @@ def test_train_kn_lm_discount_fallback_and_scale_shape(spark):
     assert got == round(float(expect), 9)
 
 
+def test_train_mkn_lm_hand_computed_healthy(spark):
+    """Engineered corpus with every count-of-count bucket populated
+    (n1=n2=n3=n4=2, nbb=8): Y=1/3 and the three discounts are the
+    DISTINCT textbook values D1=1/3, D2=1, D3+=5/3 — as integer
+    numerators 16/48/80 over DD=48 — so the healthy (non-fallback)
+    branch is pinned by hand-computed Fractions, not just the
+    randomized reference."""
+    from fractions import Fraction
+
+    from traits_data_spark.operators.text import train_mkn_lm
+
+    docs = spark.createDataFrame(
+        [("a b",)] * 1 + [("c d",)] * 2 + [("e f",)] * 3 + [("g h",)] * 4,
+        ["text"],
+    )
+    rows = {
+        (r["u"], r["w"]): r
+        for r in train_mkn_lm(docs, keep_ratio=True).collect()
+    }
+    assert len(rows) == 8
+    # (a,b): count 1 -> D1 numerator 16: p = ((48-16)*8 + 16*1)/384
+    r = rows[("a", "b")]
+    assert (r["p_num"], r["p_den"]) == (272, 384)
+    assert r["p"] == round(float(Fraction(272, 384)), 9)
+    # (e,f): count 3 -> D3+ numerator 80: p = ((144-80)*8 + 80*1)/1152
+    r = rows[("e", "f")]
+    assert (r["p_num"], r["p_den"]) == (592, 1152)
+    assert r["p"] == round(float(Fraction(592, 1152)), 9)
+    # unit mass over the full vocab for a singleton context
+    total_cont = Fraction(sum({w: rows[k]["ncw"] for k in rows
+                               for w in [k[1]]}.values()), 8)
+    assert total_cont == 1
+    seen = Fraction(144 - 80, 144)
+    gamma = Fraction(80, 144)
+    assert seen + gamma * total_cont == 1
+
+
+def test_train_mkn_lm_counts_path_and_contract(spark, documents):
+    """counts= re-derives the identical model with no text touched;
+    passing both df and counts (or neither) is a ValueError."""
+    import pytest
+
+    from traits_data_spark.operators.text import (
+        train_mkn_lm,
+        word_bigram_counts,
+    )
+
+    docs = documents.select("doc_id", "text").limit(80)
+    counts = word_bigram_counts(docs)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(train_mkn_lm(counts=counts).collect()) == key(
+        train_mkn_lm(docs).collect()
+    )
+    with pytest.raises(ValueError, match="not both"):
+        train_mkn_lm(docs, counts=counts)
+    with pytest.raises(ValueError, match="needs df or counts"):
+        train_mkn_lm()
+
+
 def test_bpe_train_tokens_hand_computed(spark):
     """'abab abab' / 'ab' corpus: merges learned are (a,b) then
     (ab,ab); 'abab' -> 1 token, 'ab' -> 1 token. Doc 1 has two words

@@ -117,6 +117,7 @@ from traits_data_spark.operators.text import (
     train_bigram_lm,
     kn_doc_scores,
     train_kn_lm,
+    train_mkn_lm,
     bpe_token_counts_table,
     load_bpe_merges,
     load_bpe_vocab,

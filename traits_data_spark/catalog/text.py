@@ -49,6 +49,7 @@ from traits_data_spark.catalog._shared import (
     train_bigram_lm,
     kn_doc_scores,
     train_kn_lm,
+    train_mkn_lm,
     unigram_token_counts,
     unigram_train,
     unigram_train_token_counts,
@@ -965,6 +966,97 @@ SELECT u, w, n_uw, n_u, n1u, ncw,
 FROM kmodel
 """
 )
+
+
+def q_train_mkn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MODIFIED Kneser-Ney word-bigram LM training
+    (``operators.text.train_mkn_lm``) — the exact smoothing class
+    KenLM (the published CCNet scorer) ships, with the three
+    count-dependent discounts D1/D2/D3+ estimated from the bigram
+    count-of-count statistics n1..n4 (Chen & Goodman 1998 §3). Each
+    discount is an integer fraction over the common denominator
+    ``n1*n2*n3*(n1+2*n2)``, clamped to its textbook ``[0, level]``
+    range, so every probability is ONE BIGINT ratio ending in a
+    single rounded IEEE division — hash-exact cross-engine, no libm.
+    Same scale shape as ``train_kn_lm``: one corpus bigram shuffle;
+    the count-of-count buckets, continuation counts, and the one-row
+    discount frame all derive from the vocab²-bounded bigram-type
+    table."""
+    docs = _t(spark, sf_dir, "documents")
+    return train_mkn_lm(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+
+
+_TRAIN_MKN_LM_SQL = f"""
+WITH d AS (
+  SELECT {_NORM} AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT list_prepend('<s>', list_filter(string_split(nt, ' '),
+             x -> length(x) > 0 AND length(x) <= {BPE_TRAIN_MAX_WORD_LEN}))
+         AS ws
+  FROM d
+),
+b AS (
+  SELECT unnest([{{'u': ws[k], 'w': ws[k+1]}} for k in range(1, len(ws))])
+         AS bg
+  FROM t
+),
+counts AS (
+  SELECT bg['u'] AS u, bg['w'] AS w, CAST(COUNT(*) AS BIGINT) AS n_uw
+  FROM b GROUP BY 1, 2
+),
+ctx AS (
+  SELECT u, CAST(SUM(n_uw) AS BIGINT) AS n_u,
+         CAST(SUM(CASE WHEN n_uw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+         CAST(SUM(CASE WHEN n_uw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+         CAST(SUM(CASE WHEN n_uw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nu3p
+  FROM counts GROUP BY u
+),
+pred AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ncw FROM counts GROUP BY w),
+g0 AS (
+  SELECT CAST(SUM(CASE WHEN n_uw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN n_uw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN n_uw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN n_uw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         CAST(COUNT(*) AS BIGINT) AS nbb
+  FROM counts
+),
+g1 AS (
+  SELECT *, CAST(n1 + 2 * n2 AS BIGINT) AS yd,
+         (n1 > 0 AND n2 > 0 AND n3 > 0) AS healthy,
+         CAST(n1 * n2 * n3 * (n1 + 2 * n2) AS BIGINT) AS bigdd
+  FROM g0
+),
+g AS (
+  SELECT
+    CASE WHEN healthy THEN LEAST(GREATEST(
+           CAST((n1 * yd - 2 * n2 * n1) * n2 * n3 AS BIGINT),
+           CAST(0 AS BIGINT)), CAST(1 AS BIGINT) * bigdd)
+         WHEN yd > 0 THEN n1 ELSE CAST(3 AS BIGINT) END AS d1,
+    CASE WHEN healthy THEN LEAST(GREATEST(
+           CAST((2 * n2 * yd - 3 * n3 * n1) * n1 * n3 AS BIGINT),
+           CAST(0 AS BIGINT)), CAST(2 AS BIGINT) * bigdd)
+         WHEN yd > 0 THEN n1 ELSE CAST(3 AS BIGINT) END AS d2,
+    CASE WHEN healthy THEN LEAST(GREATEST(
+           CAST((3 * n3 * yd - 4 * n4 * n1) * n1 * n2 AS BIGINT),
+           CAST(0 AS BIGINT)), CAST(3 AS BIGINT) * bigdd)
+         WHEN yd > 0 THEN n1 ELSE CAST(3 AS BIGINT) END AS d3,
+    CASE WHEN healthy THEN bigdd
+         WHEN yd > 0 THEN yd ELSE CAST(4 AS BIGINT) END AS dd,
+    nbb
+  FROM g1
+)
+SELECT c.u, c.w, c.n_uw, x.n_u, x.nu1, x.nu2, x.nu3p, p2.ncw,
+       round(CAST(GREATEST(c.n_uw * g.dd
+                    - CASE WHEN c.n_uw = 1 THEN g.d1
+                           WHEN c.n_uw = 2 THEN g.d2
+                           ELSE g.d3 END, CAST(0 AS BIGINT)) * g.nbb
+                  + (g.d1 * x.nu1 + g.d2 * x.nu2 + g.d3 * x.nu3p)
+                    * p2.ncw AS BIGINT)::DOUBLE
+             / CAST(x.n_u * g.dd * g.nbb AS BIGINT)::DOUBLE, 9) AS p
+FROM counts c JOIN ctx x USING (u) JOIN pred p2 USING (w) CROSS JOIN g
+"""
 
 
 def q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

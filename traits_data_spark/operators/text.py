@@ -1915,6 +1915,188 @@ def train_kn_lm(
     )
 
 
+def train_mkn_lm(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    prob_dp: int = 9,
+    keep_ratio: bool = False,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Train a MODIFIED Kneser-Ney word-bigram LM ON-CLUSTER — the
+    exact smoothing class KenLM (the published CCNet scorer) ships,
+    closing the last model-class gap past the single-discount
+    interpolated variant (``train_kn_lm``; Chen & Goodman 1998 §3,
+    Kneser & Ney 1995). Three count-dependent discounts estimated from
+    the count-of-count statistics n1..n4 (bigram types seen exactly
+    1..4 times), with ``Y = n1/(n1 + 2 n2)``::
+
+        D1  = 1 - 2 Y n2/n1    (applies when n_uw = 1)
+        D2  = 2 - 3 Y n3/n2    (applies when n_uw = 2)
+        D3+ = 3 - 4 Y n4/n3    (applies when n_uw >= 3)
+
+        P(w|u) = (n_uw - D(n_uw))/n_u + gamma(u) * ncw/Nbb
+        gamma(u) = (D1*nu1 + D2*nu2 + D3*nu3p)/n_u
+
+    where nu1/nu2/nu3p count the types in context u seen exactly
+    once/twice/three-plus times and ``ncw/Nbb`` is the usual
+    continuation distribution. Exactness: each discount is kept as an
+    integer fraction over the COMMON denominator
+    ``Dd = n1*n2*n3*(n1 + 2 n2)`` and clamped into its textbook range
+    ``[0, level]`` (``D1 in [0,1]``, ``D2 in [0,2]``, ``D3+ in
+    [0,3]`` — KenLM asserts the same bounds; the clamp also makes the
+    count term ``n_uw*Dd - d(n_uw)`` non-negative without a max(),
+    since ``n_uw >= level`` on each branch). The whole probability is
+    then ONE integer ratio::
+
+        p = ((n_uw*Dd - d(n_uw))*Nbb
+             + (d1*nu1 + d2*nu2 + d3*nu3p)*ncw) / (n_u*Dd*Nbb)
+
+    — every term a BIGINT (shuffle-order-free), one final IEEE
+    division rounded to ``prob_dp``. Summed over the full vocabulary
+    each context distributes exactly 1 (tested with
+    ``fractions.Fraction``). Degenerate corpora where the
+    count-of-count chain breaks (any of n1/n2/n3 = 0, so a discount
+    denominator vanishes) fall back to the single-discount
+    interpolated-KN estimate ``d1 = d2 = d3 = D`` with
+    ``D = n1/(n1+2 n2)`` (textbook 3/4 when even that is undefined) —
+    the same fallback ``train_kn_lm`` uses. Overflow note: ``Dd``
+    multiplies four type-count statistics, so the BIGINT boundary
+    arrives earlier than the single-discount trainer's — at web-corpus
+    scale (n1..n3 ~ 1e8) shard the model by context hash and train
+    per shard, or drop to the double form.
+
+    Scale shape: identical to ``train_kn_lm`` — ONE corpus-scale
+    shuffle (the bigram groupBy, map-side combine); context
+    count-of-count buckets, continuation counts, and the one-row
+    discount frame all derive from the vocab²-bounded bigram-type
+    table, never from a second corpus pass.
+
+    Output: ``(u, w, n_uw, n_u, nu1, nu2, nu3p, ncw, p)``; with
+    ``keep_ratio=True`` the exact BIGINT ``p_num``/``p_den`` ride
+    along (``p_num >= 1`` always: the continuation term is a product
+    of positive counts). Pass ``counts=`` (a persisted
+    ``word_bigram_counts`` index extended via ``merge_bigram_counts``)
+    to re-derive the model without touching corpus text — exactly one
+    of ``df``/``counts`` is required.
+    """
+    if counts is None:
+        if df is None:
+            raise ValueError("train_mkn_lm needs df or counts")
+        counts = word_bigram_counts(df, text_col, max_word_len)
+    elif df is not None:
+        raise ValueError(
+            "train_mkn_lm: pass df OR counts, not both — with "
+            "counts= the corpus text is never touched"
+        )
+    ctx = counts.groupBy("u").agg(
+        F.sum("n_uw").cast("long").alias("n_u"),
+        F.sum(F.when(F.col("n_uw") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nu1"),
+        F.sum(F.when(F.col("n_uw") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("nu2"),
+        F.sum(F.when(F.col("n_uw") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("nu3p"),
+    )
+    pred = counts.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw")
+    )
+    raw = counts.agg(
+        *[
+            F.sum(F.when(F.col("n_uw") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__n{k}")
+            for k in (1, 2, 3, 4)
+        ],
+        F.count(F.lit(1)).cast("long").alias("__nbb"),
+    )
+    healthy = (
+        (F.col("__n1") > 0) & (F.col("__n2") > 0) & (F.col("__n3") > 0)
+    )
+    yd = F.col("__n1") + 2 * F.col("__n2")
+    # common denominator and per-level numerators, clamped to [0, level]
+    big_dd = (F.col("__n1") * F.col("__n2") * F.col("__n3") * yd).cast(
+        "long"
+    )
+
+    def _clamp(expr, level):
+        return F.least(
+            F.greatest(expr, F.lit(0).cast("long")),
+            (F.lit(level) * big_dd).cast("long"),
+        )
+
+    d1_raw = (
+        (F.col("__n1") * yd - 2 * F.col("__n2") * F.col("__n1"))
+        * F.col("__n2")
+        * F.col("__n3")
+    ).cast("long")
+    d2_raw = (
+        (2 * F.col("__n2") * yd - 3 * F.col("__n3") * F.col("__n1"))
+        * F.col("__n1")
+        * F.col("__n3")
+    ).cast("long")
+    d3_raw = (
+        (3 * F.col("__n3") * yd - 4 * F.col("__n4") * F.col("__n1"))
+        * F.col("__n1")
+        * F.col("__n2")
+    ).cast("long")
+    # single-discount interpolated-KN fallback (train_kn_lm's estimate)
+    fb_dn = (
+        F.when(yd > 0, F.col("__n1")).otherwise(F.lit(3)).cast("long")
+    )
+    fb_dd = F.when(yd > 0, yd).otherwise(F.lit(4)).cast("long")
+    glob = raw.select(
+        F.when(healthy, _clamp(d1_raw, 1)).otherwise(fb_dn)
+        .cast("long")
+        .alias("__d1"),
+        F.when(healthy, _clamp(d2_raw, 2)).otherwise(fb_dn)
+        .cast("long")
+        .alias("__d2"),
+        F.when(healthy, _clamp(d3_raw, 3)).otherwise(fb_dn)
+        .cast("long")
+        .alias("__d3"),
+        F.when(healthy, big_dd).otherwise(fb_dd).cast("long").alias("__DD"),
+        "__nbb",
+    )
+    disc = (
+        F.when(F.col("n_uw") == 1, F.col("__d1"))
+        .when(F.col("n_uw") == 2, F.col("__d2"))
+        .otherwise(F.col("__d3"))
+    )
+    num = (
+        F.greatest(
+            F.col("n_uw") * F.col("__DD") - disc, F.lit(0).cast("long")
+        )
+        * F.col("__nbb")
+        + (
+            F.col("__d1") * F.col("nu1")
+            + F.col("__d2") * F.col("nu2")
+            + F.col("__d3") * F.col("nu3p")
+        )
+        * F.col("ncw")
+    ).cast("long")
+    den = (F.col("n_u") * F.col("__DD") * F.col("__nbb")).cast("long")
+    cols = ["u", "w", "n_uw", "n_u", "nu1", "nu2", "nu3p", "ncw"]
+    ratio = (
+        [num.alias("p_num"), den.alias("p_den")] if keep_ratio else []
+    )
+    return (
+        counts.join(ctx, "u")
+        .join(pred, "w")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            *cols,
+            *ratio,
+            F.round(
+                num.cast("double") / den.cast("double"), prob_dp
+            ).alias("p"),
+        )
+    )
+
+
 def kn_doc_scores(
     df: DataFrame,
     id_col: str = "doc_id",
