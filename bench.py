@@ -187,8 +187,10 @@ BENCH_QUERIES = FLAGSHIPS + [
     "hybrid_topk_weighted",
     "curriculum_shards",
     "source_diversity",
-    # round 14: modified-KN trainer (KenLM's smoothing class)
+    # round 14: modified-KN trainer (KenLM's smoothing class),
+    # add-mergeable DSIR count-index chain
     "train_mkn_lm",
+    "dsir_train_counts",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -266,3 +266,36 @@ def test_curate_dsir_gate_mechanics(spark, sf_dir):
     doc_col = out[0].__fields__[0]
     survivors = {getattr(r, doc_col) for r in out}
     assert survivors <= selected, sorted(survivors - selected)[:5]
+
+
+def test_dsir_counts_incremental_merge_parity(spark, documents):
+    """The add-mergeable DSIR count-index contract (the LM family's
+    word_bigram_counts discipline applied to selection): per-slice
+    dsir_counts merged by keyed sum equal counts over the union, and
+    dsir_train(counts=) re-derives the bit-identical model with no
+    text touched. Passing both df and counts (or neither) is a
+    ValueError."""
+    import pytest
+
+    from traits_data_spark.operators.selection import (
+        dsir_counts,
+        dsir_train,
+        merge_dsir_counts,
+    )
+
+    docs = documents.select("doc_id", "text", "lang").limit(300)
+    hist = docs.filter(F.pmod(F.col("doc_id"), 20) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), 20) == 10)
+    merged = merge_dsir_counts(dsir_counts(hist), dsir_counts(batch))
+    full = dsir_counts(docs)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(merged.collect()) == key(full.collect())
+    assert key(dsir_train(counts=merged).collect()) == key(
+        dsir_train(docs).collect()
+    )
+    with pytest.raises(ValueError, match="not both"):
+        dsir_train(docs, counts=merged)
+    with pytest.raises(ValueError, match="needs df or counts"):
+        dsir_train()
+    with pytest.raises(ValueError, match="at least one part"):
+        merge_dsir_counts()

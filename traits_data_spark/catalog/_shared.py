@@ -66,10 +66,12 @@ from traits_data_spark.operators.ratings import WeightsHierarchy
 from traits_data_spark.operators.selection import (
     DSIR_MODEL_PATH,
     N_BUCKETS as _DSIR_N_BUCKETS,
+    dsir_counts,
     dsir_select,
     dsir_select_sampled,
     dsir_train,
     load_dsir_model,
+    merge_dsir_counts,
 )
 from traits_data_spark.operators.sessions import sessionize
 from traits_data_spark.operators.similarity import (

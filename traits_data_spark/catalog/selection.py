@@ -14,9 +14,11 @@ from traits_data_spark.catalog._shared import (
     _t,
     chunk_documents,
     clean_corpus,
+    dsir_counts,
     dsir_select,
     dsir_select_sampled,
     dsir_train,
+    merge_dsir_counts,
     hash_split,
     name_search,
     load_dsir_model,
@@ -318,6 +320,31 @@ def q_dsir_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     )
     return dsir_train(docs)
+
+
+def q_dsir_train_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-index attestation for the DSIR trainer
+    (``operators.selection.dsir_counts`` / ``merge_dsir_counts`` /
+    ``dsir_train(counts=)``): the corpus is split into two ingest
+    slices IN-PLAN (even/odd doc-id halves of the held-out slice),
+    each slice produces its own sparse bucket-count table, the two
+    tables merge by keyed sum, and the model re-derives from the
+    merged ≤10k-row index WITHOUT touching corpus text — the
+    ``word_bigram_counts``/``merge_bigram_counts`` add-mergeable
+    index contract applied to the selection family. The output is
+    bit-identical to ``dsir_train`` on the full corpus, so the oracle
+    is the SAME recursive-CTE replay — the entry attests the
+    merge-equivalence end-to-end."""
+    docs = widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    # two ingest batches: holdout slice is doc_id % 10 == 0; split it
+    # by doc_id % 20 so each half flows through its own count stage
+    merged = merge_dsir_counts(
+        dsir_counts(docs.filter(F.pmod(F.col("doc_id"), 20) == 0)),
+        dsir_counts(docs.filter(F.pmod(F.col("doc_id"), 20) == 10)),
+    )
+    return dsir_train(counts=merged)
 
 
 def _dsir_train_ctes(where_extra: str = "") -> str:

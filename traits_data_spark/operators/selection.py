@@ -236,7 +236,7 @@ def dsir_select_sampled(
     )
 
 
-def dsir_train(
+def dsir_counts(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -244,6 +244,57 @@ def dsir_train(
     target_lang: str = "en",
     holdout_mod: int = 10,
     n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """SPARSE hashed-gram bucket counts ``(bucket, c_target, c_raw)``
+    over the held-out slice — the persistable DSIR count index
+    (round-13 verdict task 5: the LM family's add-mergeable
+    ``word_bigram_counts`` contract applied to the selection family).
+    Counts are ADD-MERGEABLE: ``merge_dsir_counts`` of per-slice
+    counts == counts over the union, so a nightly ingest extends a
+    persisted index from the new batch alone and ``dsir_train``
+    re-derives the model from the ≤n_buckets-row table — history text
+    is never re-tokenized. Only SEEN buckets are emitted (the dense
+    zero-filled spine is the trainer's job — a sparse index stays
+    merge-cheap)."""
+    sl = df.filter(
+        F.col(text_col).isNotNull()
+        & (F.pmod(F.col(id_col), F.lit(int(holdout_mod))) == 0)
+    )
+    feats = sl.select(
+        (F.col(lang_col) == target_lang).alias("__tgt"),
+        F.explode(word_grams(text_col)).alias("__g"),
+    ).select("__tgt", _bucket(F.col("__g"), n_buckets).alias("bucket"))
+    return feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_target"),
+        F.count(F.lit(1)).cast("long").alias("c_raw"),
+    )
+
+
+def merge_dsir_counts(*parts: DataFrame) -> DataFrame:
+    """Merge per-slice ``dsir_counts`` tables (union + keyed sum) —
+    one shuffle over ≤n_buckets-row count frames, never over text."""
+    if not parts:
+        raise ValueError("merge_dsir_counts needs at least one part")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("bucket").agg(
+        F.sum("c_target").cast("long").alias("c_target"),
+        F.sum("c_raw").cast("long").alias("c_raw"),
+    )
+
+
+def dsir_train(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    holdout_mod: int = 10,
+    n_buckets: int = N_BUCKETS,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Train the DSIR hashed-n-gram importance weights ON-CLUSTER —
     the in-plan replacement for the offline artifact builder
@@ -275,29 +326,32 @@ def dsir_train(
     integer log2 chains per row + two on the broadcast 1-row totals.
     Output: ``(bucket, c_target, c_raw, delta_q20)`` — ``n_buckets``
     rows, all BIGINT.
+
+    Pass ``counts=`` (a ``dsir_counts``-shaped sparse table — e.g. a
+    persisted index extended via ``merge_dsir_counts``) to re-derive
+    the model without touching corpus text; exactly one of
+    ``df``/``counts`` is required.
     """
     from traits_data_spark.functions.intmath import with_ilog2_q20
 
-    sl = df.filter(
-        F.col(text_col).isNotNull()
-        & (F.pmod(F.col(id_col), F.lit(int(holdout_mod))) == 0)
-    )
-    feats = sl.select(
-        (F.col(lang_col) == target_lang).alias("__tgt"),
-        F.explode(word_grams(text_col)).alias("__g"),
-    ).select("__tgt", _bucket(F.col("__g"), n_buckets).alias("bucket"))
-    counts = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
-        .cast("long")
-        .alias("c_target"),
-        F.count(F.lit(1)).cast("long").alias("c_raw"),
-    )
+    if counts is None:
+        if df is None:
+            raise ValueError("dsir_train needs df or counts")
+        counts = dsir_counts(
+            df, text_col, id_col, lang_col, target_lang,
+            holdout_mod, n_buckets,
+        )
+    elif df is not None:
+        raise ValueError(
+            "dsir_train: pass df OR counts, not both — with counts= "
+            "the corpus text is never touched"
+        )
     # persist the n_buckets-row dense count table: BOTH the totals
     # aggregate and the per-bucket scoring consume it, and without the
     # pin each consumer re-executes the corpus-sized gram explode —
     # a double corpus scan at 100 TB for a 10k-row frame
     dense = (
-        df.sparkSession.range(int(n_buckets))
+        counts.sparkSession.range(int(n_buckets))
         .select(F.col("id").alias("bucket"))
         .join(counts, "bucket", "left")
         .select(
