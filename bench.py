@@ -191,6 +191,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     # add-mergeable DSIR count-index chain
     "train_mkn_lm",
     "dsir_train_counts",
+    "curriculum_pack",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

@@ -127,6 +127,7 @@ LOAD_BEARING = [
     # round-14 additions: must be driver-attested before rotating out
     "train_mkn_lm",
     "dsir_train_counts",
+    "curriculum_pack",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -244,3 +244,39 @@ def test_pack_best_fit_bucketed_ids_globally_unique(spark):
         by_pack.setdefault(r["pack_id"], 0)
         by_pack[r["pack_id"]] += r["wt"]
     assert all(v <= 120 for v in by_pack.values())
+
+
+def test_curriculum_pack_invariants(spark, sf_dir):
+    """The curriculum->packing chain emits shard-prefixed pack keys
+    whose shard-local easy->hard order is consistent: within a shard,
+    pack index is non-decreasing along (difficulty, doc_id); every
+    pack except possibly the shard's last ends at-or-past the budget
+    (contiguous straddle-fill contract); and shard sizes stay
+    exactly-even (the balanced_shards guarantee)."""
+    from collections import defaultdict
+
+    from traits_data_spark.catalog.text import (
+        CURRICULUM_PACK_BUDGET,
+        CURRICULUM_SHARDS,
+        q_curriculum_pack,
+    )
+
+    rows = q_curriculum_pack(spark, sf_dir).collect()
+    assert rows
+    sizes = defaultdict(int)
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert r.pack_id.startswith(f"{r.shard}-")
+        sizes[r.shard] += 1
+        by_shard[r.shard].append(r)
+    assert set(sizes) == set(range(CURRICULUM_SHARDS))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.bits_per_bigram_q20, r.doc_id))
+        packs = [int(r.pack_id.split("-", 1)[1]) for r in rs]
+        assert packs == sorted(packs), shard
+        # replay the contiguous fill: pack == floor(cumsum_before/B)
+        cum = 0
+        for r, p in zip(rs, packs):
+            assert p == cum // CURRICULUM_PACK_BUDGET, (shard, r)
+            cum += r.n_bigrams

@@ -1178,6 +1178,88 @@ FROM cubshard
     )
 
 
+CURRICULUM_PACK_BUDGET = 2048
+
+
+def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum→packing chain flagship (round-13 verdict task 6):
+    the actual deployment artifact a curriculum trainer consumes.
+    ``kn_doc_scores`` ∘ ``layout.balanced_shards`` ∘
+    ``packing.pack_contiguous`` — score every document's difficulty
+    under the in-plan-trained KN LM (Q20 bits/bigram), chunk the
+    easy→hard order into exactly-even contiguous shards
+    (``curriculum_shards``' layout, no corpus-wide total order), then
+    pack WITHIN each shard by contiguous fill on the documents' token
+    weight (``n_bigrams``, budget {budget}): a row's pack is
+    ``floor(cumsum_before/budget)`` over the shard-local easy→hard
+    order, so shard 0's pack 0 is the first batch the sampler reads
+    and every pack averages the budget exactly.
+
+    Scale shape: the score frame is persisted once (the
+    ``curriculum_shards`` 15→5-scan precedent); the shard layout is
+    band-count arithmetic (no total order); the packing window
+    partitions by shard — parallel across shards, one extra
+    zero-shuffle projection since ``n_bigrams`` rides along from the
+    score frame (no join back). Output: ``(doc_id, n_bigrams,
+    bits_per_bigram_q20, shard, pack_id)`` with the
+    ``pack_contiguous`` shard-prefixed pack key.
+    """
+    from traits_data_spark.operators.layout import balanced_shards
+    from traits_data_spark.operators.packing import pack_contiguous
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = (
+        kn_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+        .select("doc_id", "n_bigrams", "bits_per_bigram_q20")
+        .persist()
+    )
+    sharded = balanced_shards(
+        scores, "doc_id", "bits_per_bigram_q20", CURRICULUM_SHARDS
+    )
+    return pack_contiguous(
+        sharded,
+        "n_bigrams",
+        order_by=[F.col("bits_per_bigram_q20"), F.col("doc_id")],
+        budget=CURRICULUM_PACK_BUDGET,
+        partition_cols=["shard"],
+    ).select(
+        "doc_id", "n_bigrams", "bits_per_bigram_q20", "shard", "pack_id"
+    )
+
+
+q_curriculum_pack.__doc__ = q_curriculum_pack.__doc__.format(
+    budget=CURRICULUM_PACK_BUDGET
+)
+
+
+def _curriculum_pack_sql() -> str:
+    from traits_data_spark.catalog.ann import _bshard_layout_ctes
+
+    return (
+        "WITH RECURSIVE "
+        + _kn_score_ctes()
+        + """,
+casg AS (SELECT doc_id AS vec_id, bits_per_bigram_q20 AS cluster
+         FROM kscore)"""
+        + _bshard_layout_ctes("casg", str(CURRICULUM_SHARDS), "cp")
+        + f""",
+cpk AS (
+  SELECT s.vec_id, s.cluster, s.shard, k.n_bigrams,
+         COALESCE(SUM(k.n_bigrams) OVER (
+             PARTITION BY s.shard ORDER BY s.cluster ASC, s.vec_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cb
+  FROM cpbshard s JOIN kscore k ON k.doc_id = s.vec_id
+)
+SELECT vec_id AS doc_id, n_bigrams, cluster AS bits_per_bigram_q20,
+       shard,
+       CAST(shard AS VARCHAR) || '-'
+         || CAST(cb // {CURRICULUM_PACK_BUDGET} AS VARCHAR) AS pack_id
+FROM cpk
+"""
+    )
+
+
 def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed SentencePiece-style unigram-LM tokenizer TRAINING
     over the documents corpus (``operators.text.unigram_train``, Kudo
