@@ -70,14 +70,23 @@ def main() -> int:
     max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "2"))
 
     for run in range(1, max_runs + 1):
-        # Phase 1: wait for a comparable-load window.
+        # Phase 1: wait for a comparable-load window. The 1-minute
+        # average alone is a bad launch signal: a co-tenant that
+        # pauses for a minute reads 0.0 while the 5-minute average
+        # still shows it burning cores (round 14 measured two in-band
+        # starts whose boards disagreed 1.14x vs 1.58x because of
+        # exactly this) — so the 5-minute average must ALSO be quiet
+        # (wider band: it decays slowly after our own prior stages).
         waited, escalate = 0.0, False
         while True:
-            load = round(os.getloadavg()[0], 1)
-            if abs(load - anchor_load) <= LOAD_BAND:
-                print(f"bench_gated: load {load} within ±{LOAD_BAND} of "
-                      f"anchor {anchor_load} — launching bench "
-                      f"(run {run}/{max_runs})")
+            load, load5 = (round(x, 1) for x in os.getloadavg()[:2])
+            if (
+                abs(load - anchor_load) <= LOAD_BAND
+                and load5 <= anchor_load + 2 * LOAD_BAND
+            ):
+                print(f"bench_gated: load {load} (5m {load5}) within "
+                      f"±{LOAD_BAND} of anchor {anchor_load} — "
+                      f"launching bench (run {run}/{max_runs})")
                 break
             if waited >= max_wait:
                 escalate = True
@@ -87,9 +96,9 @@ def main() -> int:
                     "tail reps; treat per-query deltas as contended"
                 )
                 break
-            print(f"bench_gated: load {load} vs anchor {anchor_load} "
-                  f"(band ±{LOAD_BAND}) — waiting {int(poll_s)}s "
-                  f"({int(waited)}/{int(max_wait)}s)")
+            print(f"bench_gated: load {load} (5m {load5}) vs anchor "
+                  f"{anchor_load} (band ±{LOAD_BAND}) — waiting "
+                  f"{int(poll_s)}s ({int(waited)}/{int(max_wait)}s)")
             time.sleep(poll_s)
             waited += poll_s
 
