@@ -18,6 +18,14 @@ needs to carry the headline.
 
 Each query is materialized end-to-end through the noop sink (full
 execution, no driver-side collect bottleneck, no disk write skew).
+
+Startup is LOAD-GATED against the newest pinned anchor (bounded wait
+for the 1m and 5m load averages to enter the anchor's ±2 band, then
+escalate to min-of-4 tail reps) so a direct ``python bench.py`` —
+which is how the round driver invokes it — produces a board whose
+bench_compare verdict is binding, not informational.
+``SPARK_GRAFT_BENCH_NO_WAIT=1`` opts out (bench_gated owns its own
+wait/retry loop).
 """
 
 from __future__ import annotations
@@ -314,8 +322,43 @@ def _free_storage(spark) -> None:
 
 
 def main() -> None:
+    from tools.benchlib import (
+        anchor_start_load,
+        git_sha,
+        latest_anchor,
+        wait_for_band,
+    )
+
     from traits_data_spark import catalog
     from traits_data_spark.session import get_spark
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # Load-gate the run AT THE SOURCE (round-14 verdict task 1): the
+    # driver invokes bench.py directly, bypassing tools/bench_gated.py,
+    # so every driver board through r14 landed at whatever load the
+    # preceding pipeline stages left behind (r14: 4.8 vs the anchor's
+    # 0.1) and bench_compare downgraded to informational. Bounded wait
+    # for the 1m AND 5m averages to enter the anchor's band; on timeout
+    # escalate the tail to min-of-4 reps so a contended board's minima
+    # are at least noise-resistant. Opt out with
+    # SPARK_GRAFT_BENCH_NO_WAIT=1 (bench_gated sets it: it owns the
+    # wait/retry loop itself and must not pay the wait twice).
+    escalated = False
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT") != "1":
+        anc = latest_anchor(here)
+        target = anchor_start_load(anc) if anc else None
+        if target is not None:
+            max_wait = float(
+                os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "600")
+            )
+            poll_s = float(os.environ.get("SPARK_GRAFT_BENCH_POLL_S", "30"))
+            if not wait_for_band(target, max_wait, poll_s, tag="bench"):
+                escalated = True
+                print(
+                    "bench: ESCALATING to min-of-4 tail reps; treat "
+                    "per-query deltas as contended"
+                )
 
     # Sample host load BEFORE the bench drives it: the end-of-run
     # 1-minute average mostly measures the bench itself (~12 after two
@@ -375,6 +418,8 @@ def main() -> None:
     # shuffle files dropped by clearCache) vs min-of-rest (warm) are
     # recorded separately — a regression in either mode is visible.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    if escalated:
+        reps = max(reps, 4)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -431,10 +476,12 @@ def main() -> None:
         "load_avg_1m": load1,
         "load_start_1m": load_start,
         "load_end_1m": load_end,
+        # code-version stamp: bench_compare only merges per-query
+        # minima across boards built from the same commit
+        "git_sha": git_sha(here),
+        "reps_tail": reps,
     }
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
-    )
+    out_path = os.path.join(here, "bench_results.json")
     with open(out_path, "w") as fh:
         json.dump(detail, fh, indent=1)
         fh.write("\n")

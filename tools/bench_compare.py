@@ -19,27 +19,14 @@ BENCH_ANCHOR_r{N}.json.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import re
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def _latest_anchor(here: str) -> str:
-    best, best_n = None, -1
-    for path in glob.glob(os.path.join(here, "BENCH_ANCHOR_r*.json")):
-        name = os.path.basename(path)
-        if "retired" in name:
-            continue
-        m = re.match(r"BENCH_ANCHOR_r(\d+)\.json$", name)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = path, int(m.group(1))
-    if best is None:
-        raise SystemExit("bench_compare: no BENCH_ANCHOR_r*.json found")
-    return best
+from tools.benchlib import LOAD_BAND, latest_anchor  # noqa: E402
 
-LOAD_BAND = 2.0       # comparable-load window on load_start_1m
 RATIO_MAX = 2.0       # BASELINE.md "within 2x of the recorded anchor"
 PER_QUERY_MAX = 1.25  # single-query regression trigger
 ABS_FLOOR = 0.3       # seconds — ignore sub-noise absolute deltas
@@ -49,7 +36,9 @@ def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         here, "bench_results.json")
-    anc_path = sys.argv[2] if len(sys.argv) > 2 else _latest_anchor(here)
+    anc_path = sys.argv[2] if len(sys.argv) > 2 else latest_anchor(here)
+    if anc_path is None:
+        raise SystemExit("bench_compare: no BENCH_ANCHOR_r*.json found")
     print(f"bench_compare: anchor {os.path.basename(anc_path)}")
     with open(res_path) as f:
         res = json.load(f)
@@ -71,8 +60,16 @@ def main() -> int:
             prev = json.load(f)
         p_load = prev.get("load_start_1m")
         r_load0 = res.get("load_start_1m")
+        # Comparable means SAME CODE as well as same load: a prev board
+        # that predates the commit under test carries pre-regression
+        # minima that would suppress the 1.25x per-query flag for a
+        # regression introduced this round (round-14 advice). Boards
+        # without a git_sha stamp (pre-round-15) never merge.
+        p_sha, r_sha = prev.get("git_sha"), res.get("git_sha")
+        same_code = p_sha is not None and p_sha == r_sha
         if (
-            p_load is not None
+            same_code
+            and p_load is not None
             and r_load0 is not None
             and abs(p_load - r_load0) <= LOAD_BAND
         ):
@@ -82,7 +79,11 @@ def main() -> int:
                     merged[q] = min(merged[q], v)
             res = {**res, "queries": merged}
             print("bench_compare: merged per-query minima with previous "
-                  f"comparable board (load {p_load})")
+                  f"comparable board (load {p_load}, same commit)")
+        elif not same_code:
+            print("bench_compare: previous board is a different/unknown "
+                  "commit — minima NOT merged (single-board per-query "
+                  "flags may be session noise)")
 
     common = sorted(set(res["queries"]) & set(anc["queries"]))
     if not common:

@@ -419,10 +419,20 @@ def sampled_quantiles(
         raise ValueError("quantiles must be non-empty")
     if not 0 < rate_bp <= 10_000:
         raise ValueError("rate_bp must be in (0, 10000]")
-    h = F.pmod(portable_hash64(F.col(key_col).cast("string")), F.lit(10_000))
-    sample = df.filter(h < rate_bp).select(
+    sample = df.select(
         *group_cols, F.col(value_col).alias("__v"), F.col(key_col).alias("__k")
     )
+    if rate_bp < 10_000:
+        # at rate_bp=10000 the predicate is vacuously true — skip the
+        # corpus-wide hash pass entirely (exact full-data quantiles)
+        h = F.pmod(
+            portable_hash64(F.col(key_col).cast("string")), F.lit(10_000)
+        )
+        sample = df.filter(h < rate_bp).select(
+            *group_cols,
+            F.col(value_col).alias("__v"),
+            F.col(key_col).alias("__k"),
+        )
     w = Window.partitionBy(*group_cols).orderBy("__v", "__k")
     ranked = sample.withColumn("__rn", F.row_number().over(w))
     # rank selection needs the group size alongside each row; the
