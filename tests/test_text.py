@@ -941,9 +941,10 @@ def test_train_mkn_lm_hand_computed_healthy(spark):
     """Engineered corpus with every count-of-count bucket populated
     (n1=n2=n3=n4=2, nbb=8): Y=1/3 and the three discounts are the
     DISTINCT textbook values D1=1/3, D2=1, D3+=5/3 — as integer
-    numerators 16/48/80 over DD=48 — so the healthy (non-fallback)
-    branch is pinned by hand-computed Fractions, not just the
-    randomized reference."""
+    numerators 8/24/40 over the reduced common denominator
+    DD = n2*n3*(n1+2*n2) = 24 — so the healthy (non-fallback) branch
+    is pinned by hand-computed Fractions, not just the randomized
+    reference."""
     from fractions import Fraction
 
     from traits_data_spark.operators.text import train_mkn_lm
@@ -957,20 +958,20 @@ def test_train_mkn_lm_hand_computed_healthy(spark):
         for r in train_mkn_lm(docs, keep_ratio=True).collect()
     }
     assert len(rows) == 8
-    # (a,b): count 1 -> D1 numerator 16: p = ((48-16)*8 + 16*1)/384
+    # (a,b): count 1 -> D1 numerator 8: p = ((24-8)*8 + 8*1)/192
     r = rows[("a", "b")]
-    assert (r["p_num"], r["p_den"]) == (272, 384)
-    assert r["p"] == round(float(Fraction(272, 384)), 9)
-    # (e,f): count 3 -> D3+ numerator 80: p = ((144-80)*8 + 80*1)/1152
+    assert (r["p_num"], r["p_den"]) == (136, 192)
+    assert r["p"] == round(float(Fraction(136, 192)), 9)
+    # (e,f): count 3 -> D3+ numerator 40: p = ((72-40)*8 + 40*1)/576
     r = rows[("e", "f")]
-    assert (r["p_num"], r["p_den"]) == (592, 1152)
-    assert r["p"] == round(float(Fraction(592, 1152)), 9)
+    assert (r["p_num"], r["p_den"]) == (296, 576)
+    assert r["p"] == round(float(Fraction(296, 576)), 9)
     # unit mass over the full vocab for a singleton context
     total_cont = Fraction(sum({w: rows[k]["ncw"] for k in rows
                                for w in [k[1]]}.values()), 8)
     assert total_cont == 1
-    seen = Fraction(144 - 80, 144)
-    gamma = Fraction(80, 144)
+    seen = Fraction(72 - 40, 72)
+    gamma = Fraction(40, 72)
     assert seen + gamma * total_cont == 1
 
 
@@ -994,6 +995,55 @@ def test_train_mkn_lm_counts_path_and_contract(spark, documents):
         train_mkn_lm(docs, counts=counts)
     with pytest.raises(ValueError, match="needs df or counts"):
         train_mkn_lm()
+
+
+def test_train_mkn_lm_bigint_boundary_exact(spark):
+    """Round-15 overflow-boundary attestation: synthetic counts with
+    n1..n4 = 100_000 type-count buckets. The round-14 form's common
+    denominator n1*n2*n3*(n1+2*n2) = 3e20 wraps BIGINT silently
+    (2^63-1 ~ 9.2e18) and the numerator n_uw*DD*Nbb ~ 4.8e21 wraps
+    even with the reduced denominator — the DECIMAL(38,0) pipeline
+    must still be EXACT, matching fractions.Fraction ground truth
+    computed from the same count-of-count stats."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from traits_data_spark.operators.text import train_mkn_lm
+
+    n_bucket = 100_000
+    counts = spark.range(4 * n_bucket).select(
+        F.concat(F.lit("u"), F.col("id")).alias("u"),
+        F.concat(F.lit("w"), F.col("id")).alias("w"),
+        (F.lit(1) + F.pmod("id", F.lit(4))).cast("long").alias("n_uw"),
+    )
+    rows = {
+        r["u"]: r
+        for r in train_mkn_lm(counts=counts, keep_ratio=True)
+        .filter(F.col("u").isin("u0", "u3"))
+        .collect()
+    }
+    n1 = n2 = n3 = n4 = n_bucket
+    nbb = 4 * n_bucket
+    yd = n1 + 2 * n2
+    DD = n2 * n3 * yd
+    assert n1 * n2 * n3 * yd > 2**63 - 1  # the round-14 form wraps here
+    d1 = n1 * n2 * n3
+    d2 = (2 * n2 * yd - 3 * n1 * n3) * n3
+    d3 = (3 * n3 * yd - 4 * n1 * n4) * n2
+    # every synthetic context holds ONE type: n_u = n_uw, one nu bucket
+    for uid, n_uw, d in (("u0", 1, d1), ("u3", 4, d3)):
+        r = rows[uid]
+        truth = Fraction(
+            max(n_uw * DD - d, 0) * nbb
+            + (d1 * (n_uw == 1) + d2 * (n_uw == 2) + d3 * (n_uw >= 3)),
+            n_uw * DD * nbb,
+        )
+        assert int(r["p_num"]) > 2**63 - 1  # long arithmetic would wrap
+        assert Fraction(int(r["p_num"]), int(r["p_den"])) == truth
+        assert r["p"] == round(
+            float(int(r["p_num"])) / float(int(r["p_den"])), 9
+        )
 
 
 def test_bpe_train_tokens_hand_computed(spark):

@@ -974,10 +974,13 @@ def q_train_mkn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     KenLM (the published CCNet scorer) ships, with the three
     count-dependent discounts D1/D2/D3+ estimated from the bigram
     count-of-count statistics n1..n4 (Chen & Goodman 1998 §3). Each
-    discount is an integer fraction over the common denominator
-    ``n1*n2*n3*(n1+2*n2)``, clamped to its textbook ``[0, level]``
-    range, so every probability is ONE BIGINT ratio ending in a
-    single rounded IEEE division — hash-exact cross-engine, no libm.
+    discount is an integer fraction over the reduced common
+    denominator ``n2*n3*(n1+2*n2)`` (round 15: the n1 factor cancels
+    out of D1), clamped to its textbook ``[0, level]`` range, so
+    every probability is ONE exact integer ratio — DECIMAL(38,0) on
+    Spark, HUGEINT on the DuckDB oracle — ending in a single rounded
+    IEEE division: hash-exact cross-engine, no libm, no silent
+    BIGINT wraparound at web-corpus type counts.
     Same scale shape as ``train_kn_lm``: one corpus bigram shuffle;
     the count-of-count buckets, continuation counts, and the one-row
     discount frame all derive from the vocab²-bounded bigram-type
@@ -1023,38 +1026,46 @@ g0 AS (
   FROM counts
 ),
 g1 AS (
-  SELECT *, CAST(n1 + 2 * n2 AS BIGINT) AS yd,
+  -- HUGEINT (int128) mirrors Spark's DECIMAL(38,0): the reduced
+  -- denominator n2*n3*yd and its numerators stay exact far past the
+  -- BIGINT boundary (and DuckDB errors loudly rather than wrapping)
+  SELECT *, CAST(n1 + 2 * n2 AS HUGEINT) AS yd,
          (n1 > 0 AND n2 > 0 AND n3 > 0) AS healthy,
-         CAST(n1 * n2 * n3 * (n1 + 2 * n2) AS BIGINT) AS bigdd
+         CAST(n2 AS HUGEINT) * n3 * (n1 + 2 * n2) AS bigdd
   FROM g0
 ),
 g AS (
   SELECT
     CASE WHEN healthy THEN LEAST(GREATEST(
-           CAST((n1 * yd - 2 * n2 * n1) * n2 * n3 AS BIGINT),
-           CAST(0 AS BIGINT)), CAST(1 AS BIGINT) * bigdd)
-         WHEN yd > 0 THEN n1 ELSE CAST(3 AS BIGINT) END AS d1,
+           CAST(n1 AS HUGEINT) * n2 * n3,
+           CAST(0 AS HUGEINT)), CAST(1 AS HUGEINT) * bigdd)
+         WHEN yd > 0 THEN CAST(n1 AS HUGEINT)
+         ELSE CAST(3 AS HUGEINT) END AS d1,
     CASE WHEN healthy THEN LEAST(GREATEST(
-           CAST((2 * n2 * yd - 3 * n3 * n1) * n1 * n3 AS BIGINT),
-           CAST(0 AS BIGINT)), CAST(2 AS BIGINT) * bigdd)
-         WHEN yd > 0 THEN n1 ELSE CAST(3 AS BIGINT) END AS d2,
+           (2 * CAST(n2 AS HUGEINT) * yd - 3 * CAST(n1 AS HUGEINT) * n3)
+             * n3,
+           CAST(0 AS HUGEINT)), CAST(2 AS HUGEINT) * bigdd)
+         WHEN yd > 0 THEN CAST(n1 AS HUGEINT)
+         ELSE CAST(3 AS HUGEINT) END AS d2,
     CASE WHEN healthy THEN LEAST(GREATEST(
-           CAST((3 * n3 * yd - 4 * n4 * n1) * n1 * n2 AS BIGINT),
-           CAST(0 AS BIGINT)), CAST(3 AS BIGINT) * bigdd)
-         WHEN yd > 0 THEN n1 ELSE CAST(3 AS BIGINT) END AS d3,
+           (3 * CAST(n3 AS HUGEINT) * yd - 4 * CAST(n1 AS HUGEINT) * n4)
+             * n2,
+           CAST(0 AS HUGEINT)), CAST(3 AS HUGEINT) * bigdd)
+         WHEN yd > 0 THEN CAST(n1 AS HUGEINT)
+         ELSE CAST(3 AS HUGEINT) END AS d3,
     CASE WHEN healthy THEN bigdd
-         WHEN yd > 0 THEN yd ELSE CAST(4 AS BIGINT) END AS dd,
-    nbb
+         WHEN yd > 0 THEN yd ELSE CAST(4 AS HUGEINT) END AS dd,
+    CAST(nbb AS HUGEINT) AS nbb
   FROM g1
 )
 SELECT c.u, c.w, c.n_uw, x.n_u, x.nu1, x.nu2, x.nu3p, p2.ncw,
-       round(CAST(GREATEST(c.n_uw * g.dd
+       round((GREATEST(CAST(c.n_uw AS HUGEINT) * g.dd
                     - CASE WHEN c.n_uw = 1 THEN g.d1
                            WHEN c.n_uw = 2 THEN g.d2
-                           ELSE g.d3 END, CAST(0 AS BIGINT)) * g.nbb
+                           ELSE g.d3 END, CAST(0 AS HUGEINT)) * g.nbb
                   + (g.d1 * x.nu1 + g.d2 * x.nu2 + g.d3 * x.nu3p)
-                    * p2.ncw AS BIGINT)::DOUBLE
-             / CAST(x.n_u * g.dd * g.nbb AS BIGINT)::DOUBLE, 9) AS p
+                    * p2.ncw)::DOUBLE
+             / (CAST(x.n_u AS HUGEINT) * g.dd * g.nbb)::DOUBLE, 9) AS p
 FROM counts c JOIN ctx x USING (u) JOIN pred p2 USING (w) CROSS JOIN g
 """
 

@@ -1942,29 +1942,39 @@ def train_mkn_lm(
     once/twice/three-plus times and ``ncw/Nbb`` is the usual
     continuation distribution. Exactness: each discount is kept as an
     integer fraction over the COMMON denominator
-    ``Dd = n1*n2*n3*(n1 + 2 n2)`` and clamped into its textbook range
-    ``[0, level]`` (``D1 in [0,1]``, ``D2 in [0,2]``, ``D3+ in
-    [0,3]`` — KenLM asserts the same bounds; the clamp also makes the
-    count term ``n_uw*Dd - d(n_uw)`` non-negative without a max(),
-    since ``n_uw >= level`` on each branch). The whole probability is
-    then ONE integer ratio::
+    ``Dd = n2*n3*(n1 + 2 n2)`` — the per-level denominators are
+    ``yd`` (D1 = 1 - 2 Y n2/n1 reduces to n1/yd: the n1 cancels),
+    ``n2*yd`` and ``n3*yd``, so their lcm-bound needs no n1 factor;
+    round 14 shipped the unreduced ``n1*n2*n3*yd``, an n1-times-larger
+    denominator that hit the integer boundary correspondingly earlier
+    — and clamped into its textbook range ``[0, level]`` (``D1 in
+    [0,1]``, ``D2 in [0,2]``, ``D3+ in [0,3]`` — KenLM asserts the
+    same bounds; the clamp also makes the count term ``n_uw*Dd -
+    d(n_uw)`` non-negative without a max(), since ``n_uw >= level``
+    on each branch). The whole probability is then ONE integer
+    ratio::
 
         p = ((n_uw*Dd - d(n_uw))*Nbb
              + (d1*nu1 + d2*nu2 + d3*nu3p)*ncw) / (n_u*Dd*Nbb)
 
-    — every term a BIGINT (shuffle-order-free), one final IEEE
-    division rounded to ``prob_dp``. Summed over the full vocabulary
-    each context distributes exactly 1 (tested with
-    ``fractions.Fraction``). Degenerate corpora where the
+    with ``d1 = n1*n2*n3``, ``d2 = (2 n2 yd - 3 n1 n3)*n3``,
+    ``d3 = (3 n3 yd - 4 n1 n4)*n2`` — every term carried as
+    DECIMAL(38,0) (exact integers to 1e38, shuffle-order-free; the
+    round-14 BIGINT form wrapped SILENTLY past 2^63, well below the
+    docstring's stated boundary), one final IEEE division rounded to
+    ``prob_dp``. Summed over the full vocabulary each context
+    distributes exactly 1 (tested with ``fractions.Fraction``; the
+    boundary test drives n1..n4 = 4e5 — where the old form wraps —
+    and matches the exact Fraction). Degenerate corpora where the
     count-of-count chain breaks (any of n1/n2/n3 = 0, so a discount
     denominator vanishes) fall back to the single-discount
     interpolated-KN estimate ``d1 = d2 = d3 = D`` with
     ``D = n1/(n1+2 n2)`` (textbook 3/4 when even that is undefined) —
-    the same fallback ``train_kn_lm`` uses. Overflow note: ``Dd``
-    multiplies four type-count statistics, so the BIGINT boundary
-    arrives earlier than the single-discount trainer's — at web-corpus
-    scale (n1..n3 ~ 1e8) shard the model by context hash and train
-    per shard, or drop to the double form.
+    the same fallback ``train_kn_lm`` uses. Overflow note: past
+    DECIMAL(38,0) (num ~ n_uw*Dd*Nbb; with n1..n3 ~ 1e9 type counts
+    that is ~1e37, approaching the edge) Spark yields NULL, not a
+    wrapped value — loud in any gate; shard the model by context hash
+    and train per shard if a corpus ever reaches it.
 
     Scale shape: identical to ``train_kn_lm`` — ONE corpus-scale
     shuffle (the bigram groupBy, map-side combine); context
@@ -1973,9 +1983,9 @@ def train_mkn_lm(
     table, never from a second corpus pass.
 
     Output: ``(u, w, n_uw, n_u, nu1, nu2, nu3p, ncw, p)``; with
-    ``keep_ratio=True`` the exact BIGINT ``p_num``/``p_den`` ride
-    along (``p_num >= 1`` always: the continuation term is a product
-    of positive counts). Pass ``counts=`` (a persisted
+    ``keep_ratio=True`` the exact DECIMAL(38,0) ``p_num``/``p_den``
+    ride along (``p_num >= 1`` always: the continuation term is a
+    product of positive counts). Pass ``counts=`` (a persisted
     ``word_bigram_counts`` index extended via ``merge_bigram_counts``)
     to re-derive the model without touching corpus text — exactly one
     of ``df``/``counts`` is required.
@@ -2016,50 +2026,40 @@ def train_mkn_lm(
     healthy = (
         (F.col("__n1") > 0) & (F.col("__n2") > 0) & (F.col("__n3") > 0)
     )
-    yd = F.col("__n1") + 2 * F.col("__n2")
-    # common denominator and per-level numerators, clamped to [0, level]
-    big_dd = (F.col("__n1") * F.col("__n2") * F.col("__n3") * yd).cast(
-        "long"
+    DEC = "decimal(38,0)"
+    # glob-frame arithmetic in DECIMAL(38,0) from the first product:
+    # (3 n3 yd)*n2 alone wraps BIGINT near n1..n3 ~ 1e6 type counts
+    n1d, n2d, n3d, n4d = (
+        F.col(f"__n{k}").cast(DEC) for k in (1, 2, 3, 4)
     )
+    yd = n1d + F.lit(2).cast(DEC) * n2d
+    # common denominator and per-level numerators, clamped to [0, level]
+    big_dd = n2d * n3d * yd
 
     def _clamp(expr, level):
         return F.least(
-            F.greatest(expr, F.lit(0).cast("long")),
-            (F.lit(level) * big_dd).cast("long"),
+            F.greatest(expr, F.lit(0).cast(DEC)),
+            F.lit(level).cast(DEC) * big_dd,
         )
 
-    d1_raw = (
-        (F.col("__n1") * yd - 2 * F.col("__n2") * F.col("__n1"))
-        * F.col("__n2")
-        * F.col("__n3")
-    ).cast("long")
-    d2_raw = (
-        (2 * F.col("__n2") * yd - 3 * F.col("__n3") * F.col("__n1"))
-        * F.col("__n1")
-        * F.col("__n3")
-    ).cast("long")
-    d3_raw = (
-        (3 * F.col("__n3") * yd - 4 * F.col("__n4") * F.col("__n1"))
-        * F.col("__n1")
-        * F.col("__n2")
-    ).cast("long")
+    d1_raw = n1d * n2d * n3d
+    d2_raw = (F.lit(2).cast(DEC) * n2d * yd - F.lit(3).cast(DEC) * n1d * n3d) * n3d
+    d3_raw = (F.lit(3).cast(DEC) * n3d * yd - F.lit(4).cast(DEC) * n1d * n4d) * n2d
     # single-discount interpolated-KN fallback (train_kn_lm's estimate)
-    fb_dn = (
-        F.when(yd > 0, F.col("__n1")).otherwise(F.lit(3)).cast("long")
-    )
-    fb_dd = F.when(yd > 0, yd).otherwise(F.lit(4)).cast("long")
+    fb_dn = F.when(yd > 0, n1d).otherwise(F.lit(3).cast(DEC))
+    fb_dd = F.when(yd > 0, yd).otherwise(F.lit(4).cast(DEC))
     glob = raw.select(
         F.when(healthy, _clamp(d1_raw, 1)).otherwise(fb_dn)
-        .cast("long")
+        .cast(DEC)
         .alias("__d1"),
         F.when(healthy, _clamp(d2_raw, 2)).otherwise(fb_dn)
-        .cast("long")
+        .cast(DEC)
         .alias("__d2"),
         F.when(healthy, _clamp(d3_raw, 3)).otherwise(fb_dn)
-        .cast("long")
+        .cast(DEC)
         .alias("__d3"),
-        F.when(healthy, big_dd).otherwise(fb_dd).cast("long").alias("__DD"),
-        "__nbb",
+        F.when(healthy, big_dd).otherwise(fb_dd).cast(DEC).alias("__DD"),
+        F.col("__nbb").cast(DEC).alias("__nbb"),
     )
     disc = (
         F.when(F.col("n_uw") == 1, F.col("__d1"))
@@ -2068,17 +2068,20 @@ def train_mkn_lm(
     )
     num = (
         F.greatest(
-            F.col("n_uw") * F.col("__DD") - disc, F.lit(0).cast("long")
+            F.col("n_uw").cast(DEC) * F.col("__DD") - disc,
+            F.lit(0).cast(DEC),
         )
         * F.col("__nbb")
         + (
-            F.col("__d1") * F.col("nu1")
-            + F.col("__d2") * F.col("nu2")
-            + F.col("__d3") * F.col("nu3p")
+            F.col("__d1") * F.col("nu1").cast(DEC)
+            + F.col("__d2") * F.col("nu2").cast(DEC)
+            + F.col("__d3") * F.col("nu3p").cast(DEC)
         )
-        * F.col("ncw")
-    ).cast("long")
-    den = (F.col("n_u") * F.col("__DD") * F.col("__nbb")).cast("long")
+        * F.col("ncw").cast(DEC)
+    ).cast(DEC)
+    den = (
+        F.col("n_u").cast(DEC) * F.col("__DD") * F.col("__nbb")
+    ).cast(DEC)
     cols = ["u", "w", "n_uw", "n_u", "nu1", "nu2", "nu3p", "ncw"]
     ratio = (
         [num.alias("p_num"), den.alias("p_den")] if keep_ratio else []
