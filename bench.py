@@ -200,6 +200,11 @@ BENCH_QUERIES = FLAGSHIPS + [
     "train_mkn_lm",
     "dsir_train_counts",
     "curriculum_pack",
+    # round 15: order-3 interpolated KN (trigram index + continuation
+    # backoff chain); DSIR count-index consumption inside the curation
+    # chain
+    "train_kn3_lm",
+    "curate_corpus_dsir_counts",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

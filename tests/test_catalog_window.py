@@ -50,9 +50,11 @@ LOAD_BEARING = [
     # family stays in-window via near_dup_recall_report
     # round-7 additions still in-window (epoch_expand / kmv_overlap /
     # snapshot_diff / shuffle_shards / containment_pairs rotated out
-    # round 10 — driver-green rounds 7 through 9)
-    "bloom_decontaminate",
-    "mixture_plan",
+    # round 10 — driver-green rounds 7 through 9;
+    # bloom_decontaminate + mixture_plan rotated out round 15 —
+    # driver-green rounds 7-14; decon stays in-window via
+    # semantic_decontaminate + decontamination_report, mixture via
+    # curate_corpus + the dsir entries)
     "gopher_rules",
     "curate_corpus",
     "corpus_report",
@@ -128,6 +130,9 @@ LOAD_BEARING = [
     "train_mkn_lm",
     "dsir_train_counts",
     "curriculum_pack",
+    # round-15 additions: must be driver-attested before rotating out
+    "train_kn3_lm",
+    "curate_corpus_dsir_counts",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

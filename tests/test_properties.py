@@ -745,6 +745,105 @@ def test_train_mkn_lm_matches_fraction_reference(spark, docs):
         assert seen + cont_all == 1, (u, docs)
 
 
+def _ref_kn3(docs, max_word_len=32):
+    """Pure-Python order-3 interpolated-KN reference with exact
+    Fractions and the full continuation-count backoff chain (highest
+    order raw counts, lower orders continuation type counts, per-order
+    Ney discounts). Returns {(u, v, w): Fraction} plus the P2
+    distribution {(v, w): Fraction} and the vocab (for the unit-mass
+    identity over unseen words)."""
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    c3 = Counter()
+    for text in docs:
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if 0 < len(w) <= max_word_len
+        ]
+        seq = ["<s>", "<s>"] + words
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            c3[(a, b, c)] += 1
+    if not c3:
+        return {}, {}, set()
+    t1 = sum(1 for c in c3.values() if c == 1)
+    t2 = sum(1 for c in c3.values() if c == 2)
+    e3n, e3d = (t1, t1 + 2 * t2) if t1 + 2 * t2 > 0 else (3, 4)
+    c2 = Counter()  # continuation-bigram type counts N1+(.vw)
+    n_uv, n1uv = Counter(), Counter()
+    for (u, v, w), c in c3.items():
+        c2[(v, w)] += 1
+        n_uv[(u, v)] += c
+        n1uv[(u, v)] += 1
+    m1 = sum(1 for c in c2.values() if c == 1)
+    m2 = sum(1 for c in c2.values() if c == 2)
+    e2n, e2d = (m1, m1 + 2 * m2) if m1 + 2 * m2 > 0 else (3, 4)
+    nbb = len(c2)
+    c2_v, n1v, ncw = Counter(), Counter(), Counter()
+    for (v, w), c in c2.items():
+        c2_v[v] += c
+        n1v[v] += 1
+        ncw[w] += 1
+    vocab = set(ncw)
+
+    def p1(w):
+        return Fraction(ncw[w], nbb)
+
+    def p2(v, w):
+        return (
+            Fraction(max(c2[(v, w)] * e2d - e2n, 0), c2_v[v] * e2d)
+            + Fraction(e2n * n1v[v], c2_v[v] * e2d) * p1(w)
+        )
+
+    model = {
+        (u, v, w): Fraction(max(c * e3d - e3n, 0), n_uv[(u, v)] * e3d)
+        + Fraction(e3n * n1uv[(u, v)], n_uv[(u, v)] * e3d) * p2(v, w)
+        for (u, v, w), c in c3.items()
+    }
+    return model, {"p2": p2, "vocab": vocab}, c3
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@_settings
+def test_train_kn3_lm_matches_fraction_reference(spark, docs):
+    """Randomized corpora: every trained order-3 KN probability equals
+    the exact backoff-chain Fraction reference rounded to 9 dp, and
+    each seen (u, v) context's mass over the FULL vocabulary (seen
+    continuations + gamma3 times the unseen words' P2 backoff) is
+    exactly 1."""
+    from fractions import Fraction
+
+    from traits_data_spark.operators.text import train_kn3_lm
+
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    rows = train_kn3_lm(df).collect()
+    ref, aux, c3 = _ref_kn3(docs)
+    got = {(r["u"], r["v"], r["w"]): r for r in rows}
+    assert set(got) == set(ref)
+    for k, frac in ref.items():
+        assert got[k]["p"] == round(float(frac), 9), (k, docs)
+    if not ref:
+        return
+    p2, vocab = aux["p2"], aux["vocab"]
+    by_ctx = {}
+    for (u, v, w), frac in ref.items():
+        by_ctx.setdefault((u, v), []).append((w, frac))
+    t1 = sum(1 for c in c3.values() if c == 1)
+    t2 = sum(1 for c in c3.values() if c == 2)
+    e3n, e3d = (t1, t1 + 2 * t2) if t1 + 2 * t2 > 0 else (3, 4)
+    for (u, v), pairs in by_ctx.items():
+        # total = seen P3 mass + gamma3 * sum of unseen words' P2
+        seen_ws = {w for w, _ in pairs}
+        r0 = got[(u, v, pairs[0][0])]
+        gamma = Fraction(e3n * r0["n1uv"], r0["n_uv"] * e3d)
+        total = sum(frac for _, frac in pairs) + gamma * sum(
+            p2(v, w) for w in vocab - seen_ws
+        )
+        assert total == 1, ((u, v), docs)
+
+
 @given(
     pools=st.lists(
         st.lists(

@@ -997,6 +997,78 @@ def test_train_mkn_lm_counts_path_and_contract(spark, documents):
         train_mkn_lm()
 
 
+def test_train_kn3_lm_hand_computed(spark):
+    """Engineered corpus ('a b a b c' / 'a b c' / 'b c'): 7 trigram
+    types with count-of-counts t1=4, t2=3 (D3 = 4/10) and
+    continuation-bigram counts with m1=3, m2=2 (D2 = 3/7), Nbb=5 —
+    every stage of the backoff chain hand-verified as exact
+    Fractions, plus the full-vocabulary unit-mass identity for the
+    (<s>, <s>) context including the UNSEEN-word continuation mass."""
+    from fractions import Fraction
+
+    from traits_data_spark.operators.text import train_kn3_lm
+
+    docs = spark.createDataFrame(
+        [("a b a b c",), ("a b c",), ("b c",), ("",), (None,)], ["text"]
+    )
+    rows = {
+        (r["u"], r["v"], r["w"]): r
+        for r in train_kn3_lm(docs, keep_ratio=True).collect()
+    }
+    assert len(rows) == 7
+    # P(a | <s>, <s>): count term (2*10-4)/30, gamma3 = 4*2/30,
+    # P2(a|<s>) = (max(1*7-3,0)*5 + 3*2*2)/(2*7*5) = 32/70
+    r = rows[("<s>", "<s>", "a")]
+    assert (r["n_uvw"], r["n_uv"], r["n1uv"]) == (2, 3, 2)
+    assert (r["c2_vw"], r["c2_v"], r["n1v"], r["ncw"]) == (1, 2, 2, 2)
+    assert (int(r["p_num"]), int(r["p_den"])) == (1376, 2100)
+    assert r["p"] == round(float(Fraction(1376, 2100)), 9)
+    # P(b | <s>, a): singleton context, P2(b|a) = (2*7-3)*5+3*1*2)/(2*7*5)
+    r = rows[("<s>", "a", "b")]
+    assert (int(r["p_num"]), int(r["p_den"])) == (1364, 1400)
+    # unit mass over the FULL vocab for context (<s>, <s>): the seen
+    # mass plus gamma3 times [P2 of seen w's... all P2(w|<s>) for w in
+    # vocab] — P2(c|<s>) is the pure-continuation branch (bigram
+    # (<s>, c) unseen): D2 * n1v/c2_v * P1(c) = (3/7)*(2/2)*(1/5)
+    seen = Fraction(1376, 2100) + Fraction(676, 2100)
+    gamma3 = Fraction(4 * 2, 3 * 10)
+    p2_unseen_c = Fraction(3, 7) * Fraction(2, 2) * Fraction(1, 5)
+    assert seen + gamma3 * p2_unseen_c == 1
+
+
+def test_trigram_counts_merge_parity_and_kn3_counts_path(spark, documents):
+    """merge_trigram_counts over ingest slices == counts over the
+    union (the add-mergeable index contract); train_kn3_lm(counts=)
+    re-derives the identical model with no text touched; passing both
+    df and counts (or neither) is a ValueError."""
+    import pytest
+
+    from traits_data_spark.operators.text import (
+        merge_trigram_counts,
+        train_kn3_lm,
+        word_trigram_counts,
+    )
+
+    docs = documents.select("doc_id", "text").limit(80)
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    merged = merge_trigram_counts(
+        word_trigram_counts(hist), word_trigram_counts(batch)
+    )
+    full = word_trigram_counts(docs)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(merged.collect()) == key(full.collect())
+    assert key(train_kn3_lm(counts=merged).collect()) == key(
+        train_kn3_lm(docs).collect()
+    )
+    with pytest.raises(ValueError, match="not both"):
+        train_kn3_lm(docs, counts=merged)
+    with pytest.raises(ValueError, match="needs df or counts"):
+        train_kn3_lm()
+    with pytest.raises(ValueError, match="at least one part"):
+        merge_trigram_counts()
+
+
 def test_train_mkn_lm_bigint_boundary_exact(spark):
     """Round-15 overflow-boundary attestation: synthetic counts with
     n1..n4 = 100_000 type-count buckets. The round-14 form's common

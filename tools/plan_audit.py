@@ -106,6 +106,8 @@ HEADLINE = [
     "name_search",
     "near_dup_recall_report",
     "curate_corpus_dsir",
+    "train_kn3_lm",
+    "curate_corpus_dsir_counts",
 ]
 
 
@@ -174,6 +176,18 @@ MAX_SCANS = {
     # full curation chain + the in-plan DSIR trainer/rank gate
     # (documents x3: chain, train-slice grams, rank grams)
     "curate_corpus_dsir": 8,
+    # order-3 KN from text: the trigram type table feeds counts + 4
+    # derived aggregates + 3 one-row stat frames, each re-deriving
+    # from the corpus explode (8 scans). The round-15 A/B at sf0.1
+    # measured persisting the type table SLOWER (min-of-4 4.26 s vs
+    # 3.16 s plain — materialization cost > duplicate page-cached
+    # scans); at 100 TB the nightly path is the persisted counts=
+    # index, where the corpus is scanned once at count time and the
+    # model re-derives corpus-free.
+    "train_kn3_lm": 8,
+    # same chain as curate_corpus_dsir with the count-index gate (the
+    # dsir_counts slices + merge replace the in-plan text retrain)
+    "curate_corpus_dsir_counts": 8,
 }
 
 

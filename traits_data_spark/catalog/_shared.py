@@ -118,6 +118,7 @@ from traits_data_spark.operators.text import (
     bpe_train_token_counts,
     train_bigram_lm,
     kn_doc_scores,
+    train_kn3_lm,
     train_kn_lm,
     train_mkn_lm,
     bpe_token_counts_table,

@@ -492,27 +492,18 @@ FROM sr"""
 CURATE_DSIR_KEEP_BP = 5_000
 
 
-def q_curate_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``curate_corpus`` with a DSIR SELECTION stage trained IN-PLAN
-    (round 13): the chain trains the hashed-n-gram importance weights
-    on its own bench-excluded corpus split (``dsir_train`` — Q20
-    fixed-point log2, zero offline artifacts anywhere), ranks every
-    corpus doc by trained weight, and gates the Gopher-kept set on
-    the deterministic top-25% flag at the same stage position the
-    LM/trained-classifier variants use — "keep what looks like the
-    target distribution" as a curation stage, completing the selector
-    family inside the chain (gopher = per-doc rules, ppl = LM filter,
-    trained = distilled classifier, dsir = distributional match).
-    The oracle injects the trainer + weight + integer-rank CTEs into
-    the curation replay via ``_curate_corpus_sql(gq_ctes=,
-    force_recursive=True)`` (the ilog2 recurrence needs ``WITH
-    RECURSIVE``)."""
+def _curate_dsir(spark: SparkSession, sf_dir: str, model_fn) -> DataFrame:
+    """The ONE copy of the DSIR-gated curation invocation: the chain
+    trains importance weights via ``model_fn(corpus)`` (from text, or
+    from a persisted/merged count index — the round-15 ``counts=``
+    wiring), ranks every corpus doc by trained weight, and gates the
+    Gopher-kept set on the deterministic top-N flag."""
     from traits_data_spark.catalog.corpus import _curate_call
 
     def _builder(corpus: DataFrame) -> DataFrame:
         # corpus: the bench-excluded (doc_id, text, lang) split built
         # by _curate_call — train and rank on the SAME frame
-        model = dsir_train(corpus).select("bucket", "delta_q20")
+        model = model_fn(corpus).select("bucket", "delta_q20")
         sel = dsir_select(
             corpus.select("doc_id", "text"),
             model,
@@ -545,6 +536,49 @@ def q_curate_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_min=1,
         quality_score_col="dsir_sel",
     )
+
+
+def q_curate_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curate_corpus`` with a DSIR SELECTION stage trained IN-PLAN
+    (round 13): the chain trains the hashed-n-gram importance weights
+    on its own bench-excluded corpus split (``dsir_train`` — Q20
+    fixed-point log2, zero offline artifacts anywhere), ranks every
+    corpus doc by trained weight, and gates the Gopher-kept set on
+    the deterministic top-25% flag at the same stage position the
+    LM/trained-classifier variants use — "keep what looks like the
+    target distribution" as a curation stage, completing the selector
+    family inside the chain (gopher = per-doc rules, ppl = LM filter,
+    trained = distilled classifier, dsir = distributional match).
+    The oracle injects the trainer + weight + integer-rank CTEs into
+    the curation replay via ``_curate_corpus_sql(gq_ctes=,
+    force_recursive=True)`` (the ilog2 recurrence needs ``WITH
+    RECURSIVE``)."""
+    return _curate_dsir(spark, sf_dir, dsir_train)
+
+
+def q_curate_corpus_dsir_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DSIR-gated curation chain CONSUMING the add-mergeable count
+    index (round-14 verdict task 6): the gate's model re-derives from
+    two per-ingest-batch ``dsir_counts`` tables merged by keyed sum —
+    ``dsir_train(counts=)`` — instead of retraining from text in-plan,
+    the shape a nightly curation run takes when the index is persisted
+    (history text never re-tokenized; only the new batch is counted).
+    The split replays two ingest batches in-plan (even/odd halves of
+    the held-out slice, the ``dsir_train_counts`` pattern), so the
+    output is bit-identical to ``curate_corpus_dsir`` and the oracle
+    is the SAME curation replay — the hash-match IS the
+    merge-equivalence attestation for the full chain."""
+
+    def _from_counts(corpus: DataFrame) -> DataFrame:
+        merged = merge_dsir_counts(
+            dsir_counts(corpus.filter(F.pmod(F.col("doc_id"), 20) == 0)),
+            dsir_counts(corpus.filter(F.pmod(F.col("doc_id"), 20) == 10)),
+        )
+        return dsir_train(counts=merged)
+
+    return _curate_dsir(spark, sf_dir, _from_counts)
 
 
 def _curate_corpus_dsir_sql() -> str:

@@ -48,6 +48,7 @@ from traits_data_spark.catalog._shared import (
     token_counts,
     train_bigram_lm,
     kn_doc_scores,
+    train_kn3_lm,
     train_kn_lm,
     train_mkn_lm,
     unigram_token_counts,
@@ -1067,6 +1068,98 @@ SELECT c.u, c.w, c.n_uw, x.n_u, x.nu1, x.nu2, x.nu3p, p2.ncw,
                     * p2.ncw)::DOUBLE
              / (CAST(x.n_u AS HUGEINT) * g.dd * g.nbb)::DOUBLE, 9) AS p
 FROM counts c JOIN ctx x USING (u) JOIN pred p2 USING (w) CROSS JOIN g
+"""
+
+
+def q_train_kn3_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed interpolated Kneser-Ney word-TRIGRAM LM training
+    (``operators.text.train_kn3_lm``) — the order-3 step toward
+    KenLM's order-5 CCNet scorer, with the full backoff chain
+    (trigram raw counts → continuation-bigram type counts →
+    continuation-unigram) derived from the ONE trigram type table and
+    per-order Ney discounts from each order's count-of-counts (Chen &
+    Goodman 1998 §3). Every probability is ONE exact integer ratio —
+    DECIMAL(38,0) on Spark, HUGEINT on the DuckDB oracle — ending in
+    a single rounded IEEE division. Scale shape: one corpus trigram
+    shuffle; everything downstream is type-table-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    return train_kn3_lm(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+
+
+_TRAIN_KN3_LM_SQL = f"""
+WITH d AS (
+  SELECT {_NORM} AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT list_concat(['<s>', '<s>'],
+             list_filter(string_split(nt, ' '),
+             x -> length(x) > 0 AND length(x) <= {BPE_TRAIN_MAX_WORD_LEN}))
+         AS ws
+  FROM d
+),
+tr AS (
+  SELECT unnest([{{'u': ws[k], 'v': ws[k+1], 'w': ws[k+2]}}
+                 for k in range(1, len(ws) - 1)]) AS tg
+  FROM t
+),
+counts AS (
+  SELECT tg['u'] AS u, tg['v'] AS v, tg['w'] AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_uvw
+  FROM tr GROUP BY 1, 2, 3
+),
+ctx3 AS (
+  SELECT u, v, CAST(SUM(n_uvw) AS BIGINT) AS n_uv,
+         CAST(COUNT(*) AS BIGINT) AS n1uv
+  FROM counts GROUP BY u, v
+),
+c2 AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c2_vw
+  FROM counts GROUP BY v, w
+),
+ctx2 AS (
+  SELECT v, CAST(SUM(c2_vw) AS BIGINT) AS c2_v,
+         CAST(COUNT(*) AS BIGINT) AS n1v
+  FROM c2 GROUP BY v
+),
+pred AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ncw FROM c2 GROUP BY w),
+g3 AS (
+  SELECT CAST(SUM(CASE WHEN n_uvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN n_uvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+  FROM counts
+),
+g2 AS (
+  SELECT CAST(SUM(CASE WHEN c2_vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         CAST(SUM(CASE WHEN c2_vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+         CAST(COUNT(*) AS BIGINT) AS nbb
+  FROM c2
+),
+g AS (
+  SELECT
+    CASE WHEN t1 + 2 * t2 > 0 THEN CAST(t1 AS HUGEINT)
+         ELSE CAST(3 AS HUGEINT) END AS e3n,
+    CASE WHEN t1 + 2 * t2 > 0 THEN CAST(t1 + 2 * t2 AS HUGEINT)
+         ELSE CAST(4 AS HUGEINT) END AS e3d,
+    CASE WHEN m1 + 2 * m2 > 0 THEN CAST(m1 AS HUGEINT)
+         ELSE CAST(3 AS HUGEINT) END AS e2n,
+    CASE WHEN m1 + 2 * m2 > 0 THEN CAST(m1 + 2 * m2 AS HUGEINT)
+         ELSE CAST(4 AS HUGEINT) END AS e2d,
+    CAST(nbb AS HUGEINT) AS nbb
+  FROM g3, g2
+)
+SELECT c.u, c.v, c.w, c.n_uvw, x3.n_uv, x3.n1uv, b.c2_vw, x2.c2_v,
+       x2.n1v, p1.ncw,
+       round((GREATEST(CAST(c.n_uvw AS HUGEINT) * g.e3d - g.e3n,
+                       CAST(0 AS HUGEINT))
+                * (CAST(x2.c2_v AS HUGEINT) * g.e2d * g.nbb)
+              + g.e3n * x3.n1uv
+                * (GREATEST(CAST(b.c2_vw AS HUGEINT) * g.e2d - g.e2n,
+                            CAST(0 AS HUGEINT)) * g.nbb
+                   + g.e2n * x2.n1v * p1.ncw))::DOUBLE
+             / (CAST(x3.n_uv AS HUGEINT) * g.e3d * x2.c2_v * g.e2d
+                * g.nbb)::DOUBLE, 9) AS p
+FROM counts c JOIN ctx3 x3 USING (u, v) JOIN c2 b USING (v, w)
+     JOIN ctx2 x2 USING (v) JOIN pred p1 USING (w) CROSS JOIN g
 """
 
 

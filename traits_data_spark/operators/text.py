@@ -2100,6 +2100,218 @@ def train_mkn_lm(
     )
 
 
+def word_trigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """``(u, v, w, n_uvw)`` word-trigram type counts with a DOUBLE
+    sentence-start prepend (``<s> <s> w1 ...`` — the first real word
+    gets the well-defined context ``(<s>, <s>)``) — the order-3 count
+    stage of ``train_kn3_lm`` and a persistable LM-count index under
+    the same add-mergeable contract as ``word_bigram_counts``:
+    ``merge_trigram_counts`` of per-slice counts == counts over the
+    union, so a nightly ingest extends the persisted table from the
+    new batch alone and the model re-derives from the type-bounded
+    counts — history text is never re-tokenized.
+
+    Scale: one corpus-scale shuffle (the trigram groupBy, map-side
+    combine); the slide is two array slices zipped in-plan, no
+    self-join, no Python."""
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(
+        F.split(nt, " "),
+        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.concat(F.array(F.lit("<s>"), F.lit("<s>")), wlist).alias("ws")
+    )
+    arr = F.col("ws")
+    n = F.size(arr)
+    # zip the three 1-shifted views; slice length n-2 >= 0 always (the
+    # two-token prepend guarantees n >= 2, and an empty word list
+    # yields zero trigrams through the empty slices)
+    uv = F.zip_with(
+        F.slice(arr, 1, n - 2),
+        F.slice(arr, 2, n - 2),
+        lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+    )
+    tri = toks.select(
+        F.explode(
+            F.zip_with(
+                uv,
+                F.slice(arr, 3, n - 2),
+                lambda x, c: F.struct(
+                    x["u"].alias("u"), x["v"].alias("v"), c.alias("w")
+                ),
+            )
+        ).alias("tg")
+    )
+    return tri.groupBy(
+        F.col("tg.u").alias("u"),
+        F.col("tg.v").alias("v"),
+        F.col("tg.w").alias("w"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_uvw"))
+
+
+def merge_trigram_counts(*parts: DataFrame) -> DataFrame:
+    """Merge per-slice ``word_trigram_counts`` tables (union + keyed
+    sum) — one shuffle over count rows, never over text."""
+    if not parts:
+        raise ValueError("merge_trigram_counts needs at least one part")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("u", "v", "w").agg(
+        F.sum("n_uvw").cast("long").alias("n_uvw")
+    )
+
+
+def train_kn3_lm(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    prob_dp: int = 9,
+    keep_ratio: bool = False,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Train an interpolated Kneser-Ney word-TRIGRAM LM ON-CLUSTER —
+    one order up from ``train_kn_lm`` toward KenLM's order-5 CCNet
+    scorer (Kneser & Ney 1995; Chen & Goodman 1998 §3: highest order
+    uses raw counts, every lower order uses CONTINUATION type counts),
+    with the full backoff chain derived from the ONE trigram type
+    table::
+
+        P3(w|u,v) = max(c3(uvw) - D3, 0)/c3(uv.)
+                    + D3 * N1+(uv.)/c3(uv.) * P2(w|v)
+        P2(w|v)   = max(c2'(vw) - D2, 0)/c2'(v.)
+                    + D2 * N1+(v.)/c2'(v.) * P1(w)
+        P1(w)     = N1+(.w) / N1+(..)
+
+    where ``c2'(vw) = N1+(.vw)`` (distinct LEFT-extensions of the
+    bigram — counted by grouping trigram TYPES on (v, w), never by a
+    second corpus pass) and each order's Ney discount comes from that
+    order's count-of-counts: ``D3 = t1/(t1 + 2 t2)`` over raw trigram
+    counts, ``D2 = m1/(m1 + 2 m2)`` over the continuation-bigram
+    counts (textbook 3/4 fallback when a level's statistic is
+    degenerate — the ``train_kn_lm`` convention). Exactness: both
+    discounts ride as integer fractions, so the whole probability is
+    ONE integer ratio::
+
+        p = (max(c3*e3d - e3n, 0) * (c2v * e2d * Nbb)
+             + e3n * N1uv * (max(c2vw*e2d - e2n, 0) * Nbb
+                             + e2n * N1v * ncw))
+            / (c3(uv.) * e3d * c2v * e2d * Nbb)
+
+    carried as DECIMAL(38,0) (exact to 1e38; Spark yields NULL past
+    it, never a wrapped value), one final IEEE division rounded to
+    ``prob_dp``. Summed over the full vocabulary each (u, v) context
+    distributes exactly 1 — P2 itself sums to 1 because the
+    continuation-unigram masses ``ncw`` total ``Nbb`` (tested with
+    ``fractions.Fraction``). Overflow note: the denominator multiplies
+    five type-count statistics; at extreme web scale (every factor
+    ~1e8) it exceeds 1e38 — shard the model by (u, v) context hash
+    and train per shard, as with the bigram trainers.
+
+    Scale shape: ONE corpus-scale shuffle (the trigram groupBy,
+    map-side combine); the context totals, continuation tables,
+    count-of-count frames and the one-row discount frame all derive
+    from the type-bounded trigram table, never from a second corpus
+    pass. The model join fans the type table through four keyed joins
+    plus a one-row broadcast — type-table-sized shuffles, not corpus.
+
+    Output: ``(u, v, w, n_uvw, n_uv, n1uv, c2_vw, c2_v, n1v, ncw,
+    p)``; with ``keep_ratio=True`` the exact DECIMAL(38,0)
+    ``p_num``/``p_den`` ride along (``p_num >= 1`` always). Pass
+    ``counts=`` (a persisted ``word_trigram_counts`` index extended
+    via ``merge_trigram_counts``) to re-derive the model without
+    touching corpus text — exactly one of ``df``/``counts`` is
+    required."""
+    if counts is None:
+        if df is None:
+            raise ValueError("train_kn3_lm needs df or counts")
+        counts = word_trigram_counts(df, text_col, max_word_len)
+    elif df is not None:
+        raise ValueError(
+            "train_kn3_lm: pass df OR counts, not both — with "
+            "counts= the corpus text is never touched"
+        )
+    ctx3 = counts.groupBy("u", "v").agg(
+        F.sum("n_uvw").cast("long").alias("n_uv"),
+        F.count(F.lit(1)).cast("long").alias("n1uv"),
+    )
+    # continuation-bigram table: c2'(vw) = distinct left-extensions,
+    # i.e. one row per (v, w) with the trigram-type count
+    c2 = counts.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c2_vw")
+    )
+    ctx2 = c2.groupBy("v").agg(
+        F.sum("c2_vw").cast("long").alias("c2_v"),
+        F.count(F.lit(1)).cast("long").alias("n1v"),
+    )
+    pred = c2.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw")
+    )
+    DEC = "decimal(38,0)"
+
+    def _ney(frame: DataFrame, cnt: str, n_alias: str, d_alias: str):
+        """One-row (numerator, denominator) Ney discount from a count
+        column's count-of-counts, 3/4 fallback on degenerate stats."""
+        one = F.sum(F.when(F.col(cnt) == 1, 1).otherwise(0)).cast("long")
+        two = F.sum(F.when(F.col(cnt) == 2, 1).otherwise(0)).cast("long")
+        agg = frame.agg(one.alias("__o"), two.alias("__t"))
+        yd = F.col("__o") + 2 * F.col("__t")
+        return agg.select(
+            F.when(yd > 0, F.col("__o")).otherwise(F.lit(3))
+            .cast(DEC)
+            .alias(n_alias),
+            F.when(yd > 0, yd).otherwise(F.lit(4)).cast(DEC).alias(d_alias),
+        )
+    g3 = _ney(counts, "n_uvw", "__e3n", "__e3d")
+    g2 = _ney(c2, "c2_vw", "__e2n", "__e2d")
+    gbb = c2.agg(F.count(F.lit(1)).cast(DEC).alias("__nbb"))
+    glob = g3.crossJoin(g2).crossJoin(gbb)
+    p2num = (
+        F.greatest(
+            F.col("c2_vw").cast(DEC) * F.col("__e2d") - F.col("__e2n"),
+            F.lit(0).cast(DEC),
+        )
+        * F.col("__nbb")
+        + F.col("__e2n") * F.col("n1v").cast(DEC) * F.col("ncw").cast(DEC)
+    )
+    p2den = F.col("c2_v").cast(DEC) * F.col("__e2d") * F.col("__nbb")
+    num = (
+        F.greatest(
+            F.col("n_uvw").cast(DEC) * F.col("__e3d") - F.col("__e3n"),
+            F.lit(0).cast(DEC),
+        )
+        * p2den
+        + F.col("__e3n") * F.col("n1uv").cast(DEC) * p2num
+    ).cast(DEC)
+    den = (F.col("n_uv").cast(DEC) * F.col("__e3d") * p2den).cast(DEC)
+    cols = [
+        "u", "v", "w", "n_uvw", "n_uv", "n1uv", "c2_vw", "c2_v",
+        "n1v", "ncw",
+    ]
+    ratio = (
+        [num.alias("p_num"), den.alias("p_den")] if keep_ratio else []
+    )
+    return (
+        counts.join(ctx3, ["u", "v"])
+        .join(c2, ["v", "w"])
+        .join(ctx2, "v")
+        .join(pred, "w")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            *cols,
+            *ratio,
+            F.round(
+                num.cast("double") / den.cast("double"), prob_dp
+            ).alias("p"),
+        )
+    )
+
+
 def kn_doc_scores(
     df: DataFrame,
     id_col: str = "doc_id",
