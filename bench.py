@@ -201,9 +201,10 @@ BENCH_QUERIES = FLAGSHIPS + [
     "dsir_train_counts",
     "curriculum_pack",
     # round 15: order-3 interpolated KN (trigram index + continuation
-    # backoff chain); DSIR count-index consumption inside the curation
-    # chain
+    # backoff chain + train-then-score); DSIR count-index consumption
+    # inside the curation chain
     "train_kn3_lm",
+    "kn3_doc_scores",
     "curate_corpus_dsir_counts",
 ]
 

@@ -51,11 +51,11 @@ LOAD_BEARING = [
     # round-7 additions still in-window (epoch_expand / kmv_overlap /
     # snapshot_diff / shuffle_shards / containment_pairs rotated out
     # round 10 — driver-green rounds 7 through 9;
-    # bloom_decontaminate + mixture_plan rotated out round 15 —
-    # driver-green rounds 7-14; decon stays in-window via
+    # bloom_decontaminate + mixture_plan + gopher_rules rotated out
+    # round 15 — driver-green rounds 7-14; decon stays in-window via
     # semantic_decontaminate + decontamination_report, mixture via
-    # curate_corpus + the dsir entries)
-    "gopher_rules",
+    # curate_corpus + the dsir entries, quality rules via
+    # curate_corpus's Gopher gate and clean_corpus)
     "curate_corpus",
     "corpus_report",
     # round-8 additions (bpe_token_counts + incremental_exact_dedup
@@ -132,6 +132,7 @@ LOAD_BEARING = [
     "curriculum_pack",
     # round-15 additions: must be driver-attested before rotating out
     "train_kn3_lm",
+    "kn3_doc_scores",
     "curate_corpus_dsir_counts",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10

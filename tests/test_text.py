@@ -1036,6 +1036,50 @@ def test_train_kn3_lm_hand_computed(spark):
     assert seen + gamma3 * p2_unseen_c == 1
 
 
+def test_kn3_doc_scores_hand_computed(spark):
+    """Same engineered corpus as the kn3 trainer test: every trigram's
+    Q20 cost must equal ilog2_q20(p_den) - ilog2_q20(p_num) over the
+    hand-derived exact ratios (the trainer test above pins 1376/2100
+    and 1364/1400; the rest follow from the same backoff chain), and
+    the per-doc sums/means follow."""
+    from traits_data_spark.functions.intmath import ilog2_q20
+    from traits_data_spark.operators.text import kn3_doc_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c"), (3, "b c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in kn3_doc_scores(docs).collect()}
+    ratios = {
+        ("<s>", "<s>", "a"): (1376, 2100),
+        ("<s>", "<s>", "b"): (676, 2100),
+        ("<s>", "a", "b"): (1364, 1400),
+        ("<s>", "b", "c"): (874, 1050),
+        ("a", "b", "a"): (886, 3150),
+        ("a", "b", "c"): (2168, 3150),
+        ("b", "a", "b"): (664, 700),
+    }
+    bits = {
+        k: ilog2_q20(den) - ilog2_q20(num)
+        for k, (num, den) in ratios.items()
+    }
+    streams = {
+        1: [("<s>", "<s>", "a"), ("<s>", "a", "b"), ("a", "b", "a"),
+            ("b", "a", "b"), ("a", "b", "c")],
+        2: [("<s>", "<s>", "a"), ("<s>", "a", "b"), ("a", "b", "c")],
+        3: [("<s>", "<s>", "b"), ("<s>", "b", "c")],
+    }
+    for doc, tris in streams.items():
+        expect = sum(bits[t] for t in tris)
+        assert out[doc]["n_trigrams"] == len(tris)
+        assert out[doc]["nll_q20"] == expect
+        assert out[doc]["bits_per_trigram_q20"] == expect // len(tris)
+    # the doc containing the rare continuation (a, b, a) must cost
+    # more mean bits than the fluent doc 2
+    assert (
+        out[1]["bits_per_trigram_q20"] > out[2]["bits_per_trigram_q20"]
+    )
+
+
 def test_trigram_counts_merge_parity_and_kn3_counts_path(spark, documents):
     """merge_trigram_counts over ingest slices == counts over the
     union (the add-mergeable index contract); train_kn3_lm(counts=)

@@ -107,6 +107,7 @@ HEADLINE = [
     "near_dup_recall_report",
     "curate_corpus_dsir",
     "train_kn3_lm",
+    "kn3_doc_scores",
     "curate_corpus_dsir_counts",
 ]
 
@@ -185,6 +186,8 @@ MAX_SCANS = {
     # index, where the corpus is scanned once at count time and the
     # model re-derives corpus-free.
     "train_kn3_lm": 8,
+    # the trainer's 8 + the scoring trigram stream's own corpus pass
+    "kn3_doc_scores": 9,
     # same chain as curate_corpus_dsir with the count-index gate (the
     # dsir_counts slices + merge replace the in-plan text retrain)
     "curate_corpus_dsir_counts": 8,

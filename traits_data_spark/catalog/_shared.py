@@ -117,6 +117,7 @@ from traits_data_spark.operators.text import (
     bpe_train,
     bpe_train_token_counts,
     train_bigram_lm,
+    kn3_doc_scores,
     kn_doc_scores,
     train_kn3_lm,
     train_kn_lm,

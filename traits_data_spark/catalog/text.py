@@ -47,6 +47,7 @@ from traits_data_spark.catalog._shared import (
     score_perplexity_sampled,
     token_counts,
     train_bigram_lm,
+    kn3_doc_scores,
     kn_doc_scores,
     train_kn3_lm,
     train_kn_lm,
@@ -1086,22 +1087,26 @@ def q_train_kn3_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_kn3_lm(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
 
 
-_TRAIN_KN3_LM_SQL = f"""
-WITH d AS (
-  SELECT {_NORM} AS nt
+# Shared CTE chain for the order-3 KN family: trigram counts → the
+# continuation backoff tables → ``k3model(u, v, w, ..., p_num, p_den,
+# p)`` — the trainer oracle and the train-then-score oracle reuse it
+# verbatim so the replays can never diverge (the _KN_CTES pattern one
+# order up). ``t3`` carries doc_id for the scorer's trigram stream.
+_KN3_CTES = f"""d3 AS (
+  SELECT doc_id, {_NORM} AS nt
   FROM documents WHERE text IS NOT NULL
 ),
-t AS (
-  SELECT list_concat(['<s>', '<s>'],
+t3 AS (
+  SELECT doc_id, list_concat(['<s>', '<s>'],
              list_filter(string_split(nt, ' '),
              x -> length(x) > 0 AND length(x) <= {BPE_TRAIN_MAX_WORD_LEN}))
          AS ws
-  FROM d
+  FROM d3
 ),
 tr AS (
   SELECT unnest([{{'u': ws[k], 'v': ws[k+1], 'w': ws[k+2]}}
                  for k in range(1, len(ws) - 1)]) AS tg
-  FROM t
+  FROM t3
 ),
 counts AS (
   SELECT tg['u'] AS u, tg['v'] AS v, tg['w'] AS w,
@@ -1146,21 +1151,100 @@ g AS (
          ELSE CAST(4 AS HUGEINT) END AS e2d,
     CAST(nbb AS HUGEINT) AS nbb
   FROM g3, g2
-)
-SELECT c.u, c.v, c.w, c.n_uvw, x3.n_uv, x3.n1uv, b.c2_vw, x2.c2_v,
-       x2.n1v, p1.ncw,
-       round((GREATEST(CAST(c.n_uvw AS HUGEINT) * g.e3d - g.e3n,
-                       CAST(0 AS HUGEINT))
-                * (CAST(x2.c2_v AS HUGEINT) * g.e2d * g.nbb)
-              + g.e3n * x3.n1uv
-                * (GREATEST(CAST(b.c2_vw AS HUGEINT) * g.e2d - g.e2n,
-                            CAST(0 AS HUGEINT)) * g.nbb
-                   + g.e2n * x2.n1v * p1.ncw))::DOUBLE
-             / (CAST(x3.n_uv AS HUGEINT) * g.e3d * x2.c2_v * g.e2d
-                * g.nbb)::DOUBLE, 9) AS p
-FROM counts c JOIN ctx3 x3 USING (u, v) JOIN c2 b USING (v, w)
-     JOIN ctx2 x2 USING (v) JOIN pred p1 USING (w) CROSS JOIN g
+),
+k3model AS (
+  SELECT c.u, c.v, c.w, c.n_uvw, x3.n_uv, x3.n1uv, b.c2_vw, x2.c2_v,
+         x2.n1v, p1.ncw,
+         GREATEST(CAST(c.n_uvw AS HUGEINT) * g.e3d - g.e3n,
+                  CAST(0 AS HUGEINT))
+           * (CAST(x2.c2_v AS HUGEINT) * g.e2d * g.nbb)
+         + g.e3n * x3.n1uv
+           * (GREATEST(CAST(b.c2_vw AS HUGEINT) * g.e2d - g.e2n,
+                       CAST(0 AS HUGEINT)) * g.nbb
+              + g.e2n * x2.n1v * p1.ncw) AS p_num,
+         CAST(x3.n_uv AS HUGEINT) * g.e3d * x2.c2_v * g.e2d * g.nbb
+           AS p_den
+  FROM counts c JOIN ctx3 x3 USING (u, v) JOIN c2 b USING (v, w)
+       JOIN ctx2 x2 USING (v) JOIN pred p1 USING (w) CROSS JOIN g
+)"""
+
+_TRAIN_KN3_LM_SQL = (
+    "WITH "
+    + _KN3_CTES
+    + """
+SELECT u, v, w, n_uvw, n_uv, n1uv, c2_vw, c2_v, n1v, ncw,
+       round(p_num::DOUBLE / p_den::DOUBLE, 9) AS p
+FROM k3model
 """
+)
+
+
+def q_kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score at ORDER 3 (``operators.text.kn3_doc_scores``):
+    fit the interpolated trigram KN LM on the corpus, score every
+    document's trigram stream under it — per-trigram cost
+    ``ilog2_q20(p_den) - ilog2_q20(p_num)`` over the exact integer
+    ratio, summed per doc as a BIGINT. The CCNet fluency gate two
+    orders closer to KenLM's order-5 scorer, with zero offline
+    artifacts and zero libm on either engine; the oracle replays the
+    trainer AND the square-and-shift log2 recurrence in recursive
+    CTEs over the shared ``_KN3_CTES`` chain."""
+    docs = _t(spark, sf_dir, "documents")
+    return kn3_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+
+
+def _kn3_score_ctes() -> str:
+    """The order-3 train-then-score chain as CTEs ending in
+    ``k3score(doc_id, n_trigrams, nll_q20, bits_per_trigram_q20)`` —
+    shares ``_KN3_CTES`` with the trainer oracle so the replays can
+    never diverge. Needs ``WITH RECURSIVE`` (the ilog2 digit
+    recurrence). The exact HUGEINT ratio casts to BIGINT for the
+    64-bit log2 stage (the documented scoring boundary — DuckDB
+    errors loudly on a lossy cast, mirroring Spark's NULL)."""
+    return (
+        _KN3_CTES
+        + """,
+mo3 AS MATERIALIZED (
+  SELECT u || ' ' || v || ' ' || w AS bk, u, v, w,
+         CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den
+  FROM k3model
+),"""
+        + _ilog2_ctes("k3n", "(SELECT bk, p_num AS x FROM mo3)", "bk")
+        + ","
+        + _ilog2_ctes("k3d", "(SELECT bk, p_den AS x FROM mo3)", "bk")
+        + """,
+mbits3 AS (
+  SELECT mo3.u, mo3.v, mo3.w, k3d.il - k3n.il AS bits_q20
+  FROM mo3 JOIN k3n USING (bk) JOIN k3d USING (bk)
+),
+db3 AS (
+  SELECT doc_id, tg['u'] AS u, tg['v'] AS v, tg['w'] AS w FROM (
+    SELECT doc_id,
+           unnest([{'u': ws[k], 'v': ws[k+1], 'w': ws[k+2]}
+                   for k in range(1, len(ws) - 1)]) AS tg
+    FROM t3)
+),
+k3score AS (
+  SELECT db3.doc_id,
+         CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(sum(m.bits_q20) AS BIGINT) AS nll_q20,
+         CAST(CAST(sum(m.bits_q20) AS BIGINT)
+              // CAST(count(*) AS BIGINT) AS BIGINT)
+           AS bits_per_trigram_q20
+  FROM db3 JOIN mbits3 m USING (u, v, w)
+  GROUP BY db3.doc_id
+)"""
+    )
+
+
+def _kn3_doc_scores_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _kn3_score_ctes()
+        + """
+SELECT doc_id, n_trigrams, nll_q20, bits_per_trigram_q20 FROM k3score
+"""
+    )
 
 
 def q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

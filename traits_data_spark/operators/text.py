@@ -2312,6 +2312,112 @@ def train_kn3_lm(
     )
 
 
+def kn3_doc_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Train-then-score under the ORDER-3 interpolated Kneser-Ney LM —
+    ``kn_doc_scores`` one order up: fit ``train_kn3_lm`` on the
+    corpus, then score every document's trigram stream under the model
+    the plan just learned, with NO committed artifact and NO
+    transcendentals. Each trigram's cost is ``ilog2_q20(p_den) -
+    ilog2_q20(p_num)`` (exact Q20 negative log2 of the integer ratio,
+    ``intmath.with_ilog2_q20`` JVM-side), so the per-document sum is a
+    BIGINT: shuffle-order-free and hash-exact cross-engine. A longer
+    context sharpens the fluency signal the curriculum/perplexity
+    gates consume — the published CCNet scorer is order-5 KenLM; this
+    is the same family two orders closer.
+
+    Exactness boundary: the trainer carries ``p_num``/``p_den`` as
+    DECIMAL(38,0); the Q20 log2 stage is 64-bit integer arithmetic,
+    so both are cast to BIGINT here — exact while the model
+    denominator ``n_uv*e3d*c2_v*e2d*Nbb`` stays below 2^63 (holds
+    far past test scale; at web-corpus type counts shard the model by
+    (u, v) context hash as with training, which bounds every factor).
+    Spark yields NULL on a lossy cast (never a wrapped value), so a
+    breach is loud in any gate.
+
+    Scale: the trainer's one trigram shuffle, the ilog2 chain as pure
+    codegen over the type-bounded model, one corpus-scale shuffle
+    joining the per-doc trigram stream to the model on (u, v, w)
+    (broadcastable when the model is small), one doc-keyed agg.
+    Scoring the training corpus itself means every trigram is
+    in-model (no OOV branch); a deployment scoring NEW text backs off
+    through the same integer-ratio shapes.
+
+    Output: ``(id_col, n_trigrams, nll_q20, bits_per_trigram_q20)``
+    — total and truncated-mean negative log2-likelihood in Q20
+    micro-bits.
+    """
+    from traits_data_spark.functions.intmath import with_ilog2_q20
+
+    model = train_kn3_lm(
+        df, text_col=text_col, max_word_len=max_word_len,
+        keep_ratio=True,
+    ).select(
+        "u",
+        "v",
+        "w",
+        F.col("p_num").cast("long").alias("p_num"),
+        F.col("p_den").cast("long").alias("p_den"),
+    )
+    model = with_ilog2_q20(model, "p_num", "__iln")
+    model = with_ilog2_q20(model, "p_den", "__ild")
+    bits = model.select(
+        "u", "v", "w",
+        (F.col("__ild") - F.col("__iln")).alias("__bits_q20"),
+    )
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(
+        F.split(nt, " "),
+        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.concat(F.array(F.lit("<s>"), F.lit("<s>")), wlist).alias("ws"),
+    )
+    arr = F.col("ws")
+    n = F.size(arr)
+    uv = F.zip_with(
+        F.slice(arr, 1, n - 2),
+        F.slice(arr, 2, n - 2),
+        lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+    )
+    tri = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                uv,
+                F.slice(arr, 3, n - 2),
+                lambda x, c: F.struct(
+                    x["u"].alias("u"), x["v"].alias("v"), c.alias("w")
+                ),
+            )
+        ).alias("tg"),
+    ).select(
+        id_col,
+        F.col("tg.u").alias("u"),
+        F.col("tg.v").alias("v"),
+        F.col("tg.w").alias("w"),
+    )
+    return (
+        tri.join(bits, ["u", "v", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("__bits_q20").cast("long").alias("nll_q20"),
+        )
+        .withColumn(
+            "bits_per_trigram_q20",
+            # integer division (values are non-negative, so trunc ==
+            # floor on both engines; no double round-trip)
+            F.expr("nll_q20 DIV n_trigrams").cast("long"),
+        )
+    )
+
+
 def kn_doc_scores(
     df: DataFrame,
     id_col: str = "doc_id",
