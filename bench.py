@@ -206,6 +206,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "train_kn3_lm",
     "kn3_doc_scores",
     "curate_corpus_dsir_counts",
+    "train_mkn3_lm",
 ]
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every

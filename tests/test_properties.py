@@ -844,6 +844,164 @@ def test_train_kn3_lm_matches_fraction_reference(spark, docs):
         assert total == 1, ((u, v), docs)
 
 
+def _ref_mkn3(docs, max_word_len=32):
+    """Pure-Python order-3 MODIFIED-KN reference with exact Fractions:
+    per-order three-discount estimates (clamped integer fractions over
+    the reduced common denominators, per-order single-discount
+    fallback) on the continuation-count backoff chain. Returns
+    {(u, v, w): Fraction} plus the P2 closure and vocab for the
+    unit-mass identity, and the two (d1, d2, d3, DD) discount tuples
+    so tests can assert which branch fired."""
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    c3 = Counter()
+    for text in docs:
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if 0 < len(w) <= max_word_len
+        ]
+        seq = ["<s>", "<s>"] + words
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            c3[(a, b, c)] += 1
+    if not c3:
+        return {}, None, None, None
+
+    def mkn_disc(vals):
+        n = [0] * 5
+        for c in vals:
+            if c <= 4:
+                n[c] += 1
+        c1, c2_, c3_, c4 = n[1], n[2], n[3], n[4]
+        yd = c1 + 2 * c2_
+        if c1 > 0 and c2_ > 0 and c3_ > 0:
+            DD = c2_ * c3_ * yd
+            cl = lambda v, lvl: max(0, min(v, lvl * DD))  # noqa: E731
+            return (
+                cl(c1 * c2_ * c3_, 1),
+                cl((2 * c2_ * yd - 3 * c1 * c3_) * c3_, 2),
+                cl((3 * c3_ * yd - 4 * c1 * c4) * c2_, 3),
+                DD,
+            )
+        dn, dd = (c1, yd) if yd > 0 else (3, 4)
+        return dn, dn, dn, dd
+
+    t = mkn_disc(c3.values())
+    c2t, n_uv, nu = Counter(), Counter(), {}
+    for (u, v, w), c in c3.items():
+        c2t[(v, w)] += 1
+        n_uv[(u, v)] += c
+        b = nu.setdefault((u, v), [0, 0, 0])
+        b[0 if c == 1 else 1 if c == 2 else 2] += 1
+    e = mkn_disc(c2t.values())
+    c2v, mv, ncw = Counter(), {}, Counter()
+    for (v, w), c in c2t.items():
+        c2v[v] += c
+        ncw[w] += 1
+        b = mv.setdefault(v, [0, 0, 0])
+        b[0 if c == 1 else 1 if c == 2 else 2] += 1
+    nbb = len(c2t)
+
+    def p2(v, w):
+        c = c2t.get((v, w), 0)
+        disc = e[0] if c == 1 else e[1] if c == 2 else e[2]
+        g = e[0] * mv[v][0] + e[1] * mv[v][1] + e[2] * mv[v][2]
+        return Fraction(
+            max(c * e[3] - (disc if c else 0), 0), c2v[v] * e[3]
+        ) + Fraction(g, c2v[v] * e[3]) * Fraction(ncw[w], nbb)
+
+    model = {}
+    for (u, v, w), c in c3.items():
+        disc = t[0] if c == 1 else t[1] if c == 2 else t[2]
+        g = (
+            t[0] * nu[(u, v)][0]
+            + t[1] * nu[(u, v)][1]
+            + t[2] * nu[(u, v)][2]
+        )
+        model[(u, v, w)] = Fraction(
+            max(c * t[3] - disc, 0), n_uv[(u, v)] * t[3]
+        ) + Fraction(g, n_uv[(u, v)] * t[3]) * p2(v, w)
+    aux = {"p2": p2, "vocab": set(ncw), "nu": nu, "n_uv": n_uv, "t": t}
+    return model, aux, t, e
+
+
+def _assert_mkn3_matches(spark, docs):
+    from fractions import Fraction
+
+    from traits_data_spark.operators.text import train_mkn3_lm
+
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    rows = train_mkn3_lm(df, keep_ratio=True).collect()
+    ref, aux, t, e = _ref_mkn3(docs)
+    got = {(r["u"], r["v"], r["w"]): r for r in rows}
+    assert set(got) == set(ref)
+    for k, frac in ref.items():
+        r = got[k]
+        assert Fraction(int(r["p_num"]), int(r["p_den"])) == frac, (
+            k, docs,
+        )
+        assert r["p"] == round(float(frac), 9), (k, docs)
+    if not ref:
+        return t, e
+    # full-vocabulary unit mass per (u, v) context
+    p2, vocab = aux["p2"], aux["vocab"]
+    nu, n_uv, td = aux["nu"], aux["n_uv"], aux["t"]
+    by_ctx = {}
+    for (u, v, w), frac in ref.items():
+        by_ctx.setdefault((u, v), []).append((w, frac))
+    for ctx, pairs in by_ctx.items():
+        seen_ws = {w for w, _ in pairs}
+        g = (
+            td[0] * nu[ctx][0]
+            + td[1] * nu[ctx][1]
+            + td[2] * nu[ctx][2]
+        )
+        gamma = Fraction(g, n_uv[ctx] * td[3])
+        total = sum(frac for _, frac in pairs) + gamma * sum(
+            p2(ctx[1], w) for w in vocab - seen_ws
+        )
+        assert total == 1, (ctx, docs)
+    return t, e
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@_settings
+def test_train_mkn3_lm_matches_fraction_reference(spark, docs):
+    """Randomized corpora (mostly exercising the per-order fallback
+    paths): every trained order-3 modified-KN probability equals the
+    exact backoff-chain Fraction reference, and each context's
+    full-vocabulary mass is exactly 1."""
+    _assert_mkn3_matches(spark, docs)
+
+
+def test_train_mkn3_lm_healthy_branches_fire(spark):
+    """Engineered corpus where BOTH orders' count-of-count chains are
+    healthy (t1..t3 > 0 via 1x/2x/3x/4x replicated docs; m1..m3 > 0
+    via shared-suffix trigrams with 1/2/3 distinct left-extensions) —
+    pins the three-discount branch at both levels against the exact
+    reference, not just the fallback."""
+    docs = (
+        ["a b"] * 1
+        + ["c d"] * 2
+        + ["e f"] * 3
+        + ["g h"] * 4
+        + ["p x y"] * 1
+        + ["q x y"] * 2
+        + ["r z w2"] * 3
+        + ["s z w2"] * 1
+        + ["t z w2"] * 2
+    )
+    t, e = _assert_mkn3_matches(spark, docs)
+    # trigram level: t1=8, t2=8, t3=5, t4=2 -> healthy, three DISTINCT
+    # clamped numerators (320 / 1320 / 2368 over DD=960)
+    assert (t[0], t[1], t[2], t[3]) == (320, 1320, 2368, 960)
+    # continuation level: m1=18, m2=1, m3=1, m4=0 -> healthy with E2's
+    # raw estimate clamped at its floor (18 / 0 / 60 over DD=20)
+    assert (e[0], e[1], e[2], e[3]) == (18, 0, 60, 20)
+
+
 @given(
     pools=st.lists(
         st.lists(

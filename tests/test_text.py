@@ -1111,6 +1111,16 @@ def test_trigram_counts_merge_parity_and_kn3_counts_path(spark, documents):
         train_kn3_lm()
     with pytest.raises(ValueError, match="at least one part"):
         merge_trigram_counts()
+    # the modified-KN order-3 trainer shares the index contract
+    from traits_data_spark.operators.text import train_mkn3_lm
+
+    assert key(train_mkn3_lm(counts=merged).collect()) == key(
+        train_mkn3_lm(docs).collect()
+    )
+    with pytest.raises(ValueError, match="not both"):
+        train_mkn3_lm(docs, counts=merged)
+    with pytest.raises(ValueError, match="needs df or counts"):
+        train_mkn3_lm()
 
 
 def test_train_mkn_lm_bigint_boundary_exact(spark):

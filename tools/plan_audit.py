@@ -109,6 +109,7 @@ HEADLINE = [
     "train_kn3_lm",
     "kn3_doc_scores",
     "curate_corpus_dsir_counts",
+    "train_mkn3_lm",
 ]
 
 
@@ -188,6 +189,9 @@ MAX_SCANS = {
     "train_kn3_lm": 8,
     # the trainer's 8 + the scoring trigram stream's own corpus pass
     "kn3_doc_scores": 9,
+    # same aggregate fan as train_kn3_lm (richer bucket columns ride
+    # the same groupBys)
+    "train_mkn3_lm": 8,
     # same chain as curate_corpus_dsir with the count-index gate (the
     # dsir_counts slices + merge replace the in-plan text retrain)
     "curate_corpus_dsir_counts": 8,

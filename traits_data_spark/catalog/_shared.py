@@ -121,6 +121,7 @@ from traits_data_spark.operators.text import (
     kn_doc_scores,
     train_kn3_lm,
     train_kn_lm,
+    train_mkn3_lm,
     train_mkn_lm,
     bpe_token_counts_table,
     load_bpe_merges,

@@ -51,6 +51,7 @@ from traits_data_spark.catalog._shared import (
     kn_doc_scores,
     train_kn3_lm,
     train_kn_lm,
+    train_mkn3_lm,
     train_mkn_lm,
     unigram_token_counts,
     unigram_train,
@@ -1115,7 +1116,13 @@ counts AS (
 ),
 ctx3 AS (
   SELECT u, v, CAST(SUM(n_uvw) AS BIGINT) AS n_uv,
-         CAST(COUNT(*) AS BIGINT) AS n1uv
+         CAST(COUNT(*) AS BIGINT) AS n1uv,
+         CAST(SUM(CASE WHEN n_uvw = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nu1uv,
+         CAST(SUM(CASE WHEN n_uvw = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nu2uv,
+         CAST(SUM(CASE WHEN n_uvw >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nu3puv
   FROM counts GROUP BY u, v
 ),
 c2 AS (
@@ -1124,18 +1131,28 @@ c2 AS (
 ),
 ctx2 AS (
   SELECT v, CAST(SUM(c2_vw) AS BIGINT) AS c2_v,
-         CAST(COUNT(*) AS BIGINT) AS n1v
+         CAST(COUNT(*) AS BIGINT) AS n1v,
+         CAST(SUM(CASE WHEN c2_vw = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS mv1,
+         CAST(SUM(CASE WHEN c2_vw = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS mv2,
+         CAST(SUM(CASE WHEN c2_vw >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS mv3p
   FROM c2 GROUP BY v
 ),
 pred AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ncw FROM c2 GROUP BY w),
 g3 AS (
   SELECT CAST(SUM(CASE WHEN n_uvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
-         CAST(SUM(CASE WHEN n_uvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+         CAST(SUM(CASE WHEN n_uvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+         CAST(SUM(CASE WHEN n_uvw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+         CAST(SUM(CASE WHEN n_uvw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS t4
   FROM counts
 ),
 g2 AS (
   SELECT CAST(SUM(CASE WHEN c2_vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
          CAST(SUM(CASE WHEN c2_vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+         CAST(SUM(CASE WHEN c2_vw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+         CAST(SUM(CASE WHEN c2_vw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS m4,
          CAST(COUNT(*) AS BIGINT) AS nbb
   FROM c2
 ),
@@ -1177,6 +1194,89 @@ SELECT u, v, w, n_uvw, n_uv, n1uv, c2_vw, c2_v, n1v, ncw,
 FROM k3model
 """
 )
+
+
+def _mkn_disc_cols(c: str, p: str) -> str:
+    """The modified-KN discount columns (clamped integer fractions over
+    the reduced common denominator, per-level single-discount
+    fallback) from a count-of-count row ``{c}1..{c}4`` — the
+    ``train_mkn_lm`` g-CTE shape, name-prefixed ``{p}`` so the trigram
+    and continuation levels coexist in one frame."""
+    yd = f"CAST({c}1 + 2 * {c}2 AS HUGEINT)"
+    big = f"(CAST({c}2 AS HUGEINT) * {c}3 * ({c}1 + 2 * {c}2))"
+    healthy = f"({c}1 > 0 AND {c}2 > 0 AND {c}3 > 0)"
+    fb = (f"CASE WHEN {c}1 + 2 * {c}2 > 0 THEN CAST({c}1 AS HUGEINT) "
+          f"ELSE CAST(3 AS HUGEINT) END")
+
+    def clamp(raw: str, level: int) -> str:
+        return (f"LEAST(GREATEST({raw}, CAST(0 AS HUGEINT)), "
+                f"CAST({level} AS HUGEINT) * {big})")
+
+    d1 = clamp(f"CAST({c}1 AS HUGEINT) * {c}2 * {c}3", 1)
+    d2 = clamp(
+        f"(2 * CAST({c}2 AS HUGEINT) * {yd}"
+        f" - 3 * CAST({c}1 AS HUGEINT) * {c}3) * {c}3", 2
+    )
+    d3 = clamp(
+        f"(3 * CAST({c}3 AS HUGEINT) * {yd}"
+        f" - 4 * CAST({c}1 AS HUGEINT) * {c}4) * {c}2", 3
+    )
+    return f"""
+    CASE WHEN {healthy} THEN {d1} ELSE {fb} END AS {p}1,
+    CASE WHEN {healthy} THEN {d2} ELSE {fb} END AS {p}2,
+    CASE WHEN {healthy} THEN {d3} ELSE {fb} END AS {p}3,
+    CASE WHEN {healthy} THEN {big}
+         WHEN {c}1 + 2 * {c}2 > 0 THEN {yd}
+         ELSE CAST(4 AS HUGEINT) END AS {p}D"""
+
+
+_TRAIN_MKN3_LM_SQL = (
+    "WITH "
+    + _KN3_CTES
+    + f""",
+mg AS (
+  SELECT {_mkn_disc_cols('t', 'dt')},
+         {_mkn_disc_cols('m', 'de')},
+         CAST(nbb AS HUGEINT) AS nbb
+  FROM g3, g2
+)
+SELECT c.u, c.v, c.w, c.n_uvw, x3.n_uv, x3.nu1uv, x3.nu2uv, x3.nu3puv,
+       b.c2_vw, x2.c2_v, x2.mv1, x2.mv2, x2.mv3p, p1.ncw,
+       round((GREATEST(CAST(c.n_uvw AS HUGEINT) * mg.dtD
+                - CASE WHEN c.n_uvw = 1 THEN mg.dt1
+                       WHEN c.n_uvw = 2 THEN mg.dt2
+                       ELSE mg.dt3 END, CAST(0 AS HUGEINT))
+              * (CAST(x2.c2_v AS HUGEINT) * mg.deD * mg.nbb)
+              + (mg.dt1 * x3.nu1uv + mg.dt2 * x3.nu2uv
+                 + mg.dt3 * x3.nu3puv)
+                * (GREATEST(CAST(b.c2_vw AS HUGEINT) * mg.deD
+                     - CASE WHEN b.c2_vw = 1 THEN mg.de1
+                            WHEN b.c2_vw = 2 THEN mg.de2
+                            ELSE mg.de3 END, CAST(0 AS HUGEINT))
+                     * mg.nbb
+                   + (mg.de1 * x2.mv1 + mg.de2 * x2.mv2
+                      + mg.de3 * x2.mv3p) * p1.ncw))::DOUBLE
+             / (CAST(x3.n_uv AS HUGEINT) * mg.dtD * x2.c2_v * mg.deD
+                * mg.nbb)::DOUBLE, 9) AS p
+FROM counts c JOIN ctx3 x3 USING (u, v) JOIN c2 b USING (v, w)
+     JOIN ctx2 x2 USING (v) JOIN pred p1 USING (w) CROSS JOIN mg
+"""
+)
+
+
+def q_train_mkn3_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MODIFIED Kneser-Ney word-TRIGRAM LM training
+    (``operators.text.train_mkn3_lm``) — KenLM's estimator class at
+    order 3: the round-14 three-discount machinery applied per order
+    to the round-15 continuation-count backoff chain, each order's
+    D1/D2/D3+ estimated from its own count-of-counts (raw trigram
+    stats t1..t4, continuation-bigram stats m1..m4) as clamped
+    integer fractions over the reduced common denominators. Every
+    probability is ONE exact DECIMAL(38,0)/HUGEINT ratio + a single
+    rounded IEEE division. Same scale shape as ``train_kn3_lm``: one
+    corpus trigram shuffle, everything else type-table-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    return train_mkn3_lm(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
 
 
 def q_kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2312,6 +2312,204 @@ def train_kn3_lm(
     )
 
 
+def train_mkn3_lm(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    prob_dp: int = 9,
+    keep_ratio: bool = False,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Train a MODIFIED Kneser-Ney word-TRIGRAM LM ON-CLUSTER — the
+    round-14 mKN estimator (KenLM's smoothing class: three
+    count-dependent discounts per order, Chen & Goodman 1998 §3)
+    applied to the round-15 order-3 backoff chain, i.e. exactly what
+    KenLM computes at order 3. Each ORDER estimates its own D1/D2/D3+
+    from its own count-of-counts — the trigram level from raw-count
+    statistics t1..t4, the continuation-bigram level from the
+    c2'(vw)-count statistics m1..m4 — with the reduced common
+    denominators (``DD3 = t2*t3*(t1+2 t2)``, ``DD2 = m2*m3*(m1+2 m2)``
+    — the n1 factor cancels out of each D1 as in ``train_mkn_lm``)::
+
+        P3(w|u,v) = (n_uvw - D(n_uvw))/n_uv + gamma3(u,v) * P2(w|v)
+        gamma3    = (D1*nu1uv + D2*nu2uv + D3*nu3puv)/n_uv
+        P2(w|v)   = (c2'(vw) - E(c2'(vw)))/c2'(v.) + gamma2(v) * ncw/Nbb
+        gamma2    = (E1*mv1 + E2*mv2 + E3*mv3p)/c2'(v.)
+
+    where nu1uv/nu2uv/nu3puv bucket the types in context (u, v) by
+    raw count 1/2/3+ and mv1/mv2/mv3p bucket v's continuation row by
+    c2' count. All discounts are clamped integer fractions
+    (``[0, level]`` — the clamp keeps every count term non-negative
+    since the applicable count >= level on each branch); degenerate
+    count-of-count chains fall back per order to the single-discount
+    estimate (``train_kn_lm``'s convention). The whole probability is
+    ONE exact integer ratio carried as DECIMAL(38,0) (HUGEINT on the
+    DuckDB oracle; NULL/error past 1e38, never a silent wrap), one
+    final IEEE division rounded to ``prob_dp``. Summed over the full
+    vocabulary each (u, v) context distributes exactly 1 (tested with
+    ``fractions.Fraction``).
+
+    Scale shape: identical to ``train_kn3_lm`` — ONE corpus-scale
+    shuffle (the trigram groupBy); every other input derives from the
+    type-bounded trigram table. Output: ``(u, v, w, n_uvw, n_uv,
+    nu1uv, nu2uv, nu3puv, c2_vw, c2_v, mv1, mv2, mv3p, ncw, p)``;
+    ``keep_ratio=True`` adds the exact ``p_num``/``p_den``. Pass
+    ``counts=`` (a persisted ``word_trigram_counts`` index extended
+    via ``merge_trigram_counts``) to re-derive the model without
+    touching corpus text — exactly one of ``df``/``counts`` is
+    required."""
+    if counts is None:
+        if df is None:
+            raise ValueError("train_mkn3_lm needs df or counts")
+        counts = word_trigram_counts(df, text_col, max_word_len)
+    elif df is not None:
+        raise ValueError(
+            "train_mkn3_lm: pass df OR counts, not both — with "
+            "counts= the corpus text is never touched"
+        )
+    DEC = "decimal(38,0)"
+
+    def _bucket(cnt: str, k: int):
+        cond = F.col(cnt) == k if k < 3 else F.col(cnt) >= 3
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    ctx3 = counts.groupBy("u", "v").agg(
+        F.sum("n_uvw").cast("long").alias("n_uv"),
+        _bucket("n_uvw", 1).alias("nu1uv"),
+        _bucket("n_uvw", 2).alias("nu2uv"),
+        _bucket("n_uvw", 3).alias("nu3puv"),
+    )
+    c2 = counts.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c2_vw")
+    )
+    ctx2 = c2.groupBy("v").agg(
+        F.sum("c2_vw").cast("long").alias("c2_v"),
+        _bucket("c2_vw", 1).alias("mv1"),
+        _bucket("c2_vw", 2).alias("mv2"),
+        _bucket("c2_vw", 3).alias("mv3p"),
+    )
+    pred = c2.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw")
+    )
+
+    def _mkn_glob(frame: DataFrame, cnt: str, p: str) -> DataFrame:
+        """One-row (d1, d2, d3, DD) modified-KN discount frame from a
+        count column's count-of-counts — the ``train_mkn_lm`` glob
+        with the reduced denominator, name-prefixed so the trigram
+        (p='t') and continuation (p='e') levels coexist in one
+        broadcast."""
+        raw = frame.agg(
+            *[
+                F.sum(F.when(F.col(cnt) == k, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__c{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+        healthy = (
+            (F.col("__c1") > 0)
+            & (F.col("__c2") > 0)
+            & (F.col("__c3") > 0)
+        )
+        c1, c2_, c3, c4 = (
+            F.col(f"__c{k}").cast(DEC) for k in (1, 2, 3, 4)
+        )
+        yd = c1 + F.lit(2).cast(DEC) * c2_
+        big = c2_ * c3 * yd
+
+        def _clamp(expr, level):
+            return F.least(
+                F.greatest(expr, F.lit(0).cast(DEC)),
+                F.lit(level).cast(DEC) * big,
+            )
+
+        d1r = c1 * c2_ * c3
+        d2r = (F.lit(2).cast(DEC) * c2_ * yd
+               - F.lit(3).cast(DEC) * c1 * c3) * c3
+        d3r = (F.lit(3).cast(DEC) * c3 * yd
+               - F.lit(4).cast(DEC) * c1 * c4) * c2_
+        fb_dn = F.when(yd > 0, c1).otherwise(F.lit(3).cast(DEC))
+        fb_dd = F.when(yd > 0, yd).otherwise(F.lit(4).cast(DEC))
+        return raw.select(
+            F.when(healthy, _clamp(d1r, 1)).otherwise(fb_dn)
+            .cast(DEC)
+            .alias(f"__{p}1"),
+            F.when(healthy, _clamp(d2r, 2)).otherwise(fb_dn)
+            .cast(DEC)
+            .alias(f"__{p}2"),
+            F.when(healthy, _clamp(d3r, 3)).otherwise(fb_dn)
+            .cast(DEC)
+            .alias(f"__{p}3"),
+            F.when(healthy, big).otherwise(fb_dd)
+            .cast(DEC)
+            .alias(f"__{p}D"),
+        )
+
+    g3 = _mkn_glob(counts, "n_uvw", "t")
+    g2 = _mkn_glob(c2, "c2_vw", "e")
+    gbb = c2.agg(F.count(F.lit(1)).cast(DEC).alias("__nbb"))
+    glob = g3.crossJoin(g2).crossJoin(gbb)
+    disc3 = (
+        F.when(F.col("n_uvw") == 1, F.col("__t1"))
+        .when(F.col("n_uvw") == 2, F.col("__t2"))
+        .otherwise(F.col("__t3"))
+    )
+    disc2 = (
+        F.when(F.col("c2_vw") == 1, F.col("__e1"))
+        .when(F.col("c2_vw") == 2, F.col("__e2"))
+        .otherwise(F.col("__e3"))
+    )
+    gamma2 = (
+        F.col("__e1") * F.col("mv1").cast(DEC)
+        + F.col("__e2") * F.col("mv2").cast(DEC)
+        + F.col("__e3") * F.col("mv3p").cast(DEC)
+    )
+    gamma3 = (
+        F.col("__t1") * F.col("nu1uv").cast(DEC)
+        + F.col("__t2") * F.col("nu2uv").cast(DEC)
+        + F.col("__t3") * F.col("nu3puv").cast(DEC)
+    )
+    p2num = (
+        F.greatest(
+            F.col("c2_vw").cast(DEC) * F.col("__eD") - disc2,
+            F.lit(0).cast(DEC),
+        )
+        * F.col("__nbb")
+        + gamma2 * F.col("ncw").cast(DEC)
+    )
+    p2den = F.col("c2_v").cast(DEC) * F.col("__eD") * F.col("__nbb")
+    num = (
+        F.greatest(
+            F.col("n_uvw").cast(DEC) * F.col("__tD") - disc3,
+            F.lit(0).cast(DEC),
+        )
+        * p2den
+        + gamma3 * p2num
+    ).cast(DEC)
+    den = (F.col("n_uv").cast(DEC) * F.col("__tD") * p2den).cast(DEC)
+    cols = [
+        "u", "v", "w", "n_uvw", "n_uv", "nu1uv", "nu2uv", "nu3puv",
+        "c2_vw", "c2_v", "mv1", "mv2", "mv3p", "ncw",
+    ]
+    ratio = (
+        [num.alias("p_num"), den.alias("p_den")] if keep_ratio else []
+    )
+    return (
+        counts.join(ctx3, ["u", "v"])
+        .join(c2, ["v", "w"])
+        .join(ctx2, "v")
+        .join(pred, "w")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            *cols,
+            *ratio,
+            F.round(
+                num.cast("double") / den.cast("double"), prob_dp
+            ).alias("p"),
+        )
+    )
+
+
 def kn3_doc_scores(
     df: DataFrame,
     id_col: str = "doc_id",
