@@ -48,7 +48,20 @@ def test_git_sha_matches_head():
         capture_output=True,
         text=True,
     ).stdout.strip()
-    assert git_sha(REPO) == head
+    stamp = git_sha(REPO)
+    dirty = subprocess.run(
+        ["git", "-C", REPO, "diff", "HEAD", "--", "*.py"],
+        capture_output=True,
+        text=True,
+    ).stdout
+    if dirty:
+        # Dirty tree: stamp must NOT equal bare HEAD (round-15 advice —
+        # two boards from the same HEAD but different uncommitted code
+        # must not merge) and must be deterministic for the same diff.
+        assert stamp.startswith(head + "-dirty-")
+        assert stamp == git_sha(REPO)
+    else:
+        assert stamp == head
 
 
 def test_bench_compare_flags_regression_at_comparable_load(tmp_path):

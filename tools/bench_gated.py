@@ -105,8 +105,12 @@ def main() -> int:
             return 0
         print(f"bench_gated: board load_start_1m {board_load} drifted "
               "out of band between poll and JVM start — retrying")
-    print("bench_gated: exhausted retries; last board stands")
-    return 0
+    # Distinct exit code (round-15 advice): downstream automation must
+    # be able to tell "comparable board committed" (0) from "retries
+    # exhausted, board is informational only" without parsing the log.
+    print("bench_gated: exhausted retries; last board stands "
+          "(informational only — exit 4)")
+    return 4
 
 
 if __name__ == "__main__":

@@ -43,11 +43,16 @@ def anchor_start_load(anchor_path: str) -> float | None:
 
 
 def git_sha(here: str) -> str | None:
-    """HEAD SHA of the repo the bench ran in, recorded into every board
-    so bench_compare can refuse to merge per-query minima across
-    boards from different code versions (round-14 advice: a
+    """Code-version stamp of the repo the bench ran in, recorded into
+    every board so bench_compare can refuse to merge per-query minima
+    across boards from different code versions (round-14 advice: a
     pre-regression prev board's faster minima would mask a genuine
-    regression introduced by the commit under test)."""
+    regression introduced by the commit under test).
+
+    A dirty working tree appends ``-dirty-<diffhash>`` (round-15
+    advice): two boards benched from the same HEAD but different
+    uncommitted code must NOT carry identical stamps, and two boards
+    from the SAME dirty tree still merge (equal diff hash)."""
     try:
         out = subprocess.run(
             ["git", "-C", here, "rev-parse", "HEAD"],
@@ -55,7 +60,22 @@ def git_sha(here: str) -> str | None:
             text=True,
             timeout=10,
         )
-        return out.stdout.strip() or None if out.returncode == 0 else None
+        if out.returncode != 0 or not out.stdout.strip():
+            return None
+        sha = out.stdout.strip()
+        diff = subprocess.run(
+            ["git", "-C", here, "diff", "HEAD", "--", "*.py"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if diff.returncode == 0 and diff.stdout:
+            import hashlib
+
+            sha += "-dirty-" + hashlib.sha256(
+                diff.stdout.encode()
+            ).hexdigest()[:12]
+        return sha
     except OSError:
         return None
 

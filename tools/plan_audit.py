@@ -348,6 +348,10 @@ def main() -> None:
             "only — re-run with --exec for the binding gate",
             file=sys.stderr,
         )
+        # Distinct exit code (round-15 advice): a caller invoking the
+        # audit without --exec must not read over-bound plans as a
+        # pass. 3 = advisory violations present (vs 1 = binding FAIL).
+        sys.exit(3)
 
 
 if __name__ == "__main__":

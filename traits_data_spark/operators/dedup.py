@@ -35,18 +35,62 @@ MINHASH_HEX_CHARS = 7  # 28-bit shingle hash
 
 def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster's default parallelism
-    when the input has fewer partitions than cores.
+    when the input scan would yield fewer splits than cores.
 
     CPU-bound expansion work (shingling, hashing) inherits the scan's
     partitioning; a small input file reads as ONE partition and
     serializes the whole job onto one core. At real scale inputs
-    already have >= cores partitions and this is a no-op — the check
-    keeps it from injecting a pointless full-data shuffle there.
+    already split into >= cores partitions and this is a no-op — the
+    check keeps it from injecting a pointless full-data shuffle there.
+
+    The probe is pure driver-side metadata: ``df.inputFiles()`` (plan
+    resolution only — no job, no RDD conversion, unlike the previous
+    ``df.rdd.getNumPartitions()`` which forced partial plan
+    evaluation per call) and, only when the file count alone is below
+    parallelism, a Hadoop-FS ``getFileStatus`` per file to estimate
+    splits as ``ceil(size / spark.sql.files.maxPartitionBytes)`` —
+    the same arithmetic FilePartition packing uses, bounded to
+    ``defaultParallelism`` stat calls. Non-file inputs (in-memory
+    frames) report no files and are left untouched: local-relation
+    parallelize already slices to ``defaultParallelism``.
     """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= cores:
+        return df
+    # Few files: they may still split. Estimate split count from file
+    # sizes vs maxPartitionBytes (driver metadata; <= cores stats).
+    try:
+        mpb_conf = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        mpb = int("".join(c for c in mpb_conf if c.isdigit()) or "134217728")
+        if mpb_conf.lower().endswith(("k", "kb")):
+            mpb *= 1024
+        elif mpb_conf.lower().endswith(("m", "mb")):
+            mpb *= 1024 * 1024
+        elif mpb_conf.lower().endswith(("g", "gb")):
+            mpb *= 1024 * 1024 * 1024
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(hconf)
+            size = fs.getFileStatus(path).getLen()
+            splits += max(1, -(-size // mpb))
+            if splits >= cores:
+                return df
+    except Exception:
+        # Un-stat-able source (exotic FS): fall back to file count,
+        # which is < cores on this branch — widen.
+        pass
+    return df.repartition(cores)
 
 
 def normalized_text(col: Column | str, lowercase: bool = True) -> Column:

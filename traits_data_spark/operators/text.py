@@ -2534,8 +2534,10 @@ def kn3_doc_scores(
     denominator ``n_uv*e3d*c2_v*e2d*Nbb`` stays below 2^63 (holds
     far past test scale; at web-corpus type counts shard the model by
     (u, v) context hash as with training, which bounds every factor).
-    Spark yields NULL on a lossy cast (never a wrapped value), so a
-    breach is loud in any gate.
+    The cast is ``try_cast``, which yields NULL on overflow (never a
+    wrapped value) REGARDLESS of ``spark.sql.ansi.enabled`` — a plain
+    cast would throw under ANSI and silently depend on session config
+    otherwise — so a breach is loud in any gate.
 
     Scale: the trainer's one trigram shuffle, the ilog2 chain as pure
     codegen over the type-bounded model, one corpus-scale shuffle
@@ -2558,8 +2560,8 @@ def kn3_doc_scores(
         "u",
         "v",
         "w",
-        F.col("p_num").cast("long").alias("p_num"),
-        F.col("p_den").cast("long").alias("p_den"),
+        F.col("p_num").try_cast("long").alias("p_num"),
+        F.col("p_den").try_cast("long").alias("p_den"),
     )
     model = with_ilog2_q20(model, "p_num", "__iln")
     model = with_ilog2_q20(model, "p_den", "__ild")
