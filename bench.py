@@ -118,6 +118,7 @@ BENCH_QUERIES = FLAGSHIPS + [
     "funnel_within",
     "price_histogram",
     "merge_upsert",
+    "merge_upsert_delete",
     "asof_join",
     "range_join",
     "kmv_distinct",

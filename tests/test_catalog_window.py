@@ -57,12 +57,15 @@ LOAD_BEARING = [
     # curate_corpus + the dsir entries, quality rules via
     # curate_corpus's Gopher gate and clean_corpus)
     "curate_corpus",
-    "corpus_report",
+    # corpus_report rotated out round 16 (driver-green rounds 7-15;
+    # corpus-stats family stays via curate_corpus + source_diversity)
     # round-8 additions (bpe_token_counts + incremental_exact_dedup
     # rotated out round 10 — driver-green rounds 8 AND 9; funnel_steps /
     # cohort_retention / decayed_engagement / hll_distinct rotated out
     # round 8)
-    "curate_corpus_bpe",
+    # curate_corpus_bpe rotated out round 16 (driver-green rounds 8-15;
+    # BPE family stays via bpe_token_counts_large +
+    # bpe_merge_token_counts + tokenizer_fertility)
     # round-9 additions: must be driver-attested before rotating out
     # (feature_filter / kmv_distinct rotated out — driver-green rounds
     # 4 through 8)
@@ -134,6 +137,10 @@ LOAD_BEARING = [
     "train_kn3_lm",
     "kn3_doc_scores",
     "curate_corpus_dsir_counts",
+    # round-16: train_mkn3_lm rotated in (the only never-driver-attested
+    # entry, r15 judge-verified) + the keyed-retraction MERGE
+    "train_mkn3_lm",
+    "merge_upsert_delete",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

@@ -50,6 +50,54 @@ def test_upsert_parquet_partition_roundtrip(spark, tmp_path):
     assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
 
 
+def test_merge_delete_retracts_and_wins_over_update(spark):
+    existing = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], ["k", "v"]
+    )
+    updates = spark.createDataFrame([(2, "new2"), (4, "new4")], ["k", "v"])
+    # k=2 is both updated and retracted: delete wins (fail-safe).
+    deletes = spark.createDataFrame([(2,), (3,), (99,)], ["k"])
+    out = {
+        r["k"]: r["v"]
+        for r in merge_upsert(existing, updates, ["k"], deletes=deletes).collect()
+    }
+    assert out == {1: "old1", 4: "new4"}
+
+
+def test_upsert_parquet_delete_roundtrip(spark, tmp_path):
+    """A retracted key is gone after re-merge — including from a
+    partition the update batch never touches, and a partition the
+    retraction fully empties leaves no stale files behind."""
+    path = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [(1, "p1", "a"), (2, "p1", "b"), (3, "p2", "c"), (5, "p3", "e")],
+        ["k", "part", "v"],
+    )
+    upsert_parquet_partition(first, path, keys=["k"], partition_by=["part"])
+    delta = spark.createDataFrame([(4, "p1", "d")], ["k", "part", "v"])
+    # k=2 lives in touched p1; k=3 lives in untouched p2 (and is p2's
+    # only row, so the p2 directory itself must disappear).
+    deletes = spark.createDataFrame([(2,), (3,)], ["k"])
+    upsert_parquet_partition(
+        delta, path, keys=["k"], partition_by=["part"], deletes=deletes
+    )
+    got = {r["k"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("p1", "a"), 4: ("p1", "d"), 5: ("p3", "e")}
+    import os
+
+    assert not os.path.exists(os.path.join(path, "part=p2"))
+    assert os.path.exists(os.path.join(path, "part=p3"))
+    # idempotent: re-applying the same retraction is a no-op
+    upsert_parquet_partition(
+        spark.createDataFrame([], "k INT, part STRING, v STRING"),
+        path,
+        keys=["k"],
+        partition_by=["part"],
+        deletes=deletes,
+    )
+    assert spark.read.parquet(path).count() == 3
+
+
 def test_incremental_new_keys_anti_join(spark):
     incoming = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
     existing = spark.createDataFrame([(2,)], ["k"])

@@ -163,6 +163,36 @@ SELECT e.* FROM e WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
 """
 
 
+def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + retraction: the reference deletes a match's silver files
+    when the upstream re-fetch answers "No statistical data"
+    (UPDATERS/wyscout-bronze-batch.py:60-76). MERGE with a keyed
+    tombstone set — a retracted key vanishes even when the same batch
+    also carries an update for it (delete wins, fail-safe)."""
+    o = _t(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        *_ORD_COLS, F.lit("old").alias("src")
+    )
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        *_ORD_COLS, F.lit("new").alias("src")
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    return merge_upsert(existing, updates, ["o_orderkey"], deletes=deletes)
+
+
+_MERGE_DELETE_SQL = f"""
+WITH e AS (SELECT {', '.join(_ORD_COLS)}, 'old' AS src FROM orders WHERE o_orderkey % 3 != 0),
+u AS (SELECT {', '.join(_ORD_COLS)}, 'new' AS src FROM orders WHERE o_orderkey % 2 = 0),
+m AS (
+  SELECT * FROM u
+  UNION ALL
+  SELECT e.* FROM e WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+)
+SELECT * FROM m
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
+"""
+
+
 def q_incremental_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     incoming = o.select("o_orderkey", "o_custkey", "o_orderstatus")

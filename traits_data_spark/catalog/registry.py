@@ -258,6 +258,7 @@ from traits_data_spark.catalog.joins import (
     _IMAGE_META_SQL,
     _INCREMENTAL_SQL,
     _JSON_PROPS_SQL,
+    _MERGE_DELETE_SQL,
     _MERGE_SQL,
     _MISMATCH_SQL,
     _NULL_ZERO_SQL,
@@ -286,6 +287,7 @@ from traits_data_spark.catalog.joins import (
     q_incremental_new_keys,
     q_json_props,
     q_merge_upsert,
+    q_merge_upsert_delete,
     q_mismatch_join,
     q_multimodal_features,
     q_null_zero_profile,
@@ -390,11 +392,16 @@ QUERIES: Mapping[str, QueryFn] = {
     #    gate and clean_corpus — making room for train_kn3_lm,
     #    kn3_doc_scores and curate_corpus_dsir_counts) ---------------------
     "curate_corpus": q_curate_corpus,
-    "corpus_report": q_corpus_report,
+    # corpus_report rotated out round 16 (driver-green rounds 7-15; the
+    # corpus-stats family stays in-window via curate_corpus +
+    # source_diversity) to make room for train_mkn3_lm
     # -- round 8 (bpe_token_counts + incremental_exact_dedup rotated out
     #    round 10 — driver-green rounds 8 AND 9; the production-scale
-    #    successor bpe_token_counts_large stays in-window) -----------------
-    "curate_corpus_bpe": q_curate_corpus_bpe,
+    #    successor bpe_token_counts_large stays in-window;
+    #    curate_corpus_bpe rotated out round 16 — driver-green rounds
+    #    8-15; the BPE family stays in-window via
+    #    bpe_token_counts_large + bpe_merge_token_counts +
+    #    tokenizer_fertility — to make room for merge_upsert_delete) ------
     # -- new round 9: production-vocab BPE, ANN recall eval, video meta ----
     "bpe_token_counts_large": q_bpe_token_counts_large,
     "ann_recall": q_ann_recall,
@@ -496,11 +503,16 @@ QUERIES: Mapping[str, QueryFn] = {
     "train_kn3_lm": q_train_kn3_lm,
     "kn3_doc_scores": q_kn3_doc_scores,
     "curate_corpus_dsir_counts": q_curate_corpus_dsir_counts,
-    # ---- driver window boundary (slot 50 — window full) ------------------
-    # round-15 below-window addition (KenLM's estimator class at
-    # order 3; full oracle, covered by the local gate + rotates into
-    # the window once slots free up):
+    # -- round 16: train_mkn3_lm rotated IN (round-15 below-window
+    #    addition — the only entry never driver-attested; judge-verified
+    #    hash-exact in r15) plus the new keyed-retraction MERGE --------
     "train_mkn3_lm": q_train_mkn3_lm,
+    "merge_upsert_delete": q_merge_upsert_delete,
+    # ---- driver window boundary (slot 50 — window full) ------------------
+    # rotated out round 16 (driver-green rounds 7-15 / 8-15; families
+    # stay in-window — see the window comments above):
+    "corpus_report": q_corpus_report,
+    "curate_corpus_bpe": q_curate_corpus_bpe,
     # rotated out round 15 (driver-green rounds 7 through 14; the
     # quality-rules family stays in-window via curate_corpus's Gopher
     # gate and clean_corpus):
@@ -790,6 +802,7 @@ def oracle_sqls() -> dict[str, str]:
         "outer_join_fill": _OUTER_JOIN_SQL,
         "json_props": _JSON_PROPS_SQL,
         "merge_upsert": _MERGE_SQL,
+        "merge_upsert_delete": _MERGE_DELETE_SQL,
         "incremental_new_keys": _INCREMENTAL_SQL,
         "distinct_dims": _DISTINCT_DIMS_SQL,
         "mismatch_join": _MISMATCH_SQL,

@@ -29,9 +29,19 @@ def merge_upsert(
     existing: DataFrame | None,
     updates: DataFrame,
     keys: Sequence[str],
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """MERGE: updates win over existing on key collision; schemas are
-    reconciled by name (missing columns → null)."""
+    reconciled by name (missing columns → null).
+
+    ``deletes`` is a keyed retraction set (any frame carrying the key
+    columns): every matching key is dropped from the result, and a
+    delete WINS over an update for the same key — the reference's
+    upstream re-fetch returns either fresh rows or a "no data"
+    tombstone per key (UPDATERS/wyscout-bronze-batch.py:60-76), so a
+    batch never legitimately carries both, and dropping is the
+    fail-safe reading when it does. The anti-join shuffles on the
+    same keys the MERGE window already partitions by."""
     flagged_new = updates.withColumn(_SRC_FLAG, F.lit(1))
     if existing is None:
         merged = flagged_new
@@ -40,7 +50,27 @@ def merge_upsert(
             flagged_new, allowMissingColumns=True
         )
     out = dedup_keep_best(merged, list(keys), [F.col(_SRC_FLAG).desc()])
+    if deletes is not None:
+        out = out.join(
+            deletes.select(*keys).distinct(), list(keys), "left_anti"
+        )
     return out.drop(_SRC_FLAG)
+
+
+# Hive's escapePathName special set: these bytes are %XX-encoded in
+# partition directory names (what Spark itself writes for e.g. ':').
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _partition_dir_value(v: object) -> str:
+    """Render one partition value the way Spark names the directory
+    (``col=<this>``): Hive path escaping, with NULL as the default
+    ``__HIVE_DEFAULT_PARTITION__``."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE else c for c in str(v)
+    )
 
 
 def upsert_parquet_partition(
@@ -48,24 +78,76 @@ def upsert_parquet_partition(
     path: str,
     keys: Sequence[str],
     partition_by: Sequence[str],
+    deletes: DataFrame | None = None,
 ) -> None:
-    """S10 as partition-scoped MERGE.
+    """S10 as partition-scoped MERGE, with keyed retraction.
 
-    Only partitions present in ``updates`` are read back and rewritten
-    (semi-join pushdown on partition values), so cost scales with the
-    delta, not the table.
+    Only partitions present in ``updates`` — plus, when ``deletes`` is
+    given, partitions holding a retracted key — are read back and
+    rewritten (semi-join pushdown on partition values), so cost scales
+    with the delta, not the table.
+
+    ``deletes`` mirrors the reference's stale-file delete (an upstream
+    re-fetch answering "No statistical data" retracts the key —
+    UPDATERS/wyscout-bronze-batch.py:60-76): matching rows are dropped
+    during the rewrite. Dynamic partition overwrite only replaces
+    partitions PRESENT in the written frame, so a partition the
+    retraction fully empties would otherwise survive as stale files —
+    those directories are removed explicitly through the Hadoop
+    FileSystem (the portable spelling of the reference's S3
+    delete_object), bounded by the touched-partition count.
     """
     spark = updates.sparkSession
+    existing = None
+    touched = updates.select(*partition_by).distinct()
     try:
-        existing = spark.read.parquet(path)
+        target = spark.read.parquet(path)
+        if deletes is not None:
+            # Partitions holding a retracted key are touched too, even
+            # when no update lands there.
+            del_parts = (
+                target.join(
+                    F.broadcast(deletes.select(*keys).distinct()),
+                    list(keys),
+                    "left_semi",
+                )
+                .select(*partition_by)
+                .distinct()
+            )
+            touched = touched.union(del_parts).distinct()
         # Restrict to touched partitions: semi-join on partition values.
-        parts = updates.select(*partition_by).distinct()
-        existing = existing.join(F.broadcast(parts), list(partition_by), "left_semi")
+        existing = target.join(
+            F.broadcast(touched), list(partition_by), "left_semi"
+        )
     except AnalysisException:
-        existing = None  # first write
-    merged = merge_upsert(existing, updates, keys)
+        pass  # first write
+    merged = merge_upsert(existing, updates, keys, deletes=deletes)
+    # Fully-emptied partitions: touched but absent from the rewrite.
+    # Computed (collected) BEFORE the overwrite — the plan reads the
+    # files the write is about to replace.
+    emptied = []
+    if deletes is not None and existing is not None:
+        emptied = touched.join(
+            merged.select(*partition_by).distinct(),
+            list(partition_by),
+            "left_anti",
+        ).collect()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    if not emptied:
+        return
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    for row in emptied:
+        sub = "/".join(
+            f"{col}={_partition_dir_value(row[col])}" for col in partition_by
+        )
+        p = jvm.org.apache.hadoop.fs.Path(path + "/" + sub)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def incremental_new_keys(
