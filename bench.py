@@ -119,6 +119,8 @@ BENCH_QUERIES = FLAGSHIPS + [
     "price_histogram",
     "merge_upsert",
     "merge_upsert_delete",
+    "train_mkn4_lm",
+    "kn4_doc_scores",
     "asof_join",
     "range_join",
     "kmv_distinct",

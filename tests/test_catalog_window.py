@@ -70,7 +70,8 @@ LOAD_BEARING = [
     # (feature_filter / kmv_distinct rotated out — driver-green rounds
     # 4 through 8)
     "bpe_token_counts_large",
-    "ann_recall",
+    # ann_recall rotated out round 16 (driver-green rounds 9-15; ANN
+    # eval stays via near_dup_recall_report + pq_topk/ivfpq_topk)
     "video_metadata",
     # round-10 additions: must be driver-attested before rotating out
     "bpe_merge_token_counts",
@@ -83,7 +84,8 @@ LOAD_BEARING = [
     # curate_corpus_ppl
     "curate_corpus_ppl",
     "lm_perplexity_sampled",
-    "winnow_fingerprints",
+    # winnow_fingerprints rotated out round 16 (driver-green rounds
+    # 10-15; winnow stays via winnow_matches)
     "winnow_matches",
     "tokenizer_fertility",
     "pq_topk",
@@ -141,6 +143,8 @@ LOAD_BEARING = [
     # entry, r15 judge-verified) + the keyed-retraction MERGE
     "train_mkn3_lm",
     "merge_upsert_delete",
+    "train_mkn4_lm",
+    "kn4_doc_scores",
     # rolling_agg / tfidf_top_terms / stratified_sample /
     # incremental_merge / pack_sequences rotated out round 10
     # (driver-green rounds 4 through 9)

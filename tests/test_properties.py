@@ -1055,3 +1055,171 @@ def test_rrf_fuse_matches_python_reference(spark, pools):
     out2 = rrf_fuse(rev, k=100).collect()
     got2 = {(r["query_id"], r["neighbor_id"]): r["rrf_micro"] for r in out2}
     assert got2 == ref_contrib
+
+
+def _ref_mkn4(docs, max_word_len=32):
+    """Pure-Python order-4 MODIFIED-KN reference: exact per-level
+    integer (num, den) pairs composed across levels in Q40 fixed
+    point with floor division — the trainer's documented
+    reduce-vs-round contract, reproduced bit-for-bit. Returns
+    {(t,u,v,w): (p_q40, exact_Fraction)} plus the three discount
+    tuples."""
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    Q = 1 << 40
+    c4 = Counter()
+    for text in docs:
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if 0 < len(w) <= max_word_len
+        ]
+        seq = ["<s>", "<s>", "<s>"] + words
+        for a, b, c, d in zip(seq, seq[1:], seq[2:], seq[3:]):
+            c4[(a, b, c, d)] += 1
+    if not c4:
+        return {}, None, None, None
+
+    def mkn_disc(vals):
+        n = [0] * 5
+        for c in vals:
+            if c <= 4:
+                n[c] += 1
+        c1, c2_, c3_, c4_ = n[1], n[2], n[3], n[4]
+        yd = c1 + 2 * c2_
+        if c1 > 0 and c2_ > 0 and c3_ > 0:
+            DD = c2_ * c3_ * yd
+            cl = lambda v, lvl: max(0, min(v, lvl * DD))  # noqa: E731
+            return (
+                cl(c1 * c2_ * c3_, 1),
+                cl((2 * c2_ * yd - 3 * c1 * c3_) * c3_, 2),
+                cl((3 * c3_ * yd - 4 * c1 * c4_) * c2_, 3),
+                DD,
+            )
+        dn, dd = (c1, yd) if yd > 0 else (3, 4)
+        return dn, dn, dn, dd
+
+    c3t, n_tuv, nu = Counter(), Counter(), {}
+    for (t, u, v, w), c in c4.items():
+        c3t[(u, v, w)] += 1
+        n_tuv[(t, u, v)] += c
+        b = nu.setdefault((t, u, v), [0, 0, 0])
+        b[0 if c == 1 else 1 if c == 2 else 2] += 1
+    c2t, c3uv, mu = Counter(), Counter(), {}
+    for (u, v, w), c in c3t.items():
+        c2t[(v, w)] += 1
+        c3uv[(u, v)] += c
+        b = mu.setdefault((u, v), [0, 0, 0])
+        b[0 if c == 1 else 1 if c == 2 else 2] += 1
+    c2v, mv, ncw = Counter(), {}, Counter()
+    for (v, w), c in c2t.items():
+        c2v[v] += c
+        ncw[w] += 1
+        b = mv.setdefault(v, [0, 0, 0])
+        b[0 if c == 1 else 1 if c == 2 else 2] += 1
+    nbb = len(c2t)
+    A = mkn_disc(c4.values())
+    B = mkn_disc(c3t.values())
+    E = mkn_disc(c2t.values())
+
+    def level(c, disc_tuple, buckets, total, lower_q, lower_frac):
+        d1, d2, d3, DD = disc_tuple
+        disc = d1 if c == 1 else d2 if c == 2 else d3
+        num = max(c * DD - (disc if c else 0), 0)
+        g = d1 * buckets[0] + d2 * buckets[1] + d3 * buckets[2]
+        pq = (num * Q + g * lower_q) // (total * DD)
+        pf = Fraction(num, total * DD) + Fraction(g, total * DD) * lower_frac
+        return pq, pf
+
+    model = {}
+    for (t, u, v, w), c in c4.items():
+        p1q = (ncw[w] * Q) // nbb
+        p1f = Fraction(ncw[w], nbb)
+        p2q, p2f = level(c2t[(v, w)], E, mv[v], c2v[v], p1q, p1f)
+        p3q, p3f = level(c3t[(u, v, w)], B, mu[(u, v)], c3uv[(u, v)], p2q, p2f)
+        p4q, p4f = level(c, A, nu[(t, u, v)], n_tuv[(t, u, v)], p3q, p3f)
+        model[(t, u, v, w)] = (p4q, p4f)
+    return model, A, B, E
+
+
+def _assert_mkn4_matches(spark, docs):
+    from traits_data_spark.operators.text import train_mkn4_lm
+
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    rows = train_mkn4_lm(df, keep_ratio=True).collect()
+    ref, A, B, E = _ref_mkn4(docs)
+    got = {(r["t"], r["u"], r["v"], r["w"]): r for r in rows}
+    assert set(got) == set(ref)
+    Q = 1 << 40
+    for k, (pq, pf) in ref.items():
+        r = got[k]
+        # bit-identical Q40 fixed point — THE cross-engine contract
+        assert int(r["p_q40"]) == pq, (k, docs)
+        assert r["p"] == round(pq / Q, 9), (k, docs)
+        # the floor seams inject < 3*2^-40 against the exact chain
+        assert 0 <= float(pf) - pq / Q < 3 / Q, (k, docs)
+    return A, B, E
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@_settings
+def test_train_mkn4_lm_matches_fixed_point_reference(spark, docs):
+    """Randomized corpora (mostly exercising the per-order fallback
+    paths): every trained order-4 modified-KN Q40 probability equals
+    the bit-exact pure-Python fixed-point reference, p is its rounded
+    power-of-two division, and each probability sits within 3*2^-40
+    BELOW the exact Fraction backoff chain (floor seams only lower)."""
+    _assert_mkn4_matches(spark, docs)
+
+
+def test_train_mkn4_lm_healthy_branches_fire(spark):
+    """Engineered corpus where the fourgram level's count-of-count
+    chain is healthy (1x/2x/3x/4x replicated two-word docs -> raw
+    fourgram counts 1..4 via the <s> prepads) — pins the
+    three-discount branch at the top order against the fixed-point
+    reference, not just the fallback."""
+    docs = (
+        ["a b"] * 1
+        + ["c d"] * 2
+        + ["e f"] * 3
+        + ["g h"] * 4
+        + ["p x y"] * 1
+        + ["q x y"] * 2
+        + ["r z w2"] * 3
+    )
+    A, B, E = _assert_mkn4_matches(spark, docs)
+    assert A[3] > 4 and A[0] > 0  # healthy top order, not the 3/4 fallback
+
+
+def test_kn4_doc_scores_matches_manual_chain(spark):
+    """kn4_doc_scores == join(doc fourgram stream, 40*2^20 -
+    ilog2_q20(max(p_q40, 1))) summed per doc — pinned against the
+    fixed-point reference and intmath's scalar ilog2."""
+    from traits_data_spark.functions.intmath import ilog2_q20
+    from traits_data_spark.operators.text import kn4_doc_scores
+
+    docs = ["a b c d", "a b c e", "a b c d", "x y z"]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    ref, _, _, _ = _ref_mkn4(docs)
+    import re
+
+    expect = {}
+    for i, text in enumerate(docs):
+        words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        seq = ["<s>", "<s>", "<s>"] + words
+        costs = [
+            40 * (1 << 20) - ilog2_q20(max(ref[k][0], 1))
+            for k in zip(seq, seq[1:], seq[2:], seq[3:])
+        ]
+        expect[i] = (len(costs), sum(costs), sum(costs) // len(costs))
+    got = {
+        r["doc_id"]: (
+            r["n_fourgrams"], r["nll_q20"], r["bits_per_fourgram_q20"]
+        )
+        for r in kn4_doc_scores(df).collect()
+    }
+    assert got == expect

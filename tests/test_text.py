@@ -1415,3 +1415,37 @@ def test_name_search_catalog_shape(spark, sf_dir):
         assert has_red or has_bo
         assert r.matched_all == (has_red and has_bo)
         assert r.exact_hits == int(has_red) + int("bo" in toks)
+
+
+def test_fourgram_counts_merge_parity_and_mkn4_counts_path(spark, documents):
+    """merge_fourgram_counts over ingest slices == counts over the
+    union (the add-mergeable index contract one order up);
+    train_mkn4_lm(counts=) re-derives the identical model with no
+    text touched; passing both df and counts (or neither) is a
+    ValueError."""
+    import pytest
+
+    from traits_data_spark.operators.text import (
+        merge_fourgram_counts,
+        train_mkn4_lm,
+        word_fourgram_counts,
+    )
+
+    docs = documents.select("doc_id", "text").limit(80)
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    merged = merge_fourgram_counts(
+        word_fourgram_counts(hist), word_fourgram_counts(batch)
+    )
+    full = word_fourgram_counts(docs)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(merged.collect()) == key(full.collect())
+    assert key(train_mkn4_lm(counts=merged, keep_ratio=True).collect()) == key(
+        train_mkn4_lm(docs, keep_ratio=True).collect()
+    )
+    with pytest.raises(ValueError, match="not both"):
+        train_mkn4_lm(docs, counts=merged)
+    with pytest.raises(ValueError, match="needs df or counts"):
+        train_mkn4_lm()
+    with pytest.raises(ValueError, match="at least one part"):
+        merge_fourgram_counts()

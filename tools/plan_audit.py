@@ -110,6 +110,8 @@ HEADLINE = [
     "kn3_doc_scores",
     "curate_corpus_dsir_counts",
     "train_mkn3_lm",
+    "train_mkn4_lm",
+    "kn4_doc_scores",
 ]
 
 
@@ -195,6 +197,15 @@ MAX_SCANS = {
     # same chain as curate_corpus_dsir with the count-index gate (the
     # dsir_counts slices + merge replace the in-plan text retrain)
     "curate_corpus_dsir_counts": 8,
+    # order-4 chain: one more level than mkn3 fans the corpus through
+    # 11 derivations (counts4/ctx4/c3/ctx3/c2/ctx2/pred + 3 discount
+    # globs + nbb). Persisting counts4 measured a WASH at sf0.1
+    # (min 8.74 s persisted vs 8.88 s plain, round 16) — plain keeps
+    # the kn3 convention; at 100 TB the nightly path is the persisted
+    # counts= index where the corpus is scanned once at count time.
+    "train_mkn4_lm": 11,
+    # the trainer's 11 + the scoring fourgram stream's own corpus pass
+    "kn4_doc_scores": 12,
 }
 
 

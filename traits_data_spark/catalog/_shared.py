@@ -117,11 +117,15 @@ from traits_data_spark.operators.text import (
     bpe_train,
     bpe_train_token_counts,
     train_bigram_lm,
+    MKN4_Q,
+    MKN4_Q_BITS,
     kn3_doc_scores,
+    kn4_doc_scores,
     kn_doc_scores,
     train_kn3_lm,
     train_kn_lm,
     train_mkn3_lm,
+    train_mkn4_lm,
     train_mkn_lm,
     bpe_token_counts_table,
     load_bpe_merges,

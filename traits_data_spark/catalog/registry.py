@@ -215,6 +215,10 @@ from traits_data_spark.catalog.text import (
     _TRAIN_KN3_LM_SQL,
     q_train_mkn3_lm,
     _TRAIN_MKN3_LM_SQL,
+    q_train_mkn4_lm,
+    _TRAIN_MKN4_LM_SQL,
+    q_kn4_doc_scores,
+    _kn4_doc_scores_sql,
     q_train_kn_lm,
     q_train_mkn_lm,
     _TRAIN_MKN_LM_SQL,
@@ -402,9 +406,11 @@ QUERIES: Mapping[str, QueryFn] = {
     #    8-15; the BPE family stays in-window via
     #    bpe_token_counts_large + bpe_merge_token_counts +
     #    tokenizer_fertility — to make room for merge_upsert_delete) ------
-    # -- new round 9: production-vocab BPE, ANN recall eval, video meta ----
+    # -- new round 9: production-vocab BPE, video meta (ann_recall
+    #    rotated out round 16 — driver-green rounds 9-15; the ANN-eval
+    #    family stays in-window via near_dup_recall_report +
+    #    pq_topk/ivfpq_topk — to make room for train_mkn4_lm) -----------
     "bpe_token_counts_large": q_bpe_token_counts_large,
-    "ann_recall": q_ann_recall,
     "video_metadata": q_video_metadata,
     # -- new round 10: merge-rank BPE, LM perplexity filter; the tuned-ANN
     #    eval lives in ann_recall --------------------------------------------
@@ -418,7 +424,10 @@ QUERIES: Mapping[str, QueryFn] = {
     # binary-metadata family stays in-window via video_metadata
     "curate_corpus_ppl": q_curate_corpus_ppl,
     "lm_perplexity_sampled": q_lm_perplexity_sampled,
-    "winnow_fingerprints": q_winnow_fingerprints,
+    # winnow_fingerprints rotated out round 16 (driver-green rounds
+    # 10-15; the winnow family stays in-window via winnow_matches,
+    # which derives the fingerprints internally) to make room for
+    # kn4_doc_scores
     "winnow_matches": q_winnow_matches,
     "tokenizer_fertility": q_tokenizer_fertility,
     "pq_topk": q_pq_topk,
@@ -508,11 +517,23 @@ QUERIES: Mapping[str, QueryFn] = {
     #    hash-exact in r15) plus the new keyed-retraction MERGE --------
     "train_mkn3_lm": q_train_mkn3_lm,
     "merge_upsert_delete": q_merge_upsert_delete,
+    # -- new round 16: order-4 modified Kneser-Ney (one order short of
+    #    KenLM's production order 5; per-level exact ratios composed in
+    #    Q40 fixed point — the documented reduce-vs-round boundary) and
+    #    its train-then-score chain ------------------------------------
+    "train_mkn4_lm": q_train_mkn4_lm,
+    "kn4_doc_scores": q_kn4_doc_scores,
     # ---- driver window boundary (slot 50 — window full) ------------------
-    # rotated out round 16 (driver-green rounds 7-15 / 8-15; families
-    # stay in-window — see the window comments above):
+    # rotated out round 16 (driver-green rounds 7-15 / 8-15 / 9-15 /
+    # 10-15; families stay in-window — corpus stats via curate_corpus +
+    # source_diversity, BPE via bpe_token_counts_large +
+    # bpe_merge_token_counts + tokenizer_fertility, ANN eval via
+    # near_dup_recall_report + pq_topk/ivfpq_topk, winnow via
+    # winnow_matches):
     "corpus_report": q_corpus_report,
     "curate_corpus_bpe": q_curate_corpus_bpe,
+    "ann_recall": q_ann_recall,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # rotated out round 15 (driver-green rounds 7 through 14; the
     # quality-rules family stays in-window via curate_corpus's Gopher
     # gate and clean_corpus):
@@ -709,7 +730,9 @@ def oracle_sqls() -> dict[str, str]:
         "train_mkn_lm": _TRAIN_MKN_LM_SQL,
         "train_kn3_lm": _TRAIN_KN3_LM_SQL,
         "train_mkn3_lm": _TRAIN_MKN3_LM_SQL,
+        "train_mkn4_lm": _TRAIN_MKN4_LM_SQL,
         "kn3_doc_scores": _kn3_doc_scores_sql(),
+        "kn4_doc_scores": _kn4_doc_scores_sql(),
         "kn_doc_scores": _kn_doc_scores_sql(),
         "bm25_topk_champion": _bm25_sql(champion_n=BM25_CHAMPION_N),
         "ridge_stats": _ridge_stats_sql(),

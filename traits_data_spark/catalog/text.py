@@ -47,11 +47,15 @@ from traits_data_spark.catalog._shared import (
     score_perplexity_sampled,
     token_counts,
     train_bigram_lm,
+    MKN4_Q,
+    MKN4_Q_BITS,
     kn3_doc_scores,
+    kn4_doc_scores,
     kn_doc_scores,
     train_kn3_lm,
     train_kn_lm,
     train_mkn3_lm,
+    train_mkn4_lm,
     train_mkn_lm,
     unigram_token_counts,
     unigram_train,
@@ -1343,6 +1347,209 @@ def _kn3_doc_scores_sql() -> str:
         + _kn3_score_ctes()
         + """
 SELECT doc_id, n_trigrams, nll_q20, bits_per_trigram_q20 FROM k3score
+"""
+    )
+
+
+_KN4_CTES = f"""d4 AS (
+  SELECT doc_id, {_NORM} AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+t4 AS (
+  SELECT doc_id, list_concat(['<s>', '<s>', '<s>'],
+             list_filter(string_split(nt, ' '),
+             x -> length(x) > 0 AND length(x) <= {BPE_TRAIN_MAX_WORD_LEN}))
+         AS ws
+  FROM d4
+),
+fr AS (
+  SELECT unnest([{{'t': ws[k], 'u': ws[k+1], 'v': ws[k+2], 'w': ws[k+3]}}
+                 for k in range(1, len(ws) - 2)]) AS fg
+  FROM t4
+),
+counts4 AS (
+  SELECT fg['t'] AS t, fg['u'] AS u, fg['v'] AS v, fg['w'] AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_tuvw
+  FROM fr GROUP BY 1, 2, 3, 4
+),
+ctx4 AS (
+  SELECT t, u, v, CAST(SUM(n_tuvw) AS BIGINT) AS n_tuv,
+         CAST(SUM(CASE WHEN n_tuvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+         CAST(SUM(CASE WHEN n_tuvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+         CAST(SUM(CASE WHEN n_tuvw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nu3p
+  FROM counts4 GROUP BY t, u, v
+),
+c3 AS (
+  SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3_uvw
+  FROM counts4 GROUP BY u, v, w
+),
+ctx3m AS (
+  SELECT u, v, CAST(SUM(c3_uvw) AS BIGINT) AS c3_uv,
+         CAST(SUM(CASE WHEN c3_uvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mu1,
+         CAST(SUM(CASE WHEN c3_uvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mu2,
+         CAST(SUM(CASE WHEN c3_uvw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS mu3p
+  FROM c3 GROUP BY u, v
+),
+c2m AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c2_vw
+  FROM c3 GROUP BY v, w
+),
+ctx2m AS (
+  SELECT v, CAST(SUM(c2_vw) AS BIGINT) AS c2_v,
+         CAST(SUM(CASE WHEN c2_vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mv1,
+         CAST(SUM(CASE WHEN c2_vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mv2,
+         CAST(SUM(CASE WHEN c2_vw >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS mv3p
+  FROM c2m GROUP BY v
+),
+pred4 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ncw FROM c2m GROUP BY w),
+ga AS (
+  SELECT CAST(SUM(CASE WHEN n_tuvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN n_tuvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+         CAST(SUM(CASE WHEN n_tuvw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+         CAST(SUM(CASE WHEN n_tuvw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS a4
+  FROM counts4
+),
+gb AS (
+  SELECT CAST(SUM(CASE WHEN c3_uvw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN c3_uvw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN c3_uvw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+         CAST(SUM(CASE WHEN c3_uvw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+  FROM c3
+),
+ge AS (
+  SELECT CAST(SUM(CASE WHEN c2_vw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+         CAST(SUM(CASE WHEN c2_vw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+         CAST(SUM(CASE WHEN c2_vw = 3 THEN 1 ELSE 0 END) AS BIGINT) AS e3,
+         CAST(SUM(CASE WHEN c2_vw = 4 THEN 1 ELSE 0 END) AS BIGINT) AS e4,
+         CAST(COUNT(*) AS BIGINT) AS nbbr
+  FROM c2m
+),
+mg4 AS (
+  SELECT {_mkn_disc_cols('a', 'da')},
+         {_mkn_disc_cols('b', 'db')},
+         {_mkn_disc_cols('e', 'de')},
+         CAST(nbbr AS HUGEINT) AS nbb
+  FROM ga, gb, ge
+),
+k4j AS (
+  SELECT c.t, c.u, c.v, c.w, c.n_tuvw, x4.n_tuv, x4.nu1, x4.nu2, x4.nu3p,
+         b3.c3_uvw, x3.c3_uv, x3.mu1, x3.mu2, x3.mu3p,
+         b2.c2_vw, x2.c2_v, x2.mv1, x2.mv2, x2.mv3p, p1.ncw,
+         mg4.*
+  FROM counts4 c JOIN ctx4 x4 USING (t, u, v) JOIN c3 b3 USING (u, v, w)
+       JOIN ctx3m x3 USING (u, v) JOIN c2m b2 USING (v, w)
+       JOIN ctx2m x2 USING (v) JOIN pred4 p1 USING (w) CROSS JOIN mg4
+),
+k4q2 AS (
+  SELECT *,
+         (GREATEST(CAST(c2_vw AS HUGEINT) * deD
+             - CASE WHEN c2_vw = 1 THEN de1
+                    WHEN c2_vw = 2 THEN de2 ELSE de3 END,
+             CAST(0 AS HUGEINT)) * CAST({MKN4_Q} AS HUGEINT)
+          + (de1 * mv1 + de2 * mv2 + de3 * mv3p)
+            * ((CAST(ncw AS HUGEINT) * CAST({MKN4_Q} AS HUGEINT)) // nbb))
+         // (CAST(c2_v AS HUGEINT) * deD) AS p2q
+  FROM k4j
+),
+k4q3 AS (
+  SELECT *,
+         (GREATEST(CAST(c3_uvw AS HUGEINT) * dbD
+             - CASE WHEN c3_uvw = 1 THEN db1
+                    WHEN c3_uvw = 2 THEN db2 ELSE db3 END,
+             CAST(0 AS HUGEINT)) * CAST({MKN4_Q} AS HUGEINT)
+          + (db1 * mu1 + db2 * mu2 + db3 * mu3p) * p2q)
+         // (CAST(c3_uv AS HUGEINT) * dbD) AS p3q
+  FROM k4q2
+),
+k4model AS (
+  SELECT *,
+         (GREATEST(CAST(n_tuvw AS HUGEINT) * daD
+             - CASE WHEN n_tuvw = 1 THEN da1
+                    WHEN n_tuvw = 2 THEN da2 ELSE da3 END,
+             CAST(0 AS HUGEINT)) * CAST({MKN4_Q} AS HUGEINT)
+          + (da1 * nu1 + da2 * nu2 + da3 * nu3p) * p3q)
+         // (CAST(n_tuv AS HUGEINT) * daD) AS p4q
+  FROM k4q3
+)"""
+
+_TRAIN_MKN4_LM_SQL = (
+    "WITH "
+    + _KN4_CTES
+    + f"""
+SELECT t, u, v, w, n_tuvw, n_tuv, nu1, nu2, nu3p,
+       c3_uvw, c3_uv, mu1, mu2, mu3p,
+       c2_vw, c2_v, mv1, mv2, mv3p, ncw,
+       round(p4q::DOUBLE / CAST({MKN4_Q} AS DOUBLE), 9) AS p
+FROM k4model
+"""
+)
+
+
+def q_train_mkn4_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MODIFIED Kneser-Ney word-FOURGRAM LM training
+    (``operators.text.train_mkn4_lm``) — KenLM's estimator class one
+    order short of its production order 5: per-order three-discount
+    estimates over the continuation-count backoff chain, each level's
+    (num, den) an exact DECIMAL(38,0)/HUGEINT pair, levels composed
+    in Q40 fixed point via floor division (the documented
+    reduce-vs-round boundary — the order-4 full-product ratio would
+    exceed 1e38). ``p_q40`` is bit-identical cross-engine; one
+    corpus fourgram shuffle, everything else type-table-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    return train_mkn4_lm(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+
+
+def q_kn4_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score at ORDER 4 (``operators.text.kn4_doc_scores``):
+    fit the modified-KN fourgram LM on the corpus, score every
+    document's fourgram stream under it — per-fourgram cost
+    ``40*2^20 - ilog2_q20(max(p_q40, 1))`` over the trainer's
+    bit-exact Q40 fixed-point probability (single log — the Q40 grid
+    replaces the order-3 num/den ratio pair), summed per doc as a
+    BIGINT. The CCNet fluency gate ONE order short of KenLM's
+    production scorer, zero offline artifacts, zero libm on either
+    engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return kn4_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
+
+
+def _kn4_doc_scores_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _KN4_CTES
+        + f""",
+mo4 AS MATERIALIZED (
+  SELECT t || ' ' || u || ' ' || v || ' ' || w AS bk, t, u, v, w,
+         CAST(GREATEST(p4q, CAST(1 AS HUGEINT)) AS BIGINT) AS pq
+  FROM k4model
+),"""
+        + _ilog2_ctes("k4l", "(SELECT bk, pq AS x FROM mo4)", "bk")
+        + f""",
+mbits4 AS (
+  SELECT mo4.t, mo4.u, mo4.v, mo4.w,
+         ({MKN4_Q_BITS} << 20) - k4l.il AS bits_q20
+  FROM mo4 JOIN k4l USING (bk)
+),
+db4 AS (
+  SELECT doc_id, fg['t'] AS t, fg['u'] AS u, fg['v'] AS v, fg['w'] AS w
+  FROM (
+    SELECT doc_id,
+           unnest([{{'t': ws[k], 'u': ws[k+1], 'v': ws[k+2],
+                     'w': ws[k+3]}}
+                   for k in range(1, len(ws) - 2)]) AS fg
+    FROM t4)
+),
+k4score AS (
+  SELECT db4.doc_id,
+         CAST(count(*) AS BIGINT) AS n_fourgrams,
+         CAST(sum(m.bits_q20) AS BIGINT) AS nll_q20,
+         CAST(CAST(sum(m.bits_q20) AS BIGINT)
+              // CAST(count(*) AS BIGINT) AS BIGINT)
+           AS bits_per_fourgram_q20
+  FROM db4 JOIN mbits4 m USING (t, u, v, w)
+  GROUP BY db4.doc_id
+)
+SELECT doc_id, n_fourgrams, nll_q20, bits_per_fourgram_q20 FROM k4score
 """
     )
 

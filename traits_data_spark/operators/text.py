@@ -2312,6 +2312,74 @@ def train_kn3_lm(
     )
 
 
+_MKN_DEC = "decimal(38,0)"
+
+
+def _mkn_bucket(cnt: str, k: int):
+    """Aggregate: count of rows whose ``cnt`` equals ``k`` (or >= 3
+    for k=3) — the per-context type buckets the modified-KN gamma
+    weighs by its three discounts."""
+    cond = F.col(cnt) == k if k < 3 else F.col(cnt) >= 3
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+def mkn_discount_glob(frame: DataFrame, cnt: str, p: str) -> DataFrame:
+    """One-row (d1, d2, d3, DD) modified-KN discount frame from a
+    count column's count-of-counts — the ``train_mkn_lm`` glob with
+    the reduced denominator (Chen & Goodman 1998 §3; the n1 factor
+    cancels out of D1), name-prefixed ``__{p}1..__{p}3, __{p}D`` so
+    several orders' levels coexist in one broadcast. Shared by
+    ``train_mkn3_lm`` (prefixes t/e) and ``train_mkn4_lm``
+    (a/b/e)."""
+    DEC = _MKN_DEC
+    raw = frame.agg(
+        *[
+            F.sum(F.when(F.col(cnt) == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__c{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    healthy = (
+        (F.col("__c1") > 0)
+        & (F.col("__c2") > 0)
+        & (F.col("__c3") > 0)
+    )
+    c1, c2_, c3, c4 = (
+        F.col(f"__c{k}").cast(DEC) for k in (1, 2, 3, 4)
+    )
+    yd = c1 + F.lit(2).cast(DEC) * c2_
+    big = c2_ * c3 * yd
+
+    def _clamp(expr, level):
+        return F.least(
+            F.greatest(expr, F.lit(0).cast(DEC)),
+            F.lit(level).cast(DEC) * big,
+        )
+
+    d1r = c1 * c2_ * c3
+    d2r = (F.lit(2).cast(DEC) * c2_ * yd
+           - F.lit(3).cast(DEC) * c1 * c3) * c3
+    d3r = (F.lit(3).cast(DEC) * c3 * yd
+           - F.lit(4).cast(DEC) * c1 * c4) * c2_
+    fb_dn = F.when(yd > 0, c1).otherwise(F.lit(3).cast(DEC))
+    fb_dd = F.when(yd > 0, yd).otherwise(F.lit(4).cast(DEC))
+    return raw.select(
+        F.when(healthy, _clamp(d1r, 1)).otherwise(fb_dn)
+        .cast(DEC)
+        .alias(f"__{p}1"),
+        F.when(healthy, _clamp(d2r, 2)).otherwise(fb_dn)
+        .cast(DEC)
+        .alias(f"__{p}2"),
+        F.when(healthy, _clamp(d3r, 3)).otherwise(fb_dn)
+        .cast(DEC)
+        .alias(f"__{p}3"),
+        F.when(healthy, big).otherwise(fb_dd)
+        .cast(DEC)
+        .alias(f"__{p}D"),
+    )
+
+
 def train_mkn3_lm(
     df: DataFrame | None = None,
     text_col: str = "text",
@@ -2367,86 +2435,28 @@ def train_mkn3_lm(
             "train_mkn3_lm: pass df OR counts, not both — with "
             "counts= the corpus text is never touched"
         )
-    DEC = "decimal(38,0)"
-
-    def _bucket(cnt: str, k: int):
-        cond = F.col(cnt) == k if k < 3 else F.col(cnt) >= 3
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
-
     ctx3 = counts.groupBy("u", "v").agg(
         F.sum("n_uvw").cast("long").alias("n_uv"),
-        _bucket("n_uvw", 1).alias("nu1uv"),
-        _bucket("n_uvw", 2).alias("nu2uv"),
-        _bucket("n_uvw", 3).alias("nu3puv"),
+        _mkn_bucket("n_uvw", 1).alias("nu1uv"),
+        _mkn_bucket("n_uvw", 2).alias("nu2uv"),
+        _mkn_bucket("n_uvw", 3).alias("nu3puv"),
     )
     c2 = counts.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c2_vw")
     )
     ctx2 = c2.groupBy("v").agg(
         F.sum("c2_vw").cast("long").alias("c2_v"),
-        _bucket("c2_vw", 1).alias("mv1"),
-        _bucket("c2_vw", 2).alias("mv2"),
-        _bucket("c2_vw", 3).alias("mv3p"),
+        _mkn_bucket("c2_vw", 1).alias("mv1"),
+        _mkn_bucket("c2_vw", 2).alias("mv2"),
+        _mkn_bucket("c2_vw", 3).alias("mv3p"),
     )
     pred = c2.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("ncw")
     )
 
-    def _mkn_glob(frame: DataFrame, cnt: str, p: str) -> DataFrame:
-        """One-row (d1, d2, d3, DD) modified-KN discount frame from a
-        count column's count-of-counts — the ``train_mkn_lm`` glob
-        with the reduced denominator, name-prefixed so the trigram
-        (p='t') and continuation (p='e') levels coexist in one
-        broadcast."""
-        raw = frame.agg(
-            *[
-                F.sum(F.when(F.col(cnt) == k, 1).otherwise(0))
-                .cast("long")
-                .alias(f"__c{k}")
-                for k in (1, 2, 3, 4)
-            ]
-        )
-        healthy = (
-            (F.col("__c1") > 0)
-            & (F.col("__c2") > 0)
-            & (F.col("__c3") > 0)
-        )
-        c1, c2_, c3, c4 = (
-            F.col(f"__c{k}").cast(DEC) for k in (1, 2, 3, 4)
-        )
-        yd = c1 + F.lit(2).cast(DEC) * c2_
-        big = c2_ * c3 * yd
-
-        def _clamp(expr, level):
-            return F.least(
-                F.greatest(expr, F.lit(0).cast(DEC)),
-                F.lit(level).cast(DEC) * big,
-            )
-
-        d1r = c1 * c2_ * c3
-        d2r = (F.lit(2).cast(DEC) * c2_ * yd
-               - F.lit(3).cast(DEC) * c1 * c3) * c3
-        d3r = (F.lit(3).cast(DEC) * c3 * yd
-               - F.lit(4).cast(DEC) * c1 * c4) * c2_
-        fb_dn = F.when(yd > 0, c1).otherwise(F.lit(3).cast(DEC))
-        fb_dd = F.when(yd > 0, yd).otherwise(F.lit(4).cast(DEC))
-        return raw.select(
-            F.when(healthy, _clamp(d1r, 1)).otherwise(fb_dn)
-            .cast(DEC)
-            .alias(f"__{p}1"),
-            F.when(healthy, _clamp(d2r, 2)).otherwise(fb_dn)
-            .cast(DEC)
-            .alias(f"__{p}2"),
-            F.when(healthy, _clamp(d3r, 3)).otherwise(fb_dn)
-            .cast(DEC)
-            .alias(f"__{p}3"),
-            F.when(healthy, big).otherwise(fb_dd)
-            .cast(DEC)
-            .alias(f"__{p}D"),
-        )
-
-    g3 = _mkn_glob(counts, "n_uvw", "t")
-    g2 = _mkn_glob(c2, "c2_vw", "e")
+    DEC = _MKN_DEC
+    g3 = mkn_discount_glob(counts, "n_uvw", "t")
+    g2 = mkn_discount_glob(c2, "c2_vw", "e")
     gbb = c2.agg(F.count(F.lit(1)).cast(DEC).alias("__nbb"))
     glob = g3.crossJoin(g2).crossJoin(gbb)
     disc3 = (
@@ -3091,4 +3101,409 @@ def name_search(
         .withColumn("matched_all", F.col("prefix_hits") == len(terms))
         .filter(F.col("prefix_hits") > 0)
         .drop("__toks")
+    )
+
+
+def word_fourgram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """``(t, u, v, w, n_tuvw)`` word-FOURGRAM type counts with a
+    TRIPLE sentence-start prepend (``<s> <s> <s> w1 ...`` — the first
+    real word gets the well-defined context ``(<s>, <s>, <s>)``) —
+    the order-4 count stage of ``train_mkn4_lm`` and a persistable
+    LM-count index under the same add-mergeable contract as
+    ``word_trigram_counts``: ``merge_fourgram_counts`` of per-slice
+    counts == counts over the union, so a nightly ingest extends the
+    persisted table from the new batch alone.
+
+    Scale: one corpus-scale shuffle (the fourgram groupBy, map-side
+    combine); the slide is three array slices zipped in-plan, no
+    self-join, no Python."""
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(
+        F.split(nt, " "),
+        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.concat(
+            F.array(F.lit("<s>"), F.lit("<s>"), F.lit("<s>")), wlist
+        ).alias("ws")
+    )
+    arr = F.col("ws")
+    n = F.size(arr)
+    # zip the four 1-shifted views; slice length n-3 >= 0 always (the
+    # three-token prepend guarantees n >= 3, and an empty word list
+    # yields zero fourgrams through the empty slices)
+    tu = F.zip_with(
+        F.slice(arr, 1, n - 3),
+        F.slice(arr, 2, n - 3),
+        lambda a, b: F.struct(a.alias("t"), b.alias("u")),
+    )
+    tuv = F.zip_with(
+        tu,
+        F.slice(arr, 3, n - 3),
+        lambda x, c: F.struct(
+            x["t"].alias("t"), x["u"].alias("u"), c.alias("v")
+        ),
+    )
+    fg = toks.select(
+        F.explode(
+            F.zip_with(
+                tuv,
+                F.slice(arr, 4, n - 3),
+                lambda x, d: F.struct(
+                    x["t"].alias("t"),
+                    x["u"].alias("u"),
+                    x["v"].alias("v"),
+                    d.alias("w"),
+                ),
+            )
+        ).alias("fg")
+    )
+    return fg.groupBy(
+        F.col("fg.t").alias("t"),
+        F.col("fg.u").alias("u"),
+        F.col("fg.v").alias("v"),
+        F.col("fg.w").alias("w"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_tuvw"))
+
+
+def merge_fourgram_counts(*parts: DataFrame) -> DataFrame:
+    """Merge per-slice ``word_fourgram_counts`` tables (union + keyed
+    sum) — one shuffle over count rows, never over text."""
+    if not parts:
+        raise ValueError("merge_fourgram_counts needs at least one part")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("t", "u", "v", "w").agg(
+        F.sum("n_tuvw").cast("long").alias("n_tuvw")
+    )
+
+
+#: Q40 fixed-point scale for the order-4 cross-level composition
+#: (2^40 — chosen so the smallest representable probability step,
+#: 2^-40 ~ 9.1e-13, sits three decades below the ``prob_dp=9``
+#: output rounding).
+MKN4_Q = 1 << 40
+MKN4_Q_BITS = 40
+
+
+def train_mkn4_lm(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    prob_dp: int = 9,
+    keep_ratio: bool = False,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Train a MODIFIED Kneser-Ney word-FOURGRAM LM ON-CLUSTER — the
+    ``train_mkn3_lm`` estimator one order up, one order short of
+    KenLM's production order 5 (Chen & Goodman 1998 §3: highest order
+    uses raw counts, every lower order uses CONTINUATION type counts;
+    each order estimates its own three discounts D1/D2/D3+ from its
+    own count-of-counts over the reduced common denominator)::
+
+        P4(w|t,u,v) = (n_tuvw - A(n_tuvw))/n_tuv + gammaA * P3(w|u,v)
+        P3(w|u,v)   = (c3'(uvw) - B(c3'))/c3'(uv.) + gammaB * P2(w|v)
+        P2(w|v)     = (c2'(vw) - E(c2'))/c2'(v.) + gammaE * ncw/Nbb
+
+    where ``c3'(uvw) = N1+(.uvw)`` (distinct left-extensions of the
+    trigram, counted by grouping fourgram TYPES on (u, v, w)) and
+    ``c2'(vw)`` groups the c3' table on (v, w).
+
+    **Exactness boundary — the reduce-vs-round decision the order-3
+    docstring deferred**: the order-3 full-product formulation carries
+    ONE exact ratio whose denominator multiplies 5 statistics; at
+    order 4 that chain has 7 factors (``n_tuv * AD * c3_uv * BD *
+    c2_v * ED * Nbb``) and exceeds DECIMAL(38,0) even at modest
+    corpus sizes, so this trainer ROUNDS at the level seams instead:
+    each level's (numerator, denominator) stays an exact DECIMAL(38,0)
+    integer pair, and levels compose in Q40 fixed point via floor
+    division —
+
+        p2_q = (num2 * 2^40 + gamma2 * p1_q) div (c2_v * ED)
+        p3_q = (num3 * 2^40 + gamma3 * p2_q) div (c3_uv * BD)
+        p4_q = (num4 * 2^40 + gamma4 * p3_q) div (n_tuv * AD)
+
+    ``div`` is integral division on BOTH engines (Spark ``DIV`` on
+    DECIMAL, DuckDB ``//`` on HUGEINT; all terms non-negative, so
+    trunc == floor), making ``p_q40`` BIT-IDENTICAL cross-engine.
+    The truncation injects < 2^-40 absolute error per seam (< 3e-12
+    total — three decades under the ``prob_dp=9`` rounding); the
+    per-level width bound is now ``count * DD * 2^40 < 1e38`` per
+    LEVEL (DD cubic in that order's count-of-counts), which holds far
+    past the 20x stress corpus; past it, Spark NULLs/ANSI-throws —
+    loud in any gate — and the deployment path is pre-quantizing the
+    one-row discount globs to Q30 before the per-row chain, which
+    caps every term at ``count * 2^70`` regardless of corpus size.
+    The final ``p`` is ``round(p_q40 / 2^40, prob_dp)`` — exact
+    power-of-two division of a <=41-bit integer, deterministic IEEE
+    on both engines.
+
+    Scale shape: ONE corpus-scale shuffle (the fourgram groupBy);
+    context totals, continuation tables, count-of-count frames and
+    the one-row discount glob all derive from the type-bounded
+    fourgram table. The model join fans the type table through six
+    keyed joins plus a one-row broadcast — type-table-sized shuffles,
+    not corpus.
+
+    Output: ``(t, u, v, w, n_tuvw, n_tuv, nu1, nu2, nu3p, c3_uvw,
+    c3_uv, mu1, mu2, mu3p, c2_vw, c2_v, mv1, mv2, mv3p, ncw, p)``;
+    ``keep_ratio=True`` adds the exact BIGINT ``p_q40``. Pass
+    ``counts=`` (a persisted ``word_fourgram_counts`` index extended
+    via ``merge_fourgram_counts``) to re-derive the model without
+    touching corpus text — exactly one of ``df``/``counts`` is
+    required."""
+    if counts is None:
+        if df is None:
+            raise ValueError("train_mkn4_lm needs df or counts")
+        counts = word_fourgram_counts(df, text_col, max_word_len)
+    elif df is not None:
+        raise ValueError(
+            "train_mkn4_lm: pass df OR counts, not both — with "
+            "counts= the corpus text is never touched"
+        )
+    DEC = _MKN_DEC
+    ctx4 = counts.groupBy("t", "u", "v").agg(
+        F.sum("n_tuvw").cast("long").alias("n_tuv"),
+        _mkn_bucket("n_tuvw", 1).alias("nu1"),
+        _mkn_bucket("n_tuvw", 2).alias("nu2"),
+        _mkn_bucket("n_tuvw", 3).alias("nu3p"),
+    )
+    c3 = counts.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c3_uvw")
+    )
+    ctx3 = c3.groupBy("u", "v").agg(
+        F.sum("c3_uvw").cast("long").alias("c3_uv"),
+        _mkn_bucket("c3_uvw", 1).alias("mu1"),
+        _mkn_bucket("c3_uvw", 2).alias("mu2"),
+        _mkn_bucket("c3_uvw", 3).alias("mu3p"),
+    )
+    c2 = c3.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c2_vw")
+    )
+    ctx2 = c2.groupBy("v").agg(
+        F.sum("c2_vw").cast("long").alias("c2_v"),
+        _mkn_bucket("c2_vw", 1).alias("mv1"),
+        _mkn_bucket("c2_vw", 2).alias("mv2"),
+        _mkn_bucket("c2_vw", 3).alias("mv3p"),
+    )
+    pred = c2.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw")
+    )
+    g4 = mkn_discount_glob(counts, "n_tuvw", "a")
+    g3 = mkn_discount_glob(c3, "c3_uvw", "b")
+    g2 = mkn_discount_glob(c2, "c2_vw", "e")
+    gbb = c2.agg(F.count(F.lit(1)).cast(DEC).alias("__nbb"))
+    glob = g4.crossJoin(g3).crossJoin(g2).crossJoin(gbb)
+
+    def _disc(cnt: str, p: str):
+        return (
+            F.when(F.col(cnt) == 1, F.col(f"__{p}1"))
+            .when(F.col(cnt) == 2, F.col(f"__{p}2"))
+            .otherwise(F.col(f"__{p}3"))
+        )
+
+    def _gamma(p: str, b1: str, b2: str, b3: str):
+        return (
+            F.col(f"__{p}1") * F.col(b1).cast(DEC)
+            + F.col(f"__{p}2") * F.col(b2).cast(DEC)
+            + F.col(f"__{p}3") * F.col(b3).cast(DEC)
+        )
+
+    Q = F.lit(MKN4_Q).cast(DEC)
+    joined = (
+        counts.join(ctx4, ["t", "u", "v"])
+        .join(c3, ["u", "v", "w"])
+        .join(ctx3, ["u", "v"])
+        .join(c2, ["v", "w"])
+        .join(ctx2, "v")
+        .join(pred, "w")
+        .crossJoin(F.broadcast(glob))
+    )
+    num2 = F.greatest(
+        F.col("c2_vw").cast(DEC) * F.col("__eD") - _disc("c2_vw", "e"),
+        F.lit(0).cast(DEC),
+    )
+    num3 = F.greatest(
+        F.col("c3_uvw").cast(DEC) * F.col("__bD") - _disc("c3_uvw", "b"),
+        F.lit(0).cast(DEC),
+    )
+    num4 = F.greatest(
+        F.col("n_tuvw").cast(DEC) * F.col("__aD") - _disc("n_tuvw", "a"),
+        F.lit(0).cast(DEC),
+    )
+    d = (
+        joined.withColumn(
+            "__p1q",
+            F.expr(
+                f"(CAST(ncw AS {DEC}) * CAST({MKN4_Q} AS {DEC}))"
+                " DIV __nbb"
+            ).cast(DEC),
+        )
+        .withColumn("__num2", num2)
+        .withColumn("__gam2", _gamma("e", "mv1", "mv2", "mv3p"))
+        .withColumn(
+            "__p2q",
+            F.expr(
+                "(__num2 * CAST({q} AS {dec}) + __gam2 * __p1q)"
+                " DIV (CAST(c2_v AS {dec}) * __eD)".format(
+                    q=MKN4_Q, dec=DEC
+                )
+            ).cast(DEC),
+        )
+        .withColumn("__num3", num3)
+        .withColumn("__gam3", _gamma("b", "mu1", "mu2", "mu3p"))
+        .withColumn(
+            "__p3q",
+            F.expr(
+                "(__num3 * CAST({q} AS {dec}) + __gam3 * __p2q)"
+                " DIV (CAST(c3_uv AS {dec}) * __bD)".format(
+                    q=MKN4_Q, dec=DEC
+                )
+            ).cast(DEC),
+        )
+        .withColumn("__num4", num4)
+        .withColumn("__gam4", _gamma("a", "nu1", "nu2", "nu3p"))
+        .withColumn(
+            "__p4q",
+            F.expr(
+                "(__num4 * CAST({q} AS {dec}) + __gam4 * __p3q)"
+                " DIV (CAST(n_tuv AS {dec}) * __aD)".format(
+                    q=MKN4_Q, dec=DEC
+                )
+            ),
+        )
+    )
+    cols = [
+        "t", "u", "v", "w", "n_tuvw", "n_tuv", "nu1", "nu2", "nu3p",
+        "c3_uvw", "c3_uv", "mu1", "mu2", "mu3p",
+        "c2_vw", "c2_v", "mv1", "mv2", "mv3p", "ncw",
+    ]
+    ratio = (
+        [F.col("__p4q").cast("long").alias("p_q40")] if keep_ratio else []
+    )
+    return d.select(
+        *cols,
+        *ratio,
+        F.round(
+            F.col("__p4q").cast("double") / F.lit(float(MKN4_Q)), prob_dp
+        ).alias("p"),
+    )
+
+
+def kn4_doc_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Train-then-score under the ORDER-4 modified Kneser-Ney LM —
+    ``kn3_doc_scores`` one order up: fit ``train_mkn4_lm`` on the
+    corpus, then score every document's fourgram stream under the
+    model the plan just learned, with NO committed artifact and NO
+    transcendentals. The Q40 fixed-point probability makes the cost a
+    single log: ``bits_q20 = 40*2^20 - ilog2_q20(p_q40)`` (vs the
+    order-3 two-log ratio form), so the per-document sum is a BIGINT
+    — shuffle-order-free and hash-exact cross-engine.
+
+    Exactness boundary: ``p_q40`` is the trainer's bit-identical
+    cross-engine fixed-point probability; a fourgram whose model
+    probability floors to 0 in Q40 (< 2^-40 — only reachable through
+    a saturated D1 clamp plus an extreme backoff chain) is charged
+    exactly 40 bits via ``greatest(p_q40, 1)`` — the documented cost
+    ceiling of the fixed-point grid, applied identically on both
+    engines.
+
+    Scale: the trainer's one fourgram shuffle, the ilog2 chain as
+    pure codegen over the type-bounded model, one corpus-scale
+    shuffle joining the per-doc fourgram stream to the model on
+    (t, u, v, w) (broadcastable when the model is small), one
+    doc-keyed agg. Scoring the training corpus itself means every
+    fourgram is in-model (no OOV branch).
+
+    Output: ``(id_col, n_fourgrams, nll_q20, bits_per_fourgram_q20)``
+    — total and truncated-mean negative log2-likelihood in Q20
+    micro-bits.
+    """
+    from traits_data_spark.functions.intmath import with_ilog2_q20
+
+    model = train_mkn4_lm(
+        df, text_col=text_col, max_word_len=max_word_len,
+        keep_ratio=True,
+    ).select(
+        "t",
+        "u",
+        "v",
+        "w",
+        F.greatest(F.col("p_q40"), F.lit(1)).cast("long").alias("p_q40"),
+    )
+    model = with_ilog2_q20(model, "p_q40", "__il")
+    bits = model.select(
+        "t", "u", "v", "w",
+        (F.lit(MKN4_Q_BITS * (1 << 20)).cast("long") - F.col("__il"))
+        .alias("__bits_q20"),
+    )
+    nt = normalized_text(F.col(text_col), lowercase=True)
+    wlist = F.filter(
+        F.split(nt, " "),
+        lambda x: (F.length(x) > 0) & (F.length(x) <= max_word_len),
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.concat(
+            F.array(F.lit("<s>"), F.lit("<s>"), F.lit("<s>")), wlist
+        ).alias("ws"),
+    )
+    arr = F.col("ws")
+    n = F.size(arr)
+    tu = F.zip_with(
+        F.slice(arr, 1, n - 3),
+        F.slice(arr, 2, n - 3),
+        lambda a, b: F.struct(a.alias("t"), b.alias("u")),
+    )
+    tuv = F.zip_with(
+        tu,
+        F.slice(arr, 3, n - 3),
+        lambda x, c: F.struct(
+            x["t"].alias("t"), x["u"].alias("u"), c.alias("v")
+        ),
+    )
+    fg = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                tuv,
+                F.slice(arr, 4, n - 3),
+                lambda x, d: F.struct(
+                    x["t"].alias("t"),
+                    x["u"].alias("u"),
+                    x["v"].alias("v"),
+                    d.alias("w"),
+                ),
+            )
+        ).alias("fg"),
+    ).select(
+        id_col,
+        F.col("fg.t").alias("t"),
+        F.col("fg.u").alias("u"),
+        F.col("fg.v").alias("v"),
+        F.col("fg.w").alias("w"),
+    )
+    return (
+        fg.join(bits, ["t", "u", "v", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fourgrams"),
+            F.sum("__bits_q20").cast("long").alias("nll_q20"),
+        )
+        .withColumn(
+            "bits_per_fourgram_q20",
+            # integer division (values are non-negative, so trunc ==
+            # floor on both engines; no double round-trip)
+            F.expr("nll_q20 DIV n_fourgrams").cast("long"),
+        )
     )
