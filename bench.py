@@ -118,9 +118,6 @@ BENCH_QUERIES = FLAGSHIPS + [
     "funnel_within",
     "price_histogram",
     "merge_upsert",
-    "merge_upsert_delete",
-    "train_mkn4_lm",
-    "kn4_doc_scores",
     "asof_join",
     "range_join",
     "kmv_distinct",
@@ -210,7 +207,77 @@ BENCH_QUERIES = FLAGSHIPS + [
     "kn3_doc_scores",
     "curate_corpus_dsir_counts",
     "train_mkn3_lm",
+    # round 16: keyed-retraction MERGE, order-4 modified KN
+    "merge_upsert_delete",
+    "train_mkn4_lm",
+    "kn4_doc_scores",
 ]
+
+# --- Tiered board (round-15 verdict task 5) -------------------------
+# The full board is ~500 s and grows every round, but most of it is
+# long-attested tail whose round-over-round signal is flat. Every
+# round benches TIER A — the flagships, the regression WATCHLIST
+# (queries flagged >25% vs anchor in the latest verdict; refresh each
+# round), and RECENT (entries added in the last two rounds, whose
+# perf baseline is still forming). The long-attested remainder runs
+# on FULL rounds only:
+#   - every TIER_FULL_EVERY-th round (round % 3 == 1 — r16, r19, ...),
+#   - any round where the board holds benched queries the newest
+#     anchor lacks (board growth -> the anchor must be re-pinned from
+#     a FULL board; a fast board can never be pinned as anchor),
+#   - or when no anchor exists at all.
+# The round number is inferred from the committed BENCH_r{N}.json
+# artifacts (max N + 1). Override with SPARK_GRAFT_BENCH_TIER=
+# full|fast. bench_compare already restricts to the common query
+# subset, so a fast board compares against the full anchor cleanly;
+# boards record their tier so the anchor-pinning step can refuse fast
+# boards. Contract noted in BASELINE.md.
+TIER_FULL_EVERY = 3
+
+WATCHLIST = [
+    "hybrid_topk_rrf",
+    "semantic_dedup_sharded",
+    "remove_dup_substrings",
+    "dsir_select",
+    "ngram_jaccard",
+    "profile_build_multi_pass",
+]
+
+RECENT = [
+    "train_kn3_lm",
+    "kn3_doc_scores",
+    "curate_corpus_dsir_counts",
+    "train_mkn3_lm",
+    "merge_upsert_delete",
+    "train_mkn4_lm",
+    "kn4_doc_scores",
+]
+
+
+def inferred_round(here: str) -> int:
+    import glob as _glob
+    import re as _re
+
+    ns = []
+    for p in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            ns.append(int(m.group(1)))
+    return (max(ns) + 1) if ns else 1
+
+
+def board_tier(here: str, anchor_queries) -> str:
+    mode = os.environ.get("SPARK_GRAFT_BENCH_TIER", "auto")
+    if mode in ("full", "fast"):
+        return mode
+    if anchor_queries is None:
+        return "full"
+    if inferred_round(here) % TIER_FULL_EVERY == 1:
+        return "full"
+    benched_growth = (set(BENCH_QUERIES) - set(anchor_queries))
+    if benched_growth:
+        return "full"
+    return "fast"
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every
 # catalog query must appear in exactly one of BENCH_QUERIES /
@@ -392,6 +459,30 @@ def main() -> None:
         raise SystemExit(
             f"BENCH_QUERIES not in catalog.QUERIES: {missing}"
         )
+
+    # Tiered board: fast rounds drop the long-attested tail (see the
+    # TIER contract above); the anchor-pinning step must only ever
+    # pin a board whose "tier" field reads "full".
+    anc_for_tier = latest_anchor(here)
+    anc_queries = None
+    if anc_for_tier:
+        with open(anc_for_tier) as fh:
+            anc_queries = json.load(fh).get("queries")
+    tier = board_tier(here, anc_queries)
+    rnd = inferred_round(here)
+    if tier == "fast":
+        keep = set(FLAGSHIPS) | set(WATCHLIST) | set(RECENT)
+        board = [n for n in BENCH_QUERIES if n in keep]
+        print(
+            f"bench: FAST tier (inferred round {rnd}) — "
+            f"{len(board)}/{len(BENCH_QUERIES)} queries (flagships + "
+            "watchlist + last-two-rounds); full board on rounds "
+            f"% {TIER_FULL_EVERY} == 1 or on board growth"
+        )
+    else:
+        board = list(BENCH_QUERIES)
+        print(f"bench: FULL tier (inferred round {rnd}) — "
+              f"{len(board)} queries")
     # Flagships keep their fixed fresh-JVM slots; the long tail runs in
     # a RANDOMIZED order so a query's slot position (GC pressure /
     # code-cache churn accumulating through the shared session) averages
@@ -401,7 +492,7 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_SEED to reproduce a specific order.
     seed_env = os.environ.get("SPARK_GRAFT_BENCH_SEED")
     seed = int(seed_env) if seed_env else int.from_bytes(os.urandom(4), "big")
-    tail = [n for n in BENCH_QUERIES if n not in FLAGSHIPS]
+    tail = [n for n in board if n not in FLAGSHIPS]
     random.Random(seed).shuffle(tail)
     bench_queries = FLAGSHIPS + tail
 
@@ -490,6 +581,9 @@ def main() -> None:
         # minima across boards built from the same commit
         "git_sha": git_sha(here),
         "reps_tail": reps,
+        # tier contract: only a "full" board may be pinned as anchor
+        "tier": tier,
+        "round": rnd,
     }
     out_path = os.path.join(here, "bench_results.json")
     with open(out_path, "w") as fh:

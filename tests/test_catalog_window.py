@@ -219,3 +219,49 @@ def test_bench_board_covers_every_catalog_query():
         f"catalog queries on neither bench list: {sorted(uncovered)}; "
         "add to BENCH_QUERIES or document in BENCH_EXCLUDED"
     )
+
+
+def test_bench_lists_have_no_duplicates_and_tiers_are_subsets():
+    """BENCH_QUERIES must be duplicate-free (a textual re-add would
+    double-bench a query and skew the headline), and the fast-tier
+    ingredients (FLAGSHIPS / WATCHLIST / RECENT) must all be benched
+    names — a watchlist typo would silently drop the query from every
+    fast round."""
+    import bench
+
+    q = bench.BENCH_QUERIES
+    dups = sorted({x for x in q if q.count(x) > 1})
+    assert not dups, f"duplicated in BENCH_QUERIES: {dups}"
+    benched = set(q)
+    for lst in (bench.FLAGSHIPS, bench.WATCHLIST, bench.RECENT):
+        stray = sorted(set(lst) - benched)
+        assert not stray, f"tier names not benched: {stray}"
+
+
+def test_board_tier_contract(tmp_path, monkeypatch):
+    """full on anchor-less repos, on rounds % TIER_FULL_EVERY == 1 and
+    on board growth; fast otherwise; env override wins."""
+    import json
+
+    import bench
+
+    here = str(tmp_path)
+    allq = {q: 1.0 for q in bench.BENCH_QUERIES}
+    # no anchor -> full
+    assert bench.board_tier(here, None) == "full"
+    # round 16 (max BENCH_r15 + 1): 16 % 3 == 1 -> full
+    (tmp_path / "BENCH_r15.json").write_text("{}")
+    assert bench.inferred_round(here) == 16
+    assert bench.board_tier(here, allq) == "full"
+    # round 17: covered anchor -> fast
+    (tmp_path / "BENCH_r16.json").write_text("{}")
+    assert bench.board_tier(here, allq) == "fast"
+    # round 17 with a grown board -> full
+    smaller = dict(allq)
+    smaller.pop(bench.BENCH_QUERIES[-1])
+    assert bench.board_tier(here, smaller) == "full"
+    # env override
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TIER", "fast")
+    assert bench.board_tier(here, smaller) == "fast"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TIER", "full")
+    assert bench.board_tier(here, allq) == "full"
