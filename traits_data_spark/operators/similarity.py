@@ -1178,6 +1178,127 @@ def _kmeans_dist_ranked(v: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_dist_ranked_grouped(
+    v: DataFrame, centroids: DataFrame, group_col: str = "__grp"
+) -> DataFrame:
+    """Grouped twin of ``_kmeans_dist_ranked``: ``v`` carries a group
+    key (``(group, __id, __v)``) and ``centroids`` one codebook per
+    group (``(group, cid, __centv)``); every row is ranked against its
+    OWN group's centroids only. The packed centroid table is one row
+    per group (bounded: groups × k structs) and broadcast, so the
+    corpus side still never shuffles — the m independent per-subspace
+    assignment passes of the PQ family collapse into ONE plan with
+    identical per-row arithmetic (same ``round(d2, 6)`` + cid
+    tie-break)."""
+    packed = centroids.groupBy(group_col).agg(
+        F.collect_list(F.struct("cid", "__centv")).alias("__cs")
+    )
+    d2 = lambda c: (  # noqa: E731
+        dot(F.col("__v"), F.col("__v"))
+        - F.lit(2.0) * dot(F.col("__v"), c)
+        + dot(c, c)
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                F.round(d2(s.getField("__centv")), 6).alias("d"),
+                s.getField("cid").alias("cid"),
+            ),
+        )
+    )
+    return (
+        v.join(F.broadcast(packed), group_col)
+        .withColumn("__ranked", ranked)
+        .select(group_col, "__id", "__v", "__ranked")
+    )
+
+
+def kmeans_fit_grouped(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "__id",
+    vec_col: str = "__v",
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fit ONE deterministic Lloyd k-means PER GROUP in a single plan
+    — the batched form of running ``kmeans_fit`` once per group.
+    Returns ``(group_col, cid, __centv)``.
+
+    Bit-identical to the per-group loop: seeds are each group's ``k``
+    rows with the smallest ``(portable_hash64(id), id)`` (the same
+    global top-k per group the ungrouped fit takes — the hash ignores
+    the group, so identical id sets seed identically), assignment uses
+    the shared ``round(d2, 6) + cid`` ranking, and centroid rebuilds
+    sum the same ``round(x*scale)`` BIGINTs per ``(group, cid, pos)``.
+
+    Why it exists: ``pq_fit`` ran m=16 INDEPENDENT fits, each ending
+    in an eager ``localCheckpoint`` — 192 jobs at PQ_ITER=2 whose
+    per-job fixed cost dominated the fit at bench scale (9.5 s of an
+    11.7 s pq_topk, stage-profiled round 16) and whose job storm is
+    pure scheduler pressure at any scale. The grouped fit is ONE lazy
+    chain with ONE final checkpoint: the corpus is scanned once per
+    Lloyd iteration total (not once per subspace per iteration), the
+    per-iteration shuffle carries (groups × k × dim/m) centroid
+    components, and job count is independent of m.
+    """
+    v = df.select(
+        F.col(group_col).alias("__grp"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    from traits_data_spark.functions.scalars import portable_hash64
+
+    wseed = Window.partitionBy("__grp").orderBy("__h", "__id")
+    centroids = (
+        v.withColumn("__h", portable_hash64(F.col("__id").cast("string")))
+        .withColumn("__rn", F.row_number().over(wseed))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "__grp",
+            (F.col("__rn") - 1).cast("int").alias("cid"),
+            F.col("__v").alias("__centv"),
+        )
+    )
+    for _ in range(n_iter):
+        assigned = (
+            _kmeans_dist_ranked_grouped(v, centroids)
+            .withColumn("__best", F.element_at(F.col("__ranked"), 1))
+            .select("__grp", "__id", "__v", F.col("__best.cid").alias("cid"))
+        )
+        comp = (
+            assigned.select(
+                "__grp", "cid", F.posexplode("__v").alias("pos", "x")
+            )
+            .groupBy("__grp", "cid", "pos")
+            .agg(
+                F.sum(F.round(F.col("x") * scale).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        centroids = comp.groupBy("__grp", "cid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (
+                                F.col("s").cast("double")
+                                / (F.lit(float(scale)) * F.col("n"))
+                            ).alias("comp"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("comp"),
+            ).alias("__centv")
+        )
+    out = centroids.withColumnRenamed("__grp", group_col)
+    return out.localCheckpoint() if checkpoint else out
+
+
 def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (rank 1 of ``_kmeans_dist_ranked``)."""
     return (
@@ -1506,8 +1627,8 @@ def pq_fit(
     bits instead of ``dim·64`` (here 12 bits vs 4096 — ~340×).
 
     ``materialize=True`` (default) persists the ``(id, vector)``
-    projection once before the sub-fit pool so the ``m·(n_iter+1)``
-    subspace scans hit the cache, not the raw input plan. Pass
+    projection once before the melted grouped fit so the per-iteration
+    scans hit the cache, not the raw input plan. Pass
     ``materialize=False`` when ``df`` is ALREADY persisted/
     checkpointed (``ivfpq_topk``'s residual frame, ``pq_topk``'s
     shared base) to avoid caching the same rows twice."""
@@ -1517,32 +1638,32 @@ def pq_fit(
     src = _vector_base(df, id_col, vec_col) if materialize else df
     v = F.col(vec_col).cast("array<double>")
 
-    def fit_sub(s: int) -> DataFrame:
-        sliced = src.select(
-            F.col(id_col), F.slice(v, s * sub + 1, sub).alias("__sv")
-        )
-        cb = kmeans_fit(
-            sliced, id_col=id_col, vec_col="__sv", k=k, n_iter=n_iter,
-            scale=scale,
-        )
-        return cb.select(
-            F.lit(s).alias("sub"), "cid", F.col("__centv").alias("cvec")
-        )
-
-    # the m sub-fits are independent and each ends in an EAGER
-    # localCheckpoint (a blocking job); submit them from a thread pool
-    # so the scheduler overlaps the per-fit fixed costs — measured
-    # 17 s -> ~6 s for m=16 at sf0.1 (Spark job submission is
-    # thread-safe; results are deterministic regardless of completion
-    # order because each thread owns its own subspace slot)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
-        books = list(pool.map(fit_sub, range(m)))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out
+    # ONE melted (id, sub, subvector) pass feeds a single grouped fit:
+    # round 11 killed the per-subspace RE-SCANS with the persisted
+    # base; round 16 kills the per-subspace JOB CASCADES — m
+    # independent fits each ending in an eager localCheckpoint ran 192
+    # jobs for m=16/n_iter=2 (9.5 s of pq_topk's 11.7 s wall was this
+    # construction-time fit, stage-profiled), where the grouped fit
+    # runs ONE lazy chain with ONE checkpoint. Codebooks are
+    # bit-identical (see kmeans_fit_grouped).
+    melted = src.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(v, s * sub + 1, sub),
+            )
+        ).alias("__sub", "__sv"),
+    )
+    books = kmeans_fit_grouped(
+        melted, "__sub", id_col=id_col, vec_col="__sv", k=k,
+        n_iter=n_iter, scale=scale,
+    )
+    return books.select(
+        F.col("__sub").cast("int").alias("sub"),
+        "cid",
+        F.col("__centv").alias("cvec"),
+    )
 
 
 def pq_encode(
@@ -1565,26 +1686,31 @@ def pq_encode(
     sub = dim // m
     src = _vector_base(df, id_col, vec_col) if materialize else df
     v = F.col(vec_col).cast("array<double>")
-    outs = []
-    for s in range(m):
-        sliced = src.select(
-            F.col(id_col).alias("__id"),
-            F.slice(v, s * sub + 1, sub).alias("__v"),
-        )
-        cb = codebooks.filter(F.col("sub") == s).select(
-            "cid", F.col("cvec").alias("__centv")
-        )
-        outs.append(
-            _kmeans_assign(sliced, cb).select(
-                F.col("__id").alias(id_col),
-                F.lit(s).alias("sub"),
-                F.col("cid").alias("code"),
+    # single melt + grouped assignment (same round(d2,6)+cid ranking
+    # per subspace): the m-way unionByName of per-subspace assigns
+    # rebuilt the corpus subtree m times in the plan; this is one
+    # subtree and one broadcast of the packed (m × k)-row codebook
+    melted = src.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(v, s * sub + 1, sub),
             )
+        ).alias("__grp", "__v"),
+    )
+    cb = codebooks.select(
+        F.col("sub").alias("__grp"), "cid", F.col("cvec").alias("__centv")
+    )
+    return (
+        _kmeans_dist_ranked_grouped(melted, cb)
+        .withColumn("__best", F.element_at(F.col("__ranked"), 1))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__grp").cast("int").alias("sub"),
+            F.col("__best.cid").alias("code"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 def pq_topk(

@@ -171,6 +171,16 @@ def curate_corpus(
     # Persisted — the exact-kept set feeds near-dup shingling, both
     # verify sides, and the anti-join (the clean_corpus barrier).
     row = F.struct(F.col(id_col), F.col(source_col), F.col(text_col), F.col("ws_tokens"))
+    # localCheckpoint, not persist (round 16): the exact-kept set feeds
+    # near-dup shingling, both verify sides and the anti-join, and each
+    # of those references embeds the FULL upstream subtree (gopher
+    # regex stack + optional quality-gate chain) into the analyzed
+    # plan — the trained variant's plan reached 1.7 MB / 478 scan
+    # nodes, and its driver-side analysis was re-paid by every
+    # downstream action. A cached frame still carries the child plan;
+    # the checkpoint truncates lineage to a leaf (guide §3.3), same
+    # move as the DSIR gate's measured 33 s → 13.4 s cut. Same caveat:
+    # eager, executor-local blocks (rerun on executor loss).
     deduped = (
         kept_quality.withColumn(
             "__ch", portable_hash64(normalized_text(text_col))
@@ -178,7 +188,7 @@ def curate_corpus(
         .groupBy("__ch")
         .agg(F.min_by(row, F.col(id_col)).alias("__r"))
         .select("__r.*")
-        .persist()
+        .localCheckpoint()
     )
 
     # near-dup removal over the exact-kept set (MinHash-LSH candidates,
@@ -221,7 +231,9 @@ def curate_corpus(
         )
         budget_col = "bpe_tokens"
         out_token_cols.append(budget_col)
-    survivors = survivors.persist()
+    # lineage cut for the same reason as deduped above: survivors feed
+    # the mixture plan, the sampled join and the shard window
+    survivors = survivors.localCheckpoint()
 
     # mixture execution: per-source plan (one row per source, broadcast)
     plan = mixture_plan(
