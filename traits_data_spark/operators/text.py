@@ -1049,9 +1049,16 @@ def winnow_matches(
     expanded only inside surviving fingerprint groups → one pair-keyed
     count. Never all-pairs.
     """
+    # persist the distinct fingerprint table: it feeds the bucket-size
+    # aggregate AND both pair-expansion join legs, and each reference
+    # otherwise re-computes the full upstream fingerprint pass after
+    # the distinct's exchange (stage-profiled round 16: two ~135 s
+    # task-time stages for ONE winnow pass — the exchange is reused,
+    # the post-exchange work is not). At scale this is the standard
+    # shuffle-once-reuse-thrice materialization.
     f = fps.select(
         F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
-    ).distinct()
+    ).distinct().persist()
     sized = f.join(
         f.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__n"))
