@@ -35,6 +35,17 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
 }
 
+# AQE coalescing floor. With parallelismFirst=true (default) the
+# coalesced-partition target is max(totalShuffleBytes/parallelism,
+# minPartitionSize); the stock 1 MB floor serializes compute-dense
+# stages whose shuffle *input* is small but whose per-row work is
+# large (e.g. BM25 term fan-out: a 2 MB postings shuffle coalesced to
+# 2 tasks that then explode to 15 MB + heavy scoring). 64 KB keeps
+# such stages wide; at production scale totalBytes/parallelism dwarfs
+# any floor, so the setting is inert there. Override via
+# SPARK_GRAFT_AQE_MIN_PARTITION (e.g. "1m" to restore the default).
+_AQE_MIN_PARTITION_ENV = "SPARK_GRAFT_AQE_MIN_PARTITION"
+
 
 def get_spark(
     app_name: str = "traits_data_spark",
@@ -64,6 +75,10 @@ def get_spark(
         )
     for k, v in _BASE_CONFS.items():
         builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        os.environ.get(_AQE_MIN_PARTITION_ENV, "64k"),
+    )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = builder.config(
