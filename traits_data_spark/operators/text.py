@@ -1780,7 +1780,11 @@ def train_bigram_lm(
     if counts is None:
         if df is None:
             raise ValueError("train_bigram_lm needs df or counts")
-        counts = word_bigram_counts(df, text_col, max_word_len)
+        # persist: the vocab²-bounded count table feeds the context
+        # totals, the vocab count AND the model join — without the pin
+        # each consumer re-runs the corpus tokenize + bigram shuffle
+        # (the consumers' exchanges are not reuse-identical)
+        counts = word_bigram_counts(df, text_col, max_word_len).persist()
     elif df is not None:
         raise ValueError(
             "train_bigram_lm: pass df OR counts, not both — with "
@@ -1860,7 +1864,9 @@ def train_kn_lm(
     if counts is None:
         if df is None:
             raise ValueError("train_kn_lm needs df or counts")
-        counts = word_bigram_counts(df, text_col, max_word_len)
+        # persist: ctx/pred/glob/join all consume the count table —
+        # without the pin each re-runs the corpus tokenize + shuffle
+        counts = word_bigram_counts(df, text_col, max_word_len).persist()
     elif df is not None:
         raise ValueError(
             "train_kn_lm: pass df OR counts, not both — with "
@@ -2000,7 +2006,9 @@ def train_mkn_lm(
     if counts is None:
         if df is None:
             raise ValueError("train_mkn_lm needs df or counts")
-        counts = word_bigram_counts(df, text_col, max_word_len)
+        # persist: ctx/pred/raw/join all consume the count table —
+        # without the pin each re-runs the corpus tokenize + shuffle
+        counts = word_bigram_counts(df, text_col, max_word_len).persist()
     elif df is not None:
         raise ValueError(
             "train_mkn_lm: pass df OR counts, not both — with "
@@ -2237,7 +2245,9 @@ def train_kn3_lm(
     if counts is None:
         if df is None:
             raise ValueError("train_kn3_lm needs df or counts")
-        counts = word_trigram_counts(df, text_col, max_word_len)
+        # persist: ctx3/c2/g3/join all consume the count table —
+        # without the pin each re-runs the corpus tokenize + shuffle
+        counts = word_trigram_counts(df, text_col, max_word_len).persist()
     elif df is not None:
         raise ValueError(
             "train_kn3_lm: pass df OR counts, not both — with "
@@ -2248,10 +2258,12 @@ def train_kn3_lm(
         F.count(F.lit(1)).cast("long").alias("n1uv"),
     )
     # continuation-bigram table: c2'(vw) = distinct left-extensions,
-    # i.e. one row per (v, w) with the trigram-type count
+    # i.e. one row per (v, w) with the trigram-type count. Persisted:
+    # ctx2/pred/g2/gbb/join all consume it — one type-table shuffle,
+    # reused five times.
     c2 = counts.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c2_vw")
-    )
+    ).persist()
     ctx2 = c2.groupBy("v").agg(
         F.sum("c2_vw").cast("long").alias("c2_v"),
         F.count(F.lit(1)).cast("long").alias("n1v"),
@@ -2436,7 +2448,9 @@ def train_mkn3_lm(
     if counts is None:
         if df is None:
             raise ValueError("train_mkn3_lm needs df or counts")
-        counts = word_trigram_counts(df, text_col, max_word_len)
+        # persist: ctx3/c2/g3/join all consume the count table —
+        # without the pin each re-runs the corpus tokenize + shuffle
+        counts = word_trigram_counts(df, text_col, max_word_len).persist()
     elif df is not None:
         raise ValueError(
             "train_mkn3_lm: pass df OR counts, not both — with "
@@ -2448,9 +2462,11 @@ def train_mkn3_lm(
         _mkn_bucket("n_uvw", 2).alias("nu2uv"),
         _mkn_bucket("n_uvw", 3).alias("nu3puv"),
     )
+    # persisted: ctx2/pred/g2/gbb/join all consume the continuation
+    # table — one type-table shuffle, reused five times
     c2 = counts.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c2_vw")
-    )
+    ).persist()
     ctx2 = c2.groupBy("v").agg(
         F.sum("c2_vw").cast("long").alias("c2_v"),
         _mkn_bucket("c2_vw", 1).alias("mv1"),
@@ -3267,7 +3283,11 @@ def train_mkn4_lm(
     if counts is None:
         if df is None:
             raise ValueError("train_mkn4_lm needs df or counts")
-        counts = word_fourgram_counts(df, text_col, max_word_len)
+        # persist: ctx4/c3/g4/join all consume the count table —
+        # without the pin each re-runs the corpus tokenize + shuffle
+        counts = (
+            word_fourgram_counts(df, text_col, max_word_len).persist()
+        )
     elif df is not None:
         raise ValueError(
             "train_mkn4_lm: pass df OR counts, not both — with "
@@ -3280,9 +3300,12 @@ def train_mkn4_lm(
         _mkn_bucket("n_tuvw", 2).alias("nu2"),
         _mkn_bucket("n_tuvw", 3).alias("nu3p"),
     )
+    # persisted: each continuation table has 4-5 consumers (contexts,
+    # next level down, discount frames, the model join) — one
+    # type-table shuffle apiece, reused
     c3 = counts.groupBy("u", "v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c3_uvw")
-    )
+    ).persist()
     ctx3 = c3.groupBy("u", "v").agg(
         F.sum("c3_uvw").cast("long").alias("c3_uv"),
         _mkn_bucket("c3_uvw", 1).alias("mu1"),
@@ -3291,7 +3314,7 @@ def train_mkn4_lm(
     )
     c2 = c3.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c2_vw")
-    )
+    ).persist()
     ctx2 = c2.groupBy("v").agg(
         F.sum("c2_vw").cast("long").alias("c2_v"),
         _mkn_bucket("c2_vw", 1).alias("mv1"),
