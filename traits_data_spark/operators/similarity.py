@@ -25,6 +25,7 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from traits_data_spark.operators.dedup import _let
 
@@ -1214,6 +1215,71 @@ def _kmeans_dist_ranked_grouped(
     )
 
 
+def _sql_literal(v) -> str:
+    if isinstance(v, list):
+        # repr() is the shortest round-trip decimal; Spark's
+        # correctly-rounded double parser returns the identical IEEE
+        # 754 bits, so centroid components survive the driver exactly
+        return "array(" + ",".join(f"{x!r}D" for x in v) + ")"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _literal_rows(spark, fields, rows, schema) -> DataFrame:
+    """Materialize driver-held rows as a PURE-JVM ``LocalRelation``
+    via SQL ``VALUES`` (the inline-table form the analyzer folds to a
+    ``LocalRelation`` ONCE, at parse time). The bounded-model-artifact
+    bridge of the driver-iterated Lloyd fits — k·dim doubles cross
+    the driver per iteration, bit-exactly.
+
+    Why not the obvious alternatives (both measured at sf0.1):
+    ``spark.createDataFrame(rows)`` parallelizes through a
+    Python-RDD-backed plan, so every downstream evaluation (each
+    broadcast future, each Lloyd step) re-runs defaultParallelism
+    tasks that EACH spawn a Python worker (~0.18 s/task × 32 tasks ×
+    every consumer); ``select(inline(array(struct(lit…))))`` builds
+    thousands of Literal nodes that every downstream analysis/
+    optimization pass re-walks (pq_topk 7 → 16 s, pure driver time).
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    values = ",".join(
+        "(" + ",".join(_sql_literal(v) for v in row) + ")" for row in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {values} AS t({', '.join(fields)})"
+    )
+
+
+_CENT_SCHEMA = T.StructType(
+    [
+        T.StructField("cid", T.IntegerType(), False),
+        T.StructField("__centv", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _local_centroids(spark, rows) -> DataFrame:
+    """(cid, __centv) rows → a literal centroid table (see
+    ``_literal_rows``)."""
+    return _literal_rows(spark, ["cid", "__centv"], rows, _CENT_SCHEMA)
+
+
+def _local_grouped_centroids(spark, grp_type, rows) -> DataFrame:
+    """Grouped twin of ``_local_centroids``: (__grp, cid, __centv)."""
+    schema = T.StructType(
+        [
+            T.StructField("__grp", grp_type, True),
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("__centv", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    return _literal_rows(spark, ["__grp", "cid", "__centv"], rows, schema)
+
+
 def kmeans_fit_grouped(
     df: DataFrame,
     group_col: str,
@@ -1223,6 +1289,7 @@ def kmeans_fit_grouped(
     n_iter: int = 2,
     scale: int = 1_000_000,
     checkpoint: bool = True,
+    seed_ids: Sequence | None = None,
 ) -> DataFrame:
     """Fit ONE deterministic Lloyd k-means PER GROUP in a single plan
     — the batched form of running ``kmeans_fit`` once per group.
@@ -1239,12 +1306,24 @@ def kmeans_fit_grouped(
     in an eager ``localCheckpoint`` — 192 jobs at PQ_ITER=2 whose
     per-job fixed cost dominated the fit at bench scale (9.5 s of an
     11.7 s pq_topk, stage-profiled round 16) and whose job storm is
-    pure scheduler pressure at any scale. The grouped fit is ONE lazy
-    chain with ONE final checkpoint: the corpus is scanned once per
-    Lloyd iteration total (not once per subspace per iteration), the
-    per-iteration shuffle carries (groups × k × dim/m) centroid
-    components, and job count is independent of m.
+    pure scheduler pressure at any scale.
+
+    Like ``kmeans_fit``, the Lloyd loop iterates DRIVER-SIDE (the
+    MLlib pattern): each step is one job over the melted input whose
+    (groups × k)-row centroid result is collected (bounded model
+    artifact) and re-embedded as a literal ``LocalRelation``, so no
+    iteration ever nests inside another's broadcast and downstream
+    consumers see a literal codebook. ``checkpoint`` is kept for API
+    compatibility and ignored.
+
+    ``seed_ids`` (ordered, rank = cid) skips the per-group seeding
+    window entirely: when every group contains the same id set —
+    ``pq_fit``'s melt does by construction, which is also what makes
+    the per-group top-k equal the global top-k — the caller passes
+    the globally ranked ids and seeds are fetched with one filter
+    instead of a full-input window sort.
     """
+    spark = df.sparkSession
     v = df.select(
         F.col(group_col).alias("__grp"),
         F.col(id_col).alias("__id"),
@@ -1252,17 +1331,32 @@ def kmeans_fit_grouped(
     )
     from traits_data_spark.functions.scalars import portable_hash64
 
-    wseed = Window.partitionBy("__grp").orderBy("__h", "__id")
-    centroids = (
-        v.withColumn("__h", portable_hash64(F.col("__id").cast("string")))
-        .withColumn("__rn", F.row_number().over(wseed))
-        .filter(F.col("__rn") <= k)
-        .select(
-            "__grp",
-            (F.col("__rn") - 1).cast("int").alias("cid"),
-            F.col("__v").alias("__centv"),
+    grp_type = v.schema["__grp"].dataType
+    if seed_ids is not None:
+        rank = {sid: i for i, sid in enumerate(seed_ids)}
+        rows = v.filter(F.col("__id").isin(list(seed_ids))).collect()
+        seed_tuples = [
+            (r["__grp"], rank[r["__id"]], list(r["__v"])) for r in rows
+        ]
+    else:
+        wseed = Window.partitionBy("__grp").orderBy("__h", "__id")
+        rows = (
+            v.withColumn(
+                "__h", portable_hash64(F.col("__id").cast("string"))
+            )
+            .withColumn("__rn", F.row_number().over(wseed))
+            .filter(F.col("__rn") <= k)
+            .select(
+                "__grp",
+                (F.col("__rn") - 1).cast("int").alias("cid"),
+                F.col("__v").alias("__centv"),
+            )
+            .collect()
         )
-    )
+        seed_tuples = [
+            (r["__grp"], int(r["cid"]), list(r["__centv"])) for r in rows
+        ]
+    centroids = _local_grouped_centroids(spark, grp_type, seed_tuples)
     for _ in range(n_iter):
         assigned = (
             _kmeans_dist_ranked_grouped(v, centroids)
@@ -1279,24 +1373,35 @@ def kmeans_fit_grouped(
                 F.count(F.lit(1)).alias("n"),
             )
         )
-        centroids = comp.groupBy("__grp", "cid").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos",
-                            (
-                                F.col("s").cast("double")
-                                / (F.lit(float(scale)) * F.col("n"))
-                            ).alias("comp"),
+        new_rows = (
+            comp.groupBy("__grp", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                (
+                                    F.col("s").cast("double")
+                                    / (F.lit(float(scale)) * F.col("n"))
+                                ).alias("comp"),
+                            )
                         )
-                    )
-                ),
-                lambda s: s.getField("comp"),
-            ).alias("__centv")
+                    ),
+                    lambda s: s.getField("comp"),
+                ).alias("__centv")
+            )
+            .collect()
         )
-    out = centroids.withColumnRenamed("__grp", group_col)
-    return out.localCheckpoint() if checkpoint else out
+        centroids = _local_grouped_centroids(
+            spark,
+            grp_type,
+            [
+                (r["__grp"], int(r["cid"]), list(r["__centv"]))
+                for r in new_rows
+            ],
+        )
+    return centroids.withColumnRenamed("__grp", group_col)
 
 
 def _kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -1327,17 +1432,22 @@ def kmeans_fit(
     KMeans, whose sampled init and float reduction order are
     engine-private).
 
-    ``checkpoint=True`` (default) ends the fit with ONE eager
-    ``localCheckpoint`` so downstream consumers reuse the materialized
-    k-row centroid table instead of re-executing the whole Lloyd loop.
-    Caveats: the call is no longer lazy (the fit runs at
-    DataFrame-construction time), checkpoint blocks live on executor
-    local storage — an executor loss invalidates them and fails
-    downstream jobs (rerun the fit; on a real cluster consider writing
-    centroids to a table instead for long-lived reuse) — and they are
-    NOT freed by ``spark.catalog.clearCache()``: loops cycling many
-    fits should unpersist via the returned DataFrame's ``.rdd`` or
-    pass ``checkpoint=False`` and persist explicitly.
+    The fit iterates DRIVER-SIDE, exactly like Spark MLlib's own
+    ``KMeans``: each Lloyd step runs one job whose k-row centroid
+    result is collected to the driver (a bounded model artifact —
+    k·dim doubles, the same contract as the repo's vocab collects)
+    and re-embedded as a literal ``LocalRelation`` for the next step.
+    Downstream consumers therefore see a LITERAL centroid table: no
+    nested fit subtree is ever re-analyzed or re-executed, and the
+    broadcast side of every assignment join is free. (The previous
+    lazy-composition form nested iteration ``i``'s whole plan inside
+    iteration ``i+1``'s broadcast exchange; with an eager trailing
+    ``localCheckpoint`` that cost one job per broadcast barrier plus
+    quadratic plan re-analysis — 35 jobs / 8.5 s of driver time for
+    ``ivfpq_topk`` at sf0.1, stage-profiled round 16.) The call is
+    eager: the fit runs at DataFrame-construction time. ``checkpoint``
+    is kept for API compatibility and ignored — a LocalRelation is
+    inherently materialized and holds no executor storage.
 
     Seeds are the ``k`` vectors with the smallest portable 60-bit hash
     of their id (a deterministic stand-in for k-means++ sampling);
@@ -1355,19 +1465,24 @@ def kmeans_fit(
     """
     from traits_data_spark.functions.scalars import portable_hash64
 
+    spark = df.sparkSession
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    seeds = (
+    # seeding: global top-k by (hash, id) — TakeOrderedAndProject, no
+    # full sort; the k rows come back in rank order, re-sorted
+    # driver-side by the same keys for belt-and-braces determinism
+    seed_rows = (
         v.withColumn("__h", portable_hash64(F.col("__id").cast("string")))
         .orderBy("__h", "__id")
         .limit(k)
+        .collect()
     )
-    centroids = seeds.withColumn(
-        "cid", F.row_number().over(Window.orderBy("__h", "__id")) - 1
-    ).select(F.col("cid").cast("int"), F.col("__v").alias("__centv"))
-
+    seed_rows.sort(key=lambda r: (r["__h"], r["__id"]))
+    centroids = _local_centroids(
+        spark, [(i, list(r["__v"])) for i, r in enumerate(seed_rows)]
+    )
     for _ in range(n_iter):
         assigned = _kmeans_assign(v, centroids)
         comp = (
@@ -1378,32 +1493,33 @@ def kmeans_fit(
                 F.count(F.lit(1)).alias("n"),
             )
         )
-        centroids = comp.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos",
-                            (
-                                F.col("s").cast("double")
-                                / (F.lit(float(scale)) * F.col("n"))
-                            ).alias("comp"),
+        # same fixed-point mean expressions as ever; only the
+        # materialization changed (collect k rows vs checkpoint) —
+        # doubles round-trip the driver bit-exactly (IEEE 754)
+        new_rows = (
+            comp.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                (
+                                    F.col("s").cast("double")
+                                    / (F.lit(float(scale)) * F.col("n"))
+                                ).alias("comp"),
+                            )
                         )
-                    )
-                ),
-                lambda s: s.getField("comp"),
-            ).alias("__centv")
+                    ),
+                    lambda s: s.getField("comp"),
+                ).alias("__centv")
+            )
+            .collect()
         )
-    # ONE eager checkpoint (k rows) after the loop: without it the
-    # returned centroid plan nests every Lloyd iteration and EACH
-    # downstream consumer re-executes the whole fit (the IVF probe
-    # uses centroids twice -> 2*n_iter extra corpus scans; audited at
-    # 8 deduped scans for ivf_topk_kmeans before, 3 after). A single
-    # final checkpoint materializes the fit exactly once; checkpointing
-    # inside the loop would add a per-iteration job barrier that costs
-    # more than the duplicate scans save (measured +50% at sf0.1).
-    # See the checkpoint caveats in the docstring.
-    return centroids.localCheckpoint() if checkpoint else centroids
+        centroids = _local_centroids(
+            spark, [(int(r["cid"]), list(r["__centv"])) for r in new_rows]
+        )
+    return centroids
 
 
 def kmeans_clusters(
@@ -1655,9 +1771,24 @@ def pq_fit(
             )
         ).alias("__sub", "__sv"),
     )
+    # every subspace group holds the SAME id set, so the per-group
+    # seed ranking equals the global (hash, id) top-k — computed once
+    # on the unmelted projection (TakeOrderedAndProject) instead of a
+    # window sort over the full melt
+    from traits_data_spark.functions.scalars import portable_hash64
+
+    seed_rows = (
+        src.select(F.col(id_col).alias("__id"))
+        .withColumn("__h", portable_hash64(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: (r["__h"], r["__id"]))
     books = kmeans_fit_grouped(
         melted, "__sub", id_col=id_col, vec_col="__sv", k=k,
         n_iter=n_iter, scale=scale,
+        seed_ids=[r["__id"] for r in seed_rows],
     )
     return books.select(
         F.col("__sub").cast("int").alias("sub"),
