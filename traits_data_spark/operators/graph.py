@@ -60,17 +60,27 @@ def pagerank(
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
+    # single-scan symmetrization (the any_union explode pattern): a
+    # union of two selects embeds the pair-generation subtree TWICE in
+    # the plan, and the eager checkpoint below then executes it twice
+    # — for the winnow copy-graph that was two full fingerprint+match
+    # passes (stage-profiled round 16)
     sym = pairs.select(
-        F.col(src).cast("long").alias("e_src"),
-        F.col(dst).cast("long").alias("e_dst"),
-    )
-    edges = (
-        sym.union(
-            sym.select(
-                F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst")
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).cast("long").alias("e_src"),
+                    F.col(dst).cast("long").alias("e_dst"),
+                ),
+                F.struct(
+                    F.col(dst).cast("long").alias("e_src"),
+                    F.col(src).cast("long").alias("e_dst"),
+                ),
             )
-        )
-        .distinct()
+        ).alias("__e")
+    ).select("__e.e_src", "__e.e_dst")
+    edges = (
+        sym.distinct()
         # consumed once per iteration + once for degrees; recomputing
         # the upstream pair generation per round would dominate
         .localCheckpoint()

@@ -978,7 +978,7 @@ def winnow_fingerprints(
 
     def fps(wl: Column) -> Column:
         n_grams = F.greatest(F.size(wl) - (k - 1), F.lit(1))
-        grams = F.transform(
+        grams_expr = F.transform(
             F.sequence(F.lit(1), n_grams),
             lambda i: F.struct(
                 portable_hash64(F.array_join(F.slice(wl, i, k), " ")).alias(
@@ -988,29 +988,38 @@ def winnow_fingerprints(
             ),
         )
 
-        def win_min(s: Column) -> Column:
-            window = F.slice(grams, s, w)
-            zero = F.struct(
-                F.lit((1 << 62) - 1 + (1 << 62)).alias("h"),  # 2^63-1
-                F.lit(0).cast("long").alias("p"),
-            )
-            return F.aggregate(
-                window,
-                zero,
-                lambda acc, x: F.when(
-                    (x.getField("h") < acc.getField("h"))
-                    | (
-                        (x.getField("h") == acc.getField("h"))
-                        & (x.getField("p") > acc.getField("p"))
-                    ),
-                    x,
-                ).otherwise(acc),
+        # _let-bind the gram array: a lambda body re-evaluates any
+        # OUTER expression per element (HOFs are interpreted, no CSE),
+        # so an unbound `grams` re-hashed every gram once per window —
+        # O(n_grams · n_wins) hash evaluations per document (167
+        # task-seconds of the copy_pagerank profile, round 16). Bound,
+        # the grams array is computed once per row.
+        def over_grams(grams: Column) -> Column:
+            def win_min(s: Column) -> Column:
+                window = F.slice(grams, s, w)
+                zero = F.struct(
+                    F.lit((1 << 62) - 1 + (1 << 62)).alias("h"),  # 2^63-1
+                    F.lit(0).cast("long").alias("p"),
+                )
+                return F.aggregate(
+                    window,
+                    zero,
+                    lambda acc, x: F.when(
+                        (x.getField("h") < acc.getField("h"))
+                        | (
+                            (x.getField("h") == acc.getField("h"))
+                            & (x.getField("p") > acc.getField("p"))
+                        ),
+                        x,
+                    ).otherwise(acc),
+                )
+
+            n_wins = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+            return F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n_wins), win_min)
             )
 
-        n_wins = F.greatest(n_grams - (w - 1), F.lit(1))
-        return F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n_wins), win_min)
-        )
+        return _let(grams_expr, over_grams)
 
     from traits_data_spark.operators.dedup import _let
 
