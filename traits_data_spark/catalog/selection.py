@@ -84,6 +84,13 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tokens", F.size(word_array("chunk_text")).cast("long")
         )
         .withColumn("bucket", F.col("doc_id") % _PREP_BUCKETS)
+        # project chunk_text OUT before the pack window: the output
+        # never emits it, and the (split, bucket) exchange otherwise
+        # carries the overlap-inflated chunk bodies (26.8 MB of a
+        # 27 MB shuffle at sf0.1 — guide §2.3 "project before the
+        # exchange"; at 100 TB this is the whole corpus moved for a
+        # running sum over five integer columns)
+        .select("doc_id", "chunk_idx", "split", "chunk_tokens", "bucket")
     )
     packed = pack_contiguous(
         labeled,
