@@ -2526,8 +2526,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast linear bag-of-words classifier (fasttext-style), the
     standard learned companion to the heuristic quality_features gate."""
     docs = _docs_wide(spark, sf_dir)
-    weights = spark.createDataFrame(
-        CLASSIFIER_WEIGHTS, "term string, weight long"
+    from traits_data_spark.functions.literals import literal_frame
+
+    weights = literal_frame(
+        spark, CLASSIFIER_WEIGHTS, "term string, weight long"
     )
     return classifier_score(
         docs, weights, bias=CLASSIFIER_BIAS, threshold=CLASSIFIER_THRESHOLD

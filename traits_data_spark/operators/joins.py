@@ -63,7 +63,18 @@ def allowlist_filter(
         cond = F.col(col).isin(values)
         return df.filter(~cond if negate else cond)
     spark = df.sparkSession
-    keys_df = spark.createDataFrame([(v,) for v in values], [col]).distinct()
+    from traits_data_spark.functions.literals import literal_frame
+
+    vtype = (
+        "bigint"
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in values)
+        else "double"
+        if all(isinstance(v, (int, float)) for v in values)
+        else "string"
+    )
+    keys_df = literal_frame(
+        spark, [(v,) for v in values], f"{col} {vtype}"
+    ).distinct()
     return df.join(
         F.broadcast(keys_df), col, "left_anti" if negate else "left_semi"
     )

@@ -206,9 +206,14 @@ def train_linear_scorer(
             "sampled label/feature is NULL"
         )
     # the k collected integers are the model artifact; re-emitting them
-    # as a literal one-row frame keeps scoring a pure broadcast
-    # projection without re-running the stats aggregate per consumer
-    weights = df.sparkSession.createDataFrame(
+    # as a VALUES literal (true LocalRelation, not a Python-RDD-backed
+    # createDataFrame — see functions.literals) keeps scoring a pure
+    # broadcast projection without re-running the stats aggregate or
+    # spawning a Python worker per consumer
+    from traits_data_spark.functions.literals import literal_frame
+
+    weights = literal_frame(
+        df.sparkSession,
         [tuple(int(wrow[f"w_{i}_micro"]) for i in range(k))],
         ", ".join(f"w_{i}_micro long" for i in range(k)),
     )

@@ -25,7 +25,6 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from traits_data_spark.operators.dedup import _let
 
@@ -716,7 +715,10 @@ def lsh_topk_multiprobe(
         # probe set via a broadcast mask frame: query-side rows only,
         # the corpus melt is untouched
         spark = corpus.sparkSession
-        masks = spark.createDataFrame(
+        from traits_data_spark.functions.literals import literal_frame
+
+        masks = literal_frame(
+            spark,
             [(m,) for m in probe_masks(n_planes, probe_bits)],
             "mask long",
         )
@@ -1215,69 +1217,28 @@ def _kmeans_dist_ranked_grouped(
     )
 
 
-def _sql_literal(v) -> str:
-    if isinstance(v, list):
-        # repr() is the shortest round-trip decimal; Spark's
-        # correctly-rounded double parser returns the identical IEEE
-        # 754 bits, so centroid components survive the driver exactly
-        return "array(" + ",".join(f"{x!r}D" for x in v) + ")"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, (int, float)):
-        return repr(v)
-    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-
-def _literal_rows(spark, fields, rows, schema) -> DataFrame:
-    """Materialize driver-held rows as a PURE-JVM ``LocalRelation``
-    via SQL ``VALUES`` (the inline-table form the analyzer folds to a
-    ``LocalRelation`` ONCE, at parse time). The bounded-model-artifact
-    bridge of the driver-iterated Lloyd fits — k·dim doubles cross
-    the driver per iteration, bit-exactly.
-
-    Why not the obvious alternatives (both measured at sf0.1):
-    ``spark.createDataFrame(rows)`` parallelizes through a
-    Python-RDD-backed plan, so every downstream evaluation (each
-    broadcast future, each Lloyd step) re-runs defaultParallelism
-    tasks that EACH spawn a Python worker (~0.18 s/task × 32 tasks ×
-    every consumer); ``select(inline(array(struct(lit…))))`` builds
-    thousands of Literal nodes that every downstream analysis/
-    optimization pass re-walks (pq_topk 7 → 16 s, pure driver time).
-    """
-    if not rows:
-        return spark.createDataFrame([], schema)
-    values = ",".join(
-        "(" + ",".join(_sql_literal(v) for v in row) + ")" for row in rows
-    )
-    return spark.sql(
-        f"SELECT * FROM VALUES {values} AS t({', '.join(fields)})"
-    )
-
-
-_CENT_SCHEMA = T.StructType(
-    [
-        T.StructField("cid", T.IntegerType(), False),
-        T.StructField("__centv", T.ArrayType(T.DoubleType()), True),
-    ]
-)
-
-
 def _local_centroids(spark, rows) -> DataFrame:
-    """(cid, __centv) rows → a literal centroid table (see
-    ``_literal_rows``)."""
-    return _literal_rows(spark, ["cid", "__centv"], rows, _CENT_SCHEMA)
+    """(cid, __centv) rows → a literal centroid table — the
+    bounded-model-artifact bridge of the driver-iterated Lloyd fits
+    (k·dim doubles cross the driver per iteration, bit-exactly). See
+    ``functions.literals.literal_frame`` for why this must be a SQL
+    ``VALUES`` LocalRelation and not ``createDataFrame``/``inline``
+    (both measured dead ends, round 16)."""
+    from traits_data_spark.functions.literals import literal_frame
+
+    return literal_frame(spark, rows, "cid int, __centv array<double>")
 
 
 def _local_grouped_centroids(spark, grp_type, rows) -> DataFrame:
     """Grouped twin of ``_local_centroids``: (__grp, cid, __centv)."""
-    schema = T.StructType(
-        [
-            T.StructField("__grp", grp_type, True),
-            T.StructField("cid", T.IntegerType(), False),
-            T.StructField("__centv", T.ArrayType(T.DoubleType()), True),
-        ]
+    from traits_data_spark.functions.literals import literal_frame
+
+    return literal_frame(
+        spark,
+        rows,
+        f"__grp {grp_type.simpleString()}, cid int, "
+        "__centv array<double>",
     )
-    return _literal_rows(spark, ["__grp", "cid", "__centv"], rows, schema)
 
 
 def kmeans_fit_grouped(

@@ -2938,8 +2938,12 @@ def unigram_train(
         df, text_col, max_word_len, max_piece_len, em_iters, vocab_size,
         seed_cap,
     )
-    return df.sparkSession.createDataFrame(
-        rows, "piece string, em_count long, logp2_q20 long"
+    from traits_data_spark.functions.literals import literal_frame
+
+    return literal_frame(
+        df.sparkSession,
+        rows,
+        "piece string, em_count long, logp2_q20 long",
     )
 
 
