@@ -73,18 +73,26 @@ def cosine_topk_bruteforce(
     (self-matches excluded). Query side is broadcast; ties broken by
     neighbor id for determinism.
     """
+    # norms are per-ROW invariants of the |Q|×N pair join: computed
+    # here (one interpreted fold per row) instead of inside the pair
+    # expression (one per pair) — same l2_norm fold on the same cast
+    # array, so the quotient is bit-identical (guide §1.2 step 2)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.join(_maybe_broadcast(q, broadcast_queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
     )
     if round_to is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_to))
@@ -804,26 +812,44 @@ def keyed_near_dups(
     one), or any other co-location key. Returns ``(id_a, id_b,
     cosine)`` with ``id_a < id_b``; NULL keys pair with nothing (an
     unkeyed row has no locality group)."""
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        F.col(key_col).alias("__k"),
-    ).filter(_norm2(F.col("__v")) > 0)  # zero-norm vectors have no
-    # cosine: under ANSI the division throws, and NaN >= threshold is
-    # TRUE on Spark but the oracle's x/0.0 is NULL — same guard as the
-    # IVF scorers
+    b = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.col(key_col).alias("__k"),
+        )
+        .filter(_norm2(F.col("__v")) > 0)  # zero-norm vectors have no
+        # cosine: under ANSI the division throws, and NaN >= threshold
+        # is TRUE on Spark but the oracle's x/0.0 is NULL — same guard
+        # as the IVF scorers
+        # per-row l2 norm hoisted out of the within-key pair join: one
+        # interpreted fold per ROW, not per PAIR; same fold on the same
+        # array, so the rounded quotient is bit-identical
+        .withColumn("__n", l2_norm(F.col("__v")))
+    )
     left = b.select(
-        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__k"
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__k",
     )
     right = b.select(
-        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__k"
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__k",
     )
     pairs = (
         left.join(right, "__k")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("__va"), F.col("__vb")), round_to) + F.lit(0.0),
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            )
+            + F.lit(0.0),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -872,6 +898,10 @@ def all_pairs_cosine(
         .withColumn(
             "__blk", F.pmod(F.col("id").cast("long"), F.lit(int(n_blocks)))
         )
+        # per-row norm rides the n_blocks-way replication (8 bytes/row)
+        # so the O(N²) pair expression folds ONCE per pair, not thrice;
+        # same l2_norm fold — the rounded quotient is bit-identical
+        .withColumn("__n", l2_norm(F.col("__v")))
     )
     keys = F.transform(
         F.sequence(F.lit(0), F.lit(int(n_blocks) - 1)),
@@ -880,7 +910,9 @@ def all_pairs_cosine(
             F.greatest(F.col("__blk"), x.cast("long")).alias("j"),
         ),
     )
-    rep = b.select("id", "__v", "__blk", F.explode(keys).alias("__bp"))
+    rep = b.select(
+        "id", "__v", "__n", "__blk", F.explode(keys).alias("__bp")
+    )
     # the probe side is small enough to broadcast, so WITHOUT an
     # explicit exchange the join executes in the stream side's scan
     # partitioning — a single-row-group parquet sample = ONE task,
@@ -900,12 +932,14 @@ def all_pairs_cosine(
     left = rep.repartition(n_parts, F.col("__bp")).select(
         F.col("id").alias("id_a"),
         F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
         F.col("__blk").alias("__ba"),
         "__bp",
     )
     right = rep.select(
         F.col("id").alias("id_b"),
         F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
         F.col("__blk").alias("__bb"),
         "__bp",
     )
@@ -920,7 +954,11 @@ def all_pairs_cosine(
         )
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            )
             + F.lit(0.0),
         )
         .filter(F.col("cosine") >= threshold)
@@ -1149,34 +1187,64 @@ def lsh_bucketed_topk(
     )
 
 
-def _kmeans_dist_ranked(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """The ONE copy of the centroid-distance ranking both assignment
-    forms share: broadcast the packed single-row centroid array, score
-    every vector against every centroid with the identity-form L2²
-    (v·v − 2 v·c + c·c — same fold order on any engine) rounded to
-    6 dp with the centroid id as tiebreak, and sort. Zero-shuffle —
-    the corpus never moves. Returns ``(__id, __v, __ranked)`` where
-    ``__ranked`` is the distance-sorted ``struct(d, cid)`` array."""
-    packed = centroids.agg(
-        F.collect_list(F.struct("cid", "__centv")).alias("__cs")
+def _ranked_centroid_dists() -> Column:
+    """The ONE copy of the per-row centroid-distance ranking expression
+    both assignment forms share: identity-form L2² (v·v − 2 v·c + c·c —
+    same fold order on any engine) rounded to 6 dp with the centroid id
+    as tiebreak, distance-sorted. HOF lambdas run INTERPRETED and
+    re-evaluate any outer expression they close over per element (the
+    winnow_fingerprints lesson), so the two loop-invariant folds are
+    hoisted: ``c·c`` is precomputed per centroid in the packed struct
+    (k folds total, not k per corpus row) and ``v·v`` is `_let`-bound
+    (one fold per row, not one per centroid). The summation order
+    ``(vv − 2·vc) + cc`` is unchanged, so distances are bit-identical.
+    Expects columns ``__v`` and ``__cs`` (array of ``struct(cid,
+    __centv, __cc)``)."""
+    return _let(
+        dot(F.col("__v"), F.col("__v")),
+        lambda vv: F.array_sort(
+            F.transform(
+                F.col("__cs"),
+                lambda s: F.struct(
+                    F.round(
+                        vv
+                        - F.lit(2.0) * dot(F.col("__v"), s.getField("__centv"))
+                        + s.getField("__cc"),
+                        6,
+                    ).alias("d"),
+                    s.getField("cid").alias("cid"),
+                ),
+            )
+        ),
     )
-    d2 = lambda c: (  # noqa: E731
-        dot(F.col("__v"), F.col("__v"))
-        - F.lit(2.0) * dot(F.col("__v"), c)
-        + dot(c, c)
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.col("__cs"),
-            lambda s: F.struct(
-                F.round(d2(s.getField("__centv")), 6).alias("d"),
-                s.getField("cid").alias("cid"),
-            ),
+
+
+def _pack_centroids(cid: Column, centv: Column) -> Column:
+    """``collect_list`` aggregate packing centroids as ``struct(cid,
+    __centv, __cc)`` with the self-dot precomputed once per centroid
+    (same left-fold ``dot``, so the value is the IEEE-identical bits
+    the per-row evaluation produced)."""
+    return F.collect_list(
+        F.struct(
+            cid.alias("cid"),
+            centv.alias("__centv"),
+            dot(centv, centv).alias("__cc"),
         )
+    ).alias("__cs")
+
+
+def _kmeans_dist_ranked(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Broadcast the packed single-row centroid array and rank every
+    vector against every centroid (see ``_ranked_centroid_dists``).
+    Zero-shuffle — the corpus never moves. Returns ``(__id, __v,
+    __ranked)`` where ``__ranked`` is the distance-sorted
+    ``struct(d, cid)`` array."""
+    packed = centroids.agg(
+        _pack_centroids(F.col("cid"), F.col("__centv"))
     )
     return (
         v.crossJoin(F.broadcast(packed))
-        .withColumn("__ranked", ranked)
+        .withColumn("__ranked", _ranked_centroid_dists())
         .select("__id", "__v", "__ranked")
     )
 
@@ -1194,25 +1262,11 @@ def _kmeans_dist_ranked_grouped(
     identical per-row arithmetic (same ``round(d2, 6)`` + cid
     tie-break)."""
     packed = centroids.groupBy(group_col).agg(
-        F.collect_list(F.struct("cid", "__centv")).alias("__cs")
-    )
-    d2 = lambda c: (  # noqa: E731
-        dot(F.col("__v"), F.col("__v"))
-        - F.lit(2.0) * dot(F.col("__v"), c)
-        + dot(c, c)
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.col("__cs"),
-            lambda s: F.struct(
-                F.round(d2(s.getField("__centv")), 6).alias("d"),
-                s.getField("cid").alias("cid"),
-            ),
-        )
+        _pack_centroids(F.col("cid"), F.col("__centv"))
     )
     return (
         v.join(F.broadcast(packed), group_col)
-        .withColumn("__ranked", ranked)
+        .withColumn("__ranked", _ranked_centroid_dists())
         .select(group_col, "__id", "__v", "__ranked")
     )
 
