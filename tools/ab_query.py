@@ -28,11 +28,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     fn = catalog.QUERIES[name]
 
+    def _clear() -> None:
+        # same clearing discipline as bench.py: clearCache() never
+        # drops localCheckpoint blocks, and async unpersist leaks the
+        # removal cost into the NEXT rep's timed window — blocking
+        # unpersist of every persistent RDD keeps reps comparable
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)
+        spark.catalog.clearCache()
+
     # warmup (JIT/codegen) at smallest sf
     fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
         "overwrite"
     ).save()
-    spark.catalog.clearCache()
+    _clear()
 
     times = []
     for i in range(reps):
@@ -40,7 +49,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         times.append(round(dt, 3))
-        spark.catalog.clearCache()
+        _clear()
     print(
         {
             "query": name,

@@ -69,20 +69,35 @@ def word_grams(text_col: str = "text") -> F.Column:
     always in-bounds (1..size-1, +1), so ANSI ``element_at`` cannot
     throw; the explicit size guard avoids ``F.sequence(1, 0)``
     DESCENDING on single-word docs (the round-10 review finding on
-    ``score_perplexity_sampled``)."""
-    wl = F.filter(
-        F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
-    )
-    bigrams = F.when(
-        F.size(wl) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(wl) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(wl, i), F.element_at(wl, i + 1)
+    ``score_perplexity_sampled``).
+
+    The word list is ``_let``-bound: HOF lambdas run interpreted and
+    re-evaluate closed-over OUTER expressions per element, so an
+    unbound ``wl`` re-ran the whole normalize→split→filter chain for
+    every ``element_at`` at every bigram position — O(n_tokens) regex
+    passes per document (the ``winnow_fingerprints`` lesson; measured
+    as the dominant stage of every DSIR consumer)."""
+    from traits_data_spark.operators.dedup import _let
+
+    def build(wl: F.Column) -> F.Column:
+        bigrams = F.when(
+            F.size(wl) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wl) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(wl, i), F.element_at(wl, i + 1)
+                ),
             ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(wl, bigrams)
+
+    return _let(
+        F.filter(
+            F.split(normalized_text(text_col), " "),
+            lambda w: F.length(w) > 0,
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(wl, bigrams)
+        build,
+    )
 
 
 def _bucket(gram: F.Column, n_buckets: int) -> F.Column:
