@@ -203,10 +203,14 @@ def ngram_jaccard_pairs(
         candidates, df, text_col, id_col, word_ngrams(text_col, n=n),
         widen=widen,
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # distinct n-gram sets: |A∪B| = |A|+|B|−|A∩B| — one per-pair set
+    # build instead of two; exact integers, bit-identical quotient
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.size("sh_a") + F.size("sh_b") - inter_n).cast("double")
     return (
-        joined.withColumn("ngram_jaccard", F.round(inter / union, 6))
+        joined.withColumn(
+            "ngram_jaccard", F.round(inter_n.cast("double") / union, 6)
+        )
         .filter(F.col("ngram_jaccard") >= threshold)
         .select("id_a", "id_b", "ngram_jaccard")
     )
@@ -584,10 +588,17 @@ def jaccard_verify(
         F.least(na, nb).cast("double")
         >= F.lit(threshold) * F.greatest(na, nb).cast("double")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # shingle arrays are DISTINCT sets (char_shingles default), so
+    # |A∪B| = |A|+|B|−|A∩B| — the arithmetic union drops the second
+    # per-pair hash-set build (array_union re-hashed both arrays).
+    # All terms are exact integers, so the rounded quotient is
+    # bit-identical to the array_union form.
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (na + nb - inter_n).cast("double")
     return (
-        joined.withColumn("jaccard", F.round(inter / union, 6))
+        joined.withColumn(
+            "jaccard", F.round(inter_n.cast("double") / union, 6)
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -623,8 +634,10 @@ def containment_verify(
     )
     na = F.size("sh_a").cast("double")
     nb = F.size("sh_b").cast("double")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = inter_n.cast("double")
+    # distinct shingle sets: |A∪B| = |A|+|B|−|A∩B| (see jaccard_verify)
+    union = (F.size("sh_a") + F.size("sh_b") - inter_n).cast("double")
     out = (
         joined.withColumn(
             "jaccard", F.round(inter / F.when(union > 0, union), 6)
