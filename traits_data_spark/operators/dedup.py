@@ -184,7 +184,16 @@ def _candidate_pair_frame(
     )
     a = sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__jsh", "sh_a")
     b = sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__jsh", "sh_b")
-    return candidates.join(a, "id_a").join(b, "id_b")
+    # SHUFFLE_HASH on the shingle side: the planner's default
+    # sort-merge sorts BOTH sides (candidate pairs outnumber members,
+    # and the verify predicate rides the join condition, so the sorts
+    # are pure overhead); a per-partition hash build of the unique-id
+    # member side streams the pairs unsorted — measured faster on
+    # every verify chain, with no global conf change that would touch
+    # the relational flagships (guide §3.1)
+    return candidates.join(a.hint("shuffle_hash"), "id_a").join(
+        b.hint("shuffle_hash"), "id_b"
+    )
 
 
 def ngram_jaccard_pairs(

@@ -840,7 +840,10 @@ def keyed_near_dups(
         "__k",
     )
     pairs = (
-        left.join(right, "__k")
+        # shuffle-hash, not sort-merge: the pair join's output is
+        # quadratic within keys, so the planner's sorts buy nothing —
+        # hash-build the right side per partition (guide §3.1)
+        left.join(right.hint("shuffle_hash"), "__k")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
@@ -944,7 +947,9 @@ def all_pairs_cosine(
         "__bp",
     )
     pairs = (
-        left.join(right, "__bp")
+        # shuffle-hash as in keyed_near_dups: no sort before a
+        # quadratic-output block-pair join
+        left.join(right.hint("shuffle_hash"), "__bp")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (
