@@ -1150,12 +1150,18 @@ def bm25_topk(
     avoids via groupBy.
     """
     corp = corpus.filter(F.col(text_col).isNotNull())
-    # dl rides along in the token projection (any_value'd after the tf
+    # tokenize ONCE per row into a named column, then derive dl and the
+    # explode from the attribute: inlining word_array into both the
+    # size() and the explode() ran the normalize+split+filter chain
+    # twice per corpus row (CollapseProject keeps the shared projection
+    # because the alias is non-cheap and referenced twice). dl rides
+    # along in the token projection (any_value'd after the tf
     # aggregate) so no corpus-wide doc-length frame ever joins back in
-    words = corp.select(
+    toks = corp.select(F.col(id_col), word_array(text_col).alias("__wa"))
+    words = toks.select(
         F.col(id_col),
-        F.size(word_array(text_col)).cast("long").alias("dl"),
-        F.explode(word_array(text_col)).alias("term"),
+        F.size("__wa").cast("long").alias("dl"),
+        F.explode("__wa").alias("term"),
     ).withColumn("term", F.lower(F.col("term")))
     qterms = (
         queries.filter(F.col(text_col).isNotNull())
@@ -1200,9 +1206,10 @@ def bm25_topk(
             .drop("__crk")
         )
     # avgdl / N over ALL docs — a scan-speed projection folded into a
-    # one-row broadcast aggregate
-    doclen = corp.select(
-        F.col(id_col), F.size(word_array(text_col)).cast("long").alias("dl")
+    # one-row broadcast aggregate (derived from the shared token
+    # projection: one tokenize, not a second per-doc word_array pass)
+    doclen = toks.select(
+        F.col(id_col), F.size("__wa").cast("long").alias("dl")
     )
     stats = doclen.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
