@@ -81,9 +81,16 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     ).withColumn("__qn", l2_norm(F.col("__qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+    from traits_data_spark.operators.dedup import widen_if_narrow
+
+    # widen: the |Q|×N scoring runs in the stream side's scan
+    # partitioning (broadcast join — no exchange), so a single-split
+    # corpus scan would score every pair on one core
+    c = widen_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
     ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.join(_maybe_broadcast(q, broadcast_queries))
@@ -780,10 +787,16 @@ def embedding_near_dups(
     because near-identical vectors almost never straddle a hyperplane.
     Returns ``(id_a, id_b, cosine)`` with id_a < id_b.
     """
+    from traits_data_spark.operators.dedup import widen_if_narrow
+
+    # widen BEFORE bucketing: the n_planes signature dots are map-side
+    # per-row compute on the scan's partitioning
     b = with_lsh_bucket(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
+        widen_if_narrow(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
         ),
         "__v",
         dim,
@@ -1344,10 +1357,16 @@ def kmeans_fit_grouped(
     instead of a full-input window sort.
     """
     spark = df.sparkSession
-    v = df.select(
-        F.col(group_col).alias("__grp"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    from traits_data_spark.operators.dedup import widen_if_narrow
+
+    # widen as in kmeans_fit (no-op for the usual cached-melt input,
+    # which reports no files)
+    v = widen_if_narrow(
+        df.select(
+            F.col(group_col).alias("__grp"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
     )
     from traits_data_spark.functions.scalars import portable_hash64
 
@@ -1484,11 +1503,16 @@ def kmeans_fit(
     clusters drop out (both engines lose the id the same way).
     """
     from traits_data_spark.functions.scalars import portable_hash64
+    from traits_data_spark.operators.dedup import widen_if_narrow
 
     spark = df.sparkSession
-    v = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    # widen: each Lloyd step re-scans this projection, and a narrow
+    # (single-split) input serializes every iteration onto one core
+    v = widen_if_narrow(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
     )
     # seeding: global top-k by (hash, id) — TakeOrderedAndProject, no
     # full sort; the k rows come back in rank order, re-sorted
@@ -1553,9 +1577,13 @@ def kmeans_clusters(
     """Deterministic Lloyd k-means over an embedding column: one row
     per vector with its final cluster and squared distance. See
     ``kmeans_fit`` for the determinism and scale contract."""
-    v = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    from traits_data_spark.operators.dedup import widen_if_narrow
+
+    v = widen_if_narrow(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
     )
     centroids = kmeans_fit(
         df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter, scale=scale
@@ -1596,9 +1624,13 @@ def kmeans_clusters_topm(
     """
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    v = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    from traits_data_spark.operators.dedup import widen_if_narrow
+
+    v = widen_if_narrow(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
     )
     centroids = kmeans_fit(
         df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter, scale=scale
@@ -1660,9 +1692,13 @@ def ivf_topk_kmeans(
             n_iter=n_iter,
             scale=scale,
         )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+    from traits_data_spark.operators.dedup import widen_if_narrow
+
+    c = widen_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
     )
     assigned = _kmeans_assign(
         c.select(F.col("neighbor_id").alias("__id"), F.col("__cv").alias("__v")),
@@ -1735,9 +1771,17 @@ def _vector_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     (probed: 1 persistent RDD after both, round 11) — callers only
     need ``materialize=False`` when the input is ALREADY persisted
     under a different plan (ivfpq's residual frame)."""
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias(vec_col),
+    from traits_data_spark.operators.dedup import widen_if_narrow
+
+    # widen BEFORE persisting: the testdata/single-row-group case scans
+    # as ONE split, and a 1-partition cache serializes every fit
+    # iteration and encode pass onto one core (at real scale the input
+    # already splits >= cores and this is a no-op — guide §2.5/§6)
+    return widen_if_narrow(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
     ).persist()
 
 
@@ -2052,9 +2096,15 @@ def ivfpq_topk(
             corpus, id_col=id_col, vec_col=vec_col, k=n_cells,
             n_iter=cell_iter, scale=scale,
         )
-    c = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    from traits_data_spark.operators.dedup import widen_if_narrow
+
+    # widen: the cell assignment + residual build is per-row compute
+    # over a broadcast join — a single-split scan runs it on one core
+    c = widen_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
     )
     assigned = _kmeans_assign(c, centroids)
     cents = centroids.select(
