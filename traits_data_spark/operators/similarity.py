@@ -1732,11 +1732,16 @@ def ivf_topk_kmeans(
     # Broadcast the probed-query side (see ivf_topk): __cid has only
     # n_centroids distinct values, so a shuffled join would funnel the
     # corpus into k tasks; broadcasting removes the corpus-side Exchange.
+    # per-row norms hoisted out of the pair expression (one fold per
+    # row, not per pair; same fold — bit-identical quotient)
     scored = (
         assigned.filter(_norm2(F.col("__cv")) > 0)
+        .withColumn("__cn", l2_norm(F.col("__cv")))
         .join(
             _maybe_broadcast(
-                q_probed.filter(_norm2(F.col("__qv")) > 0),
+                q_probed.filter(_norm2(F.col("__qv")) > 0).withColumn(
+                    "__qn", l2_norm(F.col("__qv"))
+                ),
                 broadcast_queries,
             ),
             "__cid",
@@ -1744,7 +1749,12 @@ def ivf_topk_kmeans(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6) + F.lit(0.0),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            )
+            + F.lit(0.0),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
