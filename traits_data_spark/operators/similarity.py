@@ -221,11 +221,25 @@ def ivf_topk(
     # |Q|·n_probe-row) probe table removes the corpus-side Exchange
     # outright instead of relying on an AQE rescue.
     scored = (
-        assigned.join(_maybe_broadcast(q_probed, broadcast_queries), "__cid")
+        # per-row norms hoisted out of the pair expression (same fold —
+        # bit-identical rounded quotient)
+        assigned.withColumn("__cn", l2_norm(F.col("__cv")))
+        .join(
+            _maybe_broadcast(
+                q_probed.withColumn("__qn", l2_norm(F.col("__qv"))),
+                broadcast_queries,
+            ),
+            "__cid",
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6) + F.lit(0.0),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            )
+            + F.lit(0.0),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -751,11 +765,23 @@ def lsh_topk_multiprobe(
         .distinct()
     )
     scored = (
-        cands.join(c_ids, "neighbor_id")
-        .join(F.broadcast(q_ids), "query_id")
+        # per-row norms hoisted out of the per-candidate expression
+        # (same fold — bit-identical rounded quotient)
+        cands.join(
+            c_ids.withColumn("__cn", l2_norm(F.col("__cv"))), "neighbor_id"
+        )
+        .join(
+            F.broadcast(q_ids.withColumn("__qn", l2_norm(F.col("__qv")))),
+            "query_id",
+        )
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6) + F.lit(0.0),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            )
+            + F.lit(0.0),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1063,11 +1089,23 @@ def incremental_embedding_near_dups(
         F.col("id").alias("id_b"), F.col("embedding").alias("__vb"), "bucket"
     )
     pairs = (
-        right.join(F.broadcast(left) if broadcast_new else left, "bucket")
+        # per-row norms hoisted out of the pair expression (same fold —
+        # bit-identical rounded quotient)
+        right.withColumn("__nb", l2_norm(F.col("__vb")))
+        .join(
+            F.broadcast(left.withColumn("__na", l2_norm(F.col("__va"))))
+            if broadcast_new
+            else left.withColumn("__na", l2_norm(F.col("__va"))),
+            "bucket",
+        )
         .filter(F.col("id_a") != F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            )
             + F.lit(0.0),
         )
         .filter(F.col("cosine") >= threshold)
@@ -1189,11 +1227,27 @@ def lsh_bucketed_topk(
         seed,
     )
     # "bucket" has at most 2^n_planes distinct values — broadcast the
-    # query side so the corpus never hash-partitions on it
+    # query side so the corpus never hash-partitions on it. Norms are
+    # hoisted per row out of the per-pair expression (same fold —
+    # bit-identical quotient).
     scored = (
-        cb.join(_maybe_broadcast(qb, broadcast_queries), "bucket")
+        cb.withColumn("__cn", l2_norm(F.col("__cv")))
+        .join(
+            _maybe_broadcast(
+                qb.withColumn("__qn", l2_norm(F.col("__qv"))),
+                broadcast_queries,
+            ),
+            "bucket",
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -2417,10 +2471,18 @@ def hard_negative_mining(
         F.col(label_col).alias("__nl"),
     )
     scored = (
-        c.join(F.broadcast(a))
+        # per-row norms hoisted out of the |A|×N pair expression (same
+        # fold — bit-identical rounded quotient)
+        c.withColumn("__cn", l2_norm(F.col("__cv")))
+        .join(F.broadcast(a.withColumn("__an", l2_norm(F.col("__av")))))
         .filter(F.col("neighbor_id") != F.col("anchor_id"))
         .withColumn(
-            "cosine", F.round(cosine(F.col("__av"), F.col("__cv")), round_to)
+            "cosine",
+            F.round(
+                dot(F.col("__av"), F.col("__cv"))
+                / (F.col("__an") * F.col("__cn")),
+                round_to,
+            ),
         )
         .withColumn(
             "role",
