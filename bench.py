@@ -213,26 +213,18 @@ BENCH_QUERIES = FLAGSHIPS + [
     "kn4_doc_scores",
 ]
 
-# --- Tiered board (round-15 verdict task 5) -------------------------
-# The full board is ~500 s and grows every round, but most of it is
-# long-attested tail whose round-over-round signal is flat. Every
-# round benches TIER A — the flagships, the regression WATCHLIST
-# (queries flagged >25% vs anchor in the latest verdict; refresh each
-# round), and RECENT (entries added in the last two rounds, whose
-# perf baseline is still forming). The long-attested remainder runs
-# on FULL rounds only:
-#   - every TIER_FULL_EVERY-th round (round % 3 == 1 — r16, r19, ...),
-#   - any round where the board holds benched queries the newest
-#     anchor lacks (board growth -> the anchor must be re-pinned from
-#     a FULL board; a fast board can never be pinned as anchor),
-#   - or when no anchor exists at all.
-# The round number is inferred from the committed BENCH_r{N}.json
-# artifacts (max N + 1). Override with SPARK_GRAFT_BENCH_TIER=
-# full|fast. bench_compare already restricts to the common query
-# subset, so a fast board compares against the full anchor cleanly;
-# boards record their tier so the anchor-pinning step can refuse fast
-# boards. Contract noted in BASELINE.md.
-TIER_FULL_EVERY = 3
+# --- Tiered board (round-15 verdict task 5; default re-pinned to
+# FULL by round-16 verdict task 2) ----------------------------------
+# The round-15 verdict asked for a fast tier (flagships + WATCHLIST +
+# RECENT) on most rounds; the round-16 verdict then found the
+# round-counting default would have silently shrunk the NEXT driver
+# board to ~20 queries, making its headline total incomparable and
+# tail regressions invisible — so FULL is now the default and the
+# fast tier is explicit opt-in via SPARK_GRAFT_BENCH_TIER=fast (for
+# quick local iteration only; a fast board can never be pinned as
+# anchor, and bench_compare restricts to the common query subset so
+# a fast board still compares against the full anchor cleanly).
+# Contract noted in BASELINE.md.
 
 WATCHLIST = [
     "hybrid_topk_rrf",
@@ -270,14 +262,7 @@ def board_tier(here: str, anchor_queries) -> str:
     mode = os.environ.get("SPARK_GRAFT_BENCH_TIER", "auto")
     if mode in ("full", "fast"):
         return mode
-    if anchor_queries is None:
-        return "full"
-    if inferred_round(here) % TIER_FULL_EVERY == 1:
-        return "full"
-    benched_growth = (set(BENCH_QUERIES) - set(anchor_queries))
-    if benched_growth:
-        return "full"
-    return "fast"
+    return "full"
 
 # Catalog entries EXPLICITLY excluded from the bench board. Every
 # catalog query must appear in exactly one of BENCH_QUERIES /
@@ -460,24 +445,19 @@ def main() -> None:
             f"BENCH_QUERIES not in catalog.QUERIES: {missing}"
         )
 
-    # Tiered board: fast rounds drop the long-attested tail (see the
-    # TIER contract above); the anchor-pinning step must only ever
-    # pin a board whose "tier" field reads "full".
-    anc_for_tier = latest_anchor(here)
-    anc_queries = None
-    if anc_for_tier:
-        with open(anc_for_tier) as fh:
-            anc_queries = json.load(fh).get("queries")
-    tier = board_tier(here, anc_queries)
+    # Tiered board: FULL unless explicitly opted out (see the TIER
+    # contract above); the anchor-pinning step must only ever pin a
+    # board whose "tier" field reads "full".
+    tier = board_tier(here, None)
     rnd = inferred_round(here)
     if tier == "fast":
         keep = set(FLAGSHIPS) | set(WATCHLIST) | set(RECENT)
         board = [n for n in BENCH_QUERIES if n in keep]
         print(
-            f"bench: FAST tier (inferred round {rnd}) — "
+            f"bench: FAST tier (inferred round {rnd}, env opt-in) — "
             f"{len(board)}/{len(BENCH_QUERIES)} queries (flagships + "
-            "watchlist + last-two-rounds); full board on rounds "
-            f"% {TIER_FULL_EVERY} == 1 or on board growth"
+            "watchlist + last-two-rounds); unset SPARK_GRAFT_BENCH_TIER "
+            "for the comparable full board"
         )
     else:
         board = list(BENCH_QUERIES)

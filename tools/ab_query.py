@@ -32,8 +32,16 @@ def main() -> None:
         # same clearing discipline as bench.py: clearCache() never
         # drops localCheckpoint blocks, and async unpersist leaks the
         # removal cost into the NEXT rep's timed window — blocking
-        # unpersist of every persistent RDD keeps reps comparable
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        # unpersist of every persistent RDD keeps reps comparable.
+        # The registry walk uses py4j internals (_jsc), which can shift
+        # across Spark versions — degrade to clearCache-only rather
+        # than failing the measurement.
+        try:
+            regs = spark.sparkContext._jsc.getPersistentRDDs().values()
+        except Exception as exc:  # pragma: no cover - version drift
+            print(f"ab_query: persistent-RDD sweep unavailable ({exc})")
+            regs = []
+        for jrdd in regs:
             jrdd.unpersist(True)
         spark.catalog.clearCache()
 

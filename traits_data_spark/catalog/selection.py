@@ -45,6 +45,7 @@ from traits_data_spark.catalog.sketches import (
     _CHUNK,
     _OVERLAP,
 )
+from traits_data_spark.functions.literals import literal_frame
 
 # Packs are budgeted in TOKENS (whitespace tokenization, matching
 # token_counts' ws_tokens so the DuckDB oracle stays expressible) — a
@@ -499,42 +500,87 @@ FROM sr"""
 CURATE_DSIR_KEEP_BP = 5_000
 
 
-def _curate_dsir(spark: SparkSession, sf_dir: str, model_fn) -> DataFrame:
+def _dsir_delta_rows(counts: DataFrame) -> list[tuple[int, int]]:
+    """Driver-side DSIR model math over the collected SPARSE count
+    index: densify over the fixed bucket spine, Laplace-smooth, and
+    compute ``delta_q20`` with the Python ``ilog2_q20`` — bit-identical
+    to the in-plan ``with_ilog2_q20`` chain by the intmath contract
+    (tests pin Python == SQL on a value sweep). The count table is
+    bounded (≤ ``_DSIR_N_BUCKETS`` rows, never grows with the corpus),
+    so this is the kmeans-codebook collect contract: one job aggregates
+    the corpus slice to ≤10k count rows; the four 20-round unrolled
+    ilog2 projections, the dense-spine join, the count-table persist
+    and the totals cross-join all leave the distributed plan."""
+    from traits_data_spark.functions.intmath import ilog2_q20
+
+    n = int(_DSIR_N_BUCKETS)
+    seen = {int(r["bucket"]): (int(r["c_target"]), int(r["c_raw"]))
+            for r in counts.collect()}
+    ct_tot = sum(c for c, _ in seen.values()) + n
+    cr_tot = sum(c for _, c in seen.values()) + n
+    il_ct_tot = ilog2_q20(ct_tot)
+    il_cr_tot = ilog2_q20(cr_tot)
+    rows = []
+    for b in range(n):
+        ct, cr = seen.get(b, (0, 0))
+        delta = (ilog2_q20(ct + 1) - il_ct_tot) - (
+            ilog2_q20(cr + 1) - il_cr_tot
+        )
+        rows.append((b, delta))
+    return rows
+
+
+def _curate_dsir(spark: SparkSession, sf_dir: str, counts_fn) -> DataFrame:
     """The ONE copy of the DSIR-gated curation invocation: the chain
-    trains importance weights via ``model_fn(corpus)`` (from text, or
-    from a persisted/merged count index — the round-15 ``counts=``
-    wiring), ranks every corpus doc by trained weight, and gates the
-    Gopher-kept set on the deterministic top-N flag."""
+    trains importance weights from ``counts_fn(corpus)`` (the sparse
+    hashed-gram count index — computed from text, or merged from
+    per-batch indexes, the round-15 ``counts=`` wiring), ranks every
+    corpus doc by trained weight, and gates the Gopher-kept set on the
+    deterministic top-N flag."""
     from traits_data_spark.catalog.corpus import _curate_call
 
     def _builder(corpus: DataFrame) -> DataFrame:
         # corpus: the bench-excluded (doc_id, text, lang) split built
-        # by _curate_call — train and rank on the SAME frame
-        model = model_fn(corpus).select("bucket", "delta_q20")
+        # by _curate_call — train and rank on the SAME frame.
+        #
+        # The trained model is a BOUNDED artifact (dense over the fixed
+        # 10k hash buckets — it never grows with the corpus), so apply
+        # the round-16 codebook recipe end-to-end: ONE job collects the
+        # sparse count aggregate (the only corpus-sized work in the
+        # trainer), the model math runs on the driver
+        # (``_dsir_delta_rows``; bit-identical ilog2 by the intmath
+        # contract), and the (bucket, delta_q20) table re-embeds as a
+        # SQL VALUES LocalRelation (functions/literals.py). Earlier
+        # rounds carried the trainer SUBTREE (4 × 20-round unrolled
+        # ilog2 projections + dense-spine join + totals cross-join) in
+        # the gate plan and paid its driver-side analysis + codegen in
+        # every downstream stage — the measured ladder was: no pin
+        # 33-38 s, persist() 35-39 s (the cost is analysis, not
+        # re-execution), localCheckpoint of the score frame 13.4 s
+        # (round 13), literal model with the in-plan trainer ~10 s,
+        # this form ~8 s isolated. The ranking chain (gram explode →
+        # broadcast literal join → doc aggregate → rank window) stays
+        # lazy and embeds into the curation semi-join — one consumer,
+        # one execution, small plan.
+        lit = literal_frame(
+            spark,
+            _dsir_delta_rows(counts_fn(corpus)),
+            "bucket bigint, delta_q20 bigint",
+        )
         sel = dsir_select(
             corpus.select("doc_id", "text"),
-            model,
+            lit,
             keep_bp=CURATE_DSIR_KEEP_BP,
             delta_col="delta_q20",
             weight_col="weight_q20",
         )
-        # localCheckpoint, NOT persist — measured A/B at sf0.1: no
-        # pin 33-38 s, persist() 35-39 s (no help: the cost is not
-        # re-EXECUTION), localCheckpoint 13.4 s. The gate subtree
-        # carries the trainer's 4 × 20-round unrolled ilog2
-        # projections; embedding that analyzed plan into the curation
-        # chain makes every downstream action pay its driver-side
-        # analysis again (a cached frame still carries the child
-        # plan), while the checkpoint truncates lineage to a leaf.
-        # Same move as kmeans_fit's trailing checkpoint; same caveat
-        # (eager, executor-local blocks).
         return sel.select(
             "doc_id",
             F.when(F.col("selected"), 1)
             .otherwise(0)
             .cast("long")
             .alias("dsir_sel"),
-        ).localCheckpoint()
+        )
 
     return _curate_call(
         spark,
@@ -560,7 +606,7 @@ def q_curate_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curation replay via ``_curate_corpus_sql(gq_ctes=,
     force_recursive=True)`` (the ilog2 recurrence needs ``WITH
     RECURSIVE``)."""
-    return _curate_dsir(spark, sf_dir, dsir_train)
+    return _curate_dsir(spark, sf_dir, dsir_counts)
 
 
 def q_curate_corpus_dsir_counts(
@@ -579,11 +625,10 @@ def q_curate_corpus_dsir_counts(
     merge-equivalence attestation for the full chain."""
 
     def _from_counts(corpus: DataFrame) -> DataFrame:
-        merged = merge_dsir_counts(
+        return merge_dsir_counts(
             dsir_counts(corpus.filter(F.pmod(F.col("doc_id"), 20) == 0)),
             dsir_counts(corpus.filter(F.pmod(F.col("doc_id"), 20) == 10)),
         )
-        return dsir_train(counts=merged)
 
     return _curate_dsir(spark, sf_dir, _from_counts)
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from traits_data_spark.functions.scalars import portable_hash64
+from traits_data_spark.functions.barrier import barrier
 
 # Mersenne prime 2^31 - 1: universal-hash modulus. The shingle hash is
 # reduced to 28 bits (7 hex chars of md5) so a*h+b with 31-bit
@@ -177,7 +178,14 @@ def _candidate_pair_frame(
     """The shared verify scaffold: persist the candidate pairs (consumed
     3x — two id sides + the join), build the shingle table ONCE for
     semi-joined candidate members, and return the joined frame with
-    ``sh_a``/``sh_b`` columns for a verifier to score."""
+    ``sh_a``/``sh_b`` columns for a verifier to score.
+
+    PRECONDITION: ``shingle_expr`` must produce DISTINCT-element
+    arrays (``char_shingles``/``word_ngrams`` with their default
+    ``distinct=True``). The verifiers downstream compute ``|A∪B|`` as
+    ``|A|+|B|−|A∩B|``, which is only the set union when neither array
+    carries duplicates — a non-distinct caller would get silently
+    wrong Jaccard values, not an error."""
     candidates = candidates.persist()
     sh = _candidate_shingles(
         candidates, df, text_col, id_col, shingle_expr, widen=widen
@@ -190,7 +198,12 @@ def _candidate_pair_frame(
     # are pure overhead); a per-partition hash build of the unique-id
     # member side streams the pairs unsorted — measured faster on
     # every verify chain, with no global conf change that would touch
-    # the relational flagships (guide §3.1)
+    # the relational flagships (guide §3.1). Build-side memory bound:
+    # the hash relation holds ONE shuffle partition of the (unique-id)
+    # shingle table — rows/shuffle.partitions by id hash, not a per-key
+    # population — so it only outgrows memory if the candidate-member
+    # set itself approaches cluster memory; size shuffle.partitions to
+    # the member count at scale.
     return candidates.join(a.hint("shuffle_hash"), "id_a").join(
         b.hint("shuffle_hash"), "id_b"
     )
@@ -892,7 +905,7 @@ def connected_components(
     # Iterating on a persisted edge table: it is consumed once per
     # round, and recomputing the upstream candidate generation (LSH
     # join + distinct) per iteration would dominate the loop cost.
-    edges = edges.localCheckpoint()
+    edges = edges.transform(barrier)
 
     # seed labels with min(id, neighbors) — same shuffle cost as a
     # plain distinct-ids init, but cliques (the common near-dup shape)
@@ -900,7 +913,7 @@ def connected_components(
     labels = (
         edges.groupBy(F.col("e_src").alias("id"))
         .agg(F.min(F.least("e_src", "e_dst")).alias("label"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     for _ in range(max_iterations):
         # min over own label and every neighbour's label, one shuffle:
@@ -946,7 +959,7 @@ def connected_components(
                 F.coalesce("__llabel", "label").alias("label"),
                 "changed",
             )
-            .localCheckpoint()
+            .transform(barrier)
         )
         any_changed = doubled.agg(F.max("changed")).first()[0]
         labels = doubled.select("id", "label")

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from traits_data_spark.functions.barrier import barrier
 
 MICRO = 1_000_000
 
@@ -83,12 +84,12 @@ def pagerank(
         sym.distinct()
         # consumed once per iteration + once for degrees; recomputing
         # the upstream pair generation per round would dominate
-        .localCheckpoint()
+        .transform(barrier)
     )
     deg = (
         edges.groupBy(F.col("e_src").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     base = (100 - damping_pct) * MICRO // 100
     r = deg.select("id", F.lit(MICRO).cast("long").alias("rank_micro"))

@@ -881,7 +881,15 @@ def keyed_near_dups(
     pairs = (
         # shuffle-hash, not sort-merge: the pair join's output is
         # quadratic within keys, so the planner's sorts buy nothing —
-        # hash-build the right side per partition (guide §3.1)
+        # hash-build the right side per partition (guide §3.1).
+        # Build-side memory bound: the hash relation holds every member
+        # of every key hashed into that partition, so ONE hot locality
+        # key's full member set must fit in task memory; with a key
+        # that skewed the quadratic pair OUTPUT (|members|² rows) is
+        # the job-killer long before the build side is — cap or salt
+        # the key upstream rather than switching this join back to
+        # sort-merge (which would spill the build but still emit the
+        # quadratic pairs).
         left.join(right.hint("shuffle_hash"), "__k")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from traits_data_spark.functions.scalars import portable_hash64
 from traits_data_spark.operators.dedup import normalized_text
+from traits_data_spark.functions.barrier import barrier
 
 # Common function words per language, used as count-based markers.
 # Spaces around each marker make them word-anchored.
@@ -1593,7 +1594,7 @@ def _bpe_train_loop(
             F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
         ).alias("sym"),
         "c",
-    ).localCheckpoint()
+    ).transform(barrier)
 
     def fold_merge(acc: Column, x: Column) -> Column:
         hit = acc.endswith(F.concat(F.lit(" "), F.col("__l"))) & (
@@ -1624,7 +1625,7 @@ def _bpe_train_loop(
             .agg(F.sum("c").cast("long").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "left", "right")
             .limit(1)
-            .localCheckpoint()
+            .transform(barrier)
         )
         if best.isEmpty():  # vocabulary fully merged — nothing left
             break
@@ -1657,7 +1658,7 @@ def _bpe_train_loop(
                 ).alias("sym"),
                 "c",
             )
-            .localCheckpoint()
+            .transform(barrier)
         )
     return merges, cur
 
@@ -2871,7 +2872,7 @@ def _unigram_train_loop(
     shuffle."""
     from traits_data_spark.functions.intmath import logp2_q20
 
-    wc = _bpe_train_words(df, text_col, max_word_len).localCheckpoint()
+    wc = _bpe_train_words(df, text_col, max_word_len).transform(barrier)
     seed = _unigram_seed_counts(wc, max_piece_len, seed_cap)
     counts = {r["piece"]: int(r["c"]) for r in seed.collect()}
     if not counts:

@@ -46,6 +46,7 @@ from traits_data_spark.operators.sampling import (
     split_bucket,
 )
 from traits_data_spark.operators.text import GOPHER_STOPS, gopher_rules
+from traits_data_spark.functions.barrier import barrier
 
 
 def curate_corpus(
@@ -188,7 +189,7 @@ def curate_corpus(
         .groupBy("__ch")
         .agg(F.min_by(row, F.col(id_col)).alias("__r"))
         .select("__r.*")
-        .localCheckpoint()
+        .transform(barrier)
     )
 
     # near-dup removal over the exact-kept set (MinHash-LSH candidates,
@@ -233,7 +234,7 @@ def curate_corpus(
         out_token_cols.append(budget_col)
     # lineage cut for the same reason as deduped above: survivors feed
     # the mixture plan, the sampled join and the shard window
-    survivors = survivors.localCheckpoint()
+    survivors = survivors.transform(barrier)
 
     # mixture execution: per-source plan (one row per source, broadcast)
     plan = mixture_plan(
