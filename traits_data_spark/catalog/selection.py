@@ -327,7 +327,15 @@ def q_dsir_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_if_narrow(
         _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     )
-    return dsir_train(docs)
+    # round 17: ONE job collects the sparse count aggregate (the only
+    # corpus-sized work); the Laplace + ilog2 model math runs on the
+    # driver over the bounded ≤10k-bucket table (bit-identical by the
+    # intmath Python==SQL contract) and the dense model re-embeds as a
+    # VALUES LocalRelation — the in-plan spine join, count persist,
+    # totals cross-join and 4 × 20-round ilog2 codegen chains are gone.
+    return literal_frame(
+        spark, _dsir_model_rows(dsir_counts(docs)), _DSIR_MODEL_DDL
+    )
 
 
 def q_dsir_train_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +360,10 @@ def q_dsir_train_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_counts(docs.filter(F.pmod(F.col("doc_id"), 20) == 0)),
         dsir_counts(docs.filter(F.pmod(F.col("doc_id"), 20) == 10)),
     )
-    return dsir_train(counts=merged)
+    # driver-side model math over the merged bounded index (see
+    # q_dsir_train) — the merge itself stays distributed, attesting
+    # the add-mergeable contract end-to-end
+    return literal_frame(spark, _dsir_model_rows(merged), _DSIR_MODEL_DDL)
 
 
 def _dsir_train_ctes(where_extra: str = "") -> str:
@@ -435,7 +446,14 @@ def q_dsir_train_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_if_narrow(
         _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     )
-    model = dsir_train(docs).select("bucket", "delta_q20")
+    # driver-side model math + VALUES literal model (see q_dsir_train):
+    # the scoring join consumes a LocalRelation instead of carrying the
+    # trainer subtree
+    model = literal_frame(
+        spark,
+        _dsir_delta_rows(dsir_counts(docs)),
+        "bucket bigint, delta_q20 bigint",
+    )
     out = dsir_select(
         _docs_wide(spark, sf_dir),
         model,
@@ -500,7 +518,7 @@ FROM sr"""
 CURATE_DSIR_KEEP_BP = 5_000
 
 
-def _dsir_delta_rows(counts: DataFrame) -> list[tuple[int, int]]:
+def _dsir_model_rows(counts: DataFrame) -> list[tuple[int, int, int, int]]:
     """Driver-side DSIR model math over the collected SPARSE count
     index: densify over the fixed bucket spine, Laplace-smooth, and
     compute ``delta_q20`` with the Python ``ilog2_q20`` — bit-identical
@@ -510,7 +528,8 @@ def _dsir_delta_rows(counts: DataFrame) -> list[tuple[int, int]]:
     so this is the kmeans-codebook collect contract: one job aggregates
     the corpus slice to ≤10k count rows; the four 20-round unrolled
     ilog2 projections, the dense-spine join, the count-table persist
-    and the totals cross-join all leave the distributed plan."""
+    and the totals cross-join all leave the distributed plan. Returns
+    the full dense model: ``(bucket, c_target, c_raw, delta_q20)``."""
     from traits_data_spark.functions.intmath import ilog2_q20
 
     n = int(_DSIR_N_BUCKETS)
@@ -526,8 +545,19 @@ def _dsir_delta_rows(counts: DataFrame) -> list[tuple[int, int]]:
         delta = (ilog2_q20(ct + 1) - il_ct_tot) - (
             ilog2_q20(cr + 1) - il_cr_tot
         )
-        rows.append((b, delta))
+        rows.append((b, ct, cr, delta))
     return rows
+
+
+def _dsir_delta_rows(counts: DataFrame) -> list[tuple[int, int]]:
+    """The ``(bucket, delta_q20)`` projection of ``_dsir_model_rows``
+    — the shape the scoring join consumes."""
+    return [(b, d) for b, _ct, _cr, d in _dsir_model_rows(counts)]
+
+
+_DSIR_MODEL_DDL = (
+    "bucket bigint, c_target bigint, c_raw bigint, delta_q20 bigint"
+)
 
 
 def _curate_dsir(spark: SparkSession, sf_dir: str, counts_fn) -> DataFrame:

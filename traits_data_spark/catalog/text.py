@@ -64,6 +64,7 @@ from traits_data_spark.catalog._shared import (
     winnow_fingerprints,
     winnow_matches,
 )
+from traits_data_spark.functions.barrier import barrier
 from traits_data_spark.catalog.dedup import (
     BANDS,
     DECON_BENCH_SOURCE,
@@ -1646,7 +1647,7 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         kn_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
         .select("doc_id", "bits_per_bigram_q20")
-        .persist()
+        .transform(barrier)
     )
     return balanced_shards(
         scores,
@@ -1706,7 +1707,7 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         kn_doc_scores(docs, max_word_len=BPE_TRAIN_MAX_WORD_LEN)
         .select("doc_id", "n_bigrams", "bits_per_bigram_q20")
-        .persist()
+        .transform(barrier)
     )
     sharded = balanced_shards(
         scores, "doc_id", "bits_per_bigram_q20", CURRICULUM_SHARDS
