@@ -1068,7 +1068,7 @@ def winnow_matches(
     # shuffle-once-reuse-thrice materialization.
     f = fps.select(
         F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
-    ).distinct().persist()
+    ).distinct().transform(barrier)
     sized = f.join(
         f.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1151,13 +1151,22 @@ def bm25_topk(
     avoids via groupBy.
     """
     corp = corpus.filter(F.col(text_col).isNotNull())
-    # tokenize ONCE per row into a named column, then derive dl and the
-    # explode from the attribute: inlining word_array into both the
-    # size() and the explode() ran the normalize+split+filter chain
-    # twice per corpus row (CollapseProject keeps the shared projection
-    # because the alias is non-cheap and referenced twice). dl rides
-    # along in the token projection (any_value'd after the tf
-    # aggregate) so no corpus-wide doc-length frame ever joins back in
+    # One tokenize per row WITHIN each subtree: the named __wa column
+    # stops CollapseProject from inlining word_array into both size()
+    # and explode() (which ran the normalize+split+filter chain twice
+    # per corpus row), and dl rides along in the token projection
+    # (any_value'd after the tf aggregate) so no corpus-wide doc-length
+    # frame ever joins back in. NOTE the avgdl/N stats branch below is
+    # a SEPARATE subtree over the same projection: toks is not
+    # materialized, so the corpus is tokenized twice per query — once
+    # for postings, once for the stats aggregate. Measured round 17
+    # (ab_query min, sf0.1): status quo 1.87 s, toks.persist() 2.26 s,
+    # eager barrier 1.88 s — materializing corpus-sized token arrays
+    # costs at least what the second scan-speed pass costs, and the
+    # stats subtree executes as a concurrent broadcast-future job, so
+    # the second pass overlaps the main chain. Deliberately left as
+    # two passes; deriving N/avgdl from the postings side is NOT
+    # possible (docs with zero matched terms still count).
     toks = corp.select(F.col(id_col), word_array(text_col).alias("__wa"))
     words = toks.select(
         F.col(id_col),
@@ -1801,7 +1810,7 @@ def train_bigram_lm(
         # totals, the vocab count AND the model join — without the pin
         # each consumer re-runs the corpus tokenize + bigram shuffle
         # (the consumers' exchanges are not reuse-identical)
-        counts = word_bigram_counts(df, text_col, max_word_len).persist()
+        counts = word_bigram_counts(df, text_col, max_word_len).transform(barrier)
     elif df is not None:
         raise ValueError(
             "train_bigram_lm: pass df OR counts, not both — with "
@@ -1883,7 +1892,7 @@ def train_kn_lm(
             raise ValueError("train_kn_lm needs df or counts")
         # persist: ctx/pred/glob/join all consume the count table —
         # without the pin each re-runs the corpus tokenize + shuffle
-        counts = word_bigram_counts(df, text_col, max_word_len).persist()
+        counts = word_bigram_counts(df, text_col, max_word_len).transform(barrier)
     elif df is not None:
         raise ValueError(
             "train_kn_lm: pass df OR counts, not both — with "
@@ -2025,7 +2034,7 @@ def train_mkn_lm(
             raise ValueError("train_mkn_lm needs df or counts")
         # persist: ctx/pred/raw/join all consume the count table —
         # without the pin each re-runs the corpus tokenize + shuffle
-        counts = word_bigram_counts(df, text_col, max_word_len).persist()
+        counts = word_bigram_counts(df, text_col, max_word_len).transform(barrier)
     elif df is not None:
         raise ValueError(
             "train_mkn_lm: pass df OR counts, not both — with "
@@ -2264,7 +2273,7 @@ def train_kn3_lm(
             raise ValueError("train_kn3_lm needs df or counts")
         # persist: ctx3/c2/g3/join all consume the count table —
         # without the pin each re-runs the corpus tokenize + shuffle
-        counts = word_trigram_counts(df, text_col, max_word_len).persist()
+        counts = word_trigram_counts(df, text_col, max_word_len).transform(barrier)
     elif df is not None:
         raise ValueError(
             "train_kn3_lm: pass df OR counts, not both — with "
@@ -2280,7 +2289,7 @@ def train_kn3_lm(
     # reused five times.
     c2 = counts.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c2_vw")
-    ).persist()
+    ).transform(barrier)
     ctx2 = c2.groupBy("v").agg(
         F.sum("c2_vw").cast("long").alias("c2_v"),
         F.count(F.lit(1)).cast("long").alias("n1v"),
@@ -2467,7 +2476,7 @@ def train_mkn3_lm(
             raise ValueError("train_mkn3_lm needs df or counts")
         # persist: ctx3/c2/g3/join all consume the count table —
         # without the pin each re-runs the corpus tokenize + shuffle
-        counts = word_trigram_counts(df, text_col, max_word_len).persist()
+        counts = word_trigram_counts(df, text_col, max_word_len).transform(barrier)
     elif df is not None:
         raise ValueError(
             "train_mkn3_lm: pass df OR counts, not both — with "
@@ -2483,7 +2492,7 @@ def train_mkn3_lm(
     # table — one type-table shuffle, reused five times
     c2 = counts.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c2_vw")
-    ).persist()
+    ).transform(barrier)
     ctx2 = c2.groupBy("v").agg(
         F.sum("c2_vw").cast("long").alias("c2_v"),
         _mkn_bucket("c2_vw", 1).alias("mv1"),
@@ -3307,7 +3316,8 @@ def train_mkn4_lm(
         # persist: ctx4/c3/g4/join all consume the count table —
         # without the pin each re-runs the corpus tokenize + shuffle
         counts = (
-            word_fourgram_counts(df, text_col, max_word_len).persist()
+            word_fourgram_counts(df, text_col, max_word_len)
+            .transform(barrier)
         )
     elif df is not None:
         raise ValueError(
@@ -3326,7 +3336,7 @@ def train_mkn4_lm(
     # type-table shuffle apiece, reused
     c3 = counts.groupBy("u", "v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c3_uvw")
-    ).persist()
+    ).transform(barrier)
     ctx3 = c3.groupBy("u", "v").agg(
         F.sum("c3_uvw").cast("long").alias("c3_uv"),
         _mkn_bucket("c3_uvw", 1).alias("mu1"),
@@ -3335,7 +3345,7 @@ def train_mkn4_lm(
     )
     c2 = c3.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c2_vw")
-    ).persist()
+    ).transform(barrier)
     ctx2 = c2.groupBy("v").agg(
         F.sum("c2_vw").cast("long").alias("c2_v"),
         _mkn_bucket("c2_vw", 1).alias("mv1"),
