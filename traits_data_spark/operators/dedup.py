@@ -695,7 +695,14 @@ def _candidate_shingles(
     if widen:
         narrow = widen_if_narrow(narrow)
     narrow = narrow.join(ids, "__jid", "left_semi")
-    return narrow.select("__jid", shingle_expr.alias("__jsh")).persist()
+    # eager barrier, not persist (round 17): the verify join's two
+    # legs start concurrently and RACED the cold cache — stage profile
+    # showed the shingle build executing twice (2 x 32.5 MB shuffle
+    # writes at sf0.1); the barrier runs it once and the two
+    # differently-keyed exchanges read the materialized table
+    return narrow.select("__jid", shingle_expr.alias("__jsh")).transform(
+        barrier
+    )
 
 
 def ngram_decontaminate(
