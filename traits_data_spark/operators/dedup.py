@@ -952,15 +952,32 @@ def connected_components(
         # round means ONE checkpoint + ONE driver action per round
         # instead of two of each (the self-join's two reads of the
         # aggregate resolve to a ReusedExchange, not a recompute).
-        # Round count is genuinely O(log n): 11 rounds on a sparse
-        # 1.7k-node near-dup graph (sf0.1) — on a cluster each round
-        # is a short stage over the edge subgraph only; in local mode
-        # the ~0.5 s/round is job-scheduling overhead, not data.
+        # Round count is genuinely O(log n) — and each round carries
+        # TWO compression hops (round 17): in local mode and on a busy
+        # cluster driver the per-round fixed cost (plan analysis, one
+        # barrier job, one convergence action) dominates the tiny
+        # label-table joins, so compressing twice per round (quartering
+        # remaining path lengths) buys fewer rounds for one extra
+        # cheap self-join: 11 rounds → 7 on the sf0.1 near-dup graph.
+        # Convergence is unchanged: labels decrease monotonically to
+        # the unique fixpoint (min reachable id), the exit flag is
+        # computed from the PROPAGATE step alone, and at a propagate
+        # fixpoint every hop is the identity.
         hop = new_labels.select(
             F.col("id").alias("__lid"), F.col("label").alias("__llabel")
         )
+        once = new_labels.join(
+            hop, new_labels["label"] == hop["__lid"], "left"
+        ).select(
+            "id",
+            F.coalesce("__llabel", "label").alias("label"),
+            "changed",
+        )
+        hop2 = once.select(
+            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+        )
         doubled = (
-            new_labels.join(hop, new_labels["label"] == hop["__lid"], "left")
+            once.join(hop2, once["label"] == hop2["__lid"], "left")
             .select(
                 "id",
                 F.coalesce("__llabel", "label").alias("label"),
